@@ -1,0 +1,49 @@
+"""quantum_simulator_tpu — TPU-native quantum circuit simulation framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference
+Quantum-Simulator (pure-NumPy statevector engine, noise channels,
+measurement, analysis, debugger, optimizer, QEC, algorithms, bridge API),
+re-architected for TPU: compiled circuit programs, vmapped Monte-Carlo
+trajectories, Pallas fused gate kernels, and mesh-sharded statevectors.
+"""
+
+from .circuit import GateInstance, QuantumCircuit
+from .config import CONFIG, EngineConfig
+from .gates import GateDefinition, GateType
+from .measurement import MeasurementBasis, MeasurementEngine
+from .noise import (
+    AmplitudeDampingNoise,
+    BitFlipNoise,
+    DepolarizingNoise,
+    NoiseChannel,
+    NoiseModel,
+    PhaseFlipNoise,
+    ReadoutError,
+)
+from .registry import GateRegistry
+from .simulator import SimulationResult, Simulator
+from .state import StateVector
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CONFIG",
+    "EngineConfig",
+    "GateDefinition",
+    "GateInstance",
+    "GateRegistry",
+    "GateType",
+    "MeasurementBasis",
+    "MeasurementEngine",
+    "NoiseChannel",
+    "NoiseModel",
+    "BitFlipNoise",
+    "PhaseFlipNoise",
+    "DepolarizingNoise",
+    "AmplitudeDampingNoise",
+    "ReadoutError",
+    "QuantumCircuit",
+    "SimulationResult",
+    "Simulator",
+    "StateVector",
+]

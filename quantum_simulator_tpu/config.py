@@ -1,0 +1,68 @@
+"""Global engine configuration for the TPU-native quantum simulator.
+
+The reference engine (``/root/reference/quantum_sim/engine``) is pure NumPy
+complex128 and hard-caps circuits at 16 qubits (``state_vector.py:16``,
+``circuit.py:130``). This rebuild targets TPU, where the native complex type
+is complex64 (complex128 is software-emulated and slow), and where sharding
+over a device mesh lifts the qubit cap far beyond 16.
+
+Precision policy:
+  * device compute defaults to complex64 (TPU-native),
+  * tiny host-side reductions (2x2 density matrices, eigenvalues, confusion
+    matrices) run in NumPy float64/complex128 for reference-grade accuracy,
+  * a complex128 device mode exists for verification on CPU backends.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """Mutable global knobs for the simulation engine."""
+
+    # Device dtype for statevector amplitudes.
+    dtype: object = jnp.complex64
+    # Hard cap on single-host qubit count (2**30 complex64 = 8 GiB; a v5e
+    # chip has 16 GiB HBM). Sharded states may exceed this per-mesh.
+    max_qubits: int = 32
+    # Use the Pallas fused kernel when available (TPU backend, n small
+    # enough for the state to live in VMEM).
+    use_pallas: bool = True
+    # Largest qubit count for the whole-state-in-VMEM fused kernel.
+    pallas_max_qubits: int = 18
+    # Compile-cache size (circuit-structure keyed).
+    compile_cache_size: int = 128
+
+    @property
+    def real_dtype(self):
+        return jnp.float64 if self.dtype == jnp.complex128 else jnp.float32
+
+
+CONFIG = EngineConfig()
+
+
+def default_backend() -> str:
+    return jax.default_backend()
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no devices at all
+        return False
+
+
+def statevector_dtype():
+    return CONFIG.dtype
+
+
+def np_dtype():
+    """NumPy dtype mirror for host-side reference computations."""
+    return np.complex128

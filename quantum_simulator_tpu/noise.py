@@ -1,0 +1,352 @@
+"""Noise channels, readout error, and the NoiseModel.
+
+Parity target: ``/root/reference/quantum_sim/engine/noise.py:14-298`` (four
+Kraus channels, stochastic per-qubit Kraus selection after every gate,
+per-bit readout confusion matrix with "shot" and "distribution" modes,
+global + per-gate channel lists, dict serde with the same type names).
+
+TPU-native differences:
+
+* every channel exposes ``kraus_stack()`` — a stacked ``(m, 2, 2)`` array
+  consumed by the compiled trajectory programs (``ops/program.py``), where
+  Kraus selection is a branch-free categorical draw + select, vmapped over
+  trajectories;
+* the interactive ``NoiseModel.apply`` path evaluates all Kraus branches on
+  device and draws with the model's NumPy RNG (seed-reproducible, same
+  semantics as the reference's copy-per-operator loop);
+* the distribution-mode readout transform has a float64 NumPy path (exact,
+  used for n<=16 host results) and a traceable jnp path for fused device
+  pipelines. Both contract the 2x2 confusion matrix per qubit axis — never
+  the 2^n x 2^n Kronecker product.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+import jax.numpy as jnp
+import numpy as np
+
+from .gates import I_MATRIX, X_MATRIX, Y_MATRIX, Z_MATRIX
+from .state import StateVector
+from .ops.apply import apply_gate_host
+
+
+def _check_prob(p: float, name: str = "Probability") -> float:
+    if not 0 <= p <= 1:
+        raise ValueError(f"{name} must be in [0, 1], got {p}")
+    return float(p)
+
+
+class NoiseChannel(ABC):
+    """A single-qubit CPTP channel given by its Kraus operators."""
+
+    @abstractmethod
+    def get_kraus_operators(self) -> list[np.ndarray]:
+        ...
+
+    @property
+    @abstractmethod
+    def probability(self) -> float:
+        ...
+
+    def kraus_stack(self) -> np.ndarray:
+        """Stacked ``(m, 2, 2)`` complex128 array for compiled programs."""
+        return np.stack(self.get_kraus_operators()).astype(np.complex128)
+
+    def spec_key(self) -> tuple:
+        return (type(self).__name__, self.probability)
+
+
+class BitFlipNoise(NoiseChannel):
+    """X with probability p, identity otherwise."""
+
+    def __init__(self, p: float):
+        self._p = _check_prob(p)
+
+    @property
+    def probability(self) -> float:
+        return self._p
+
+    def get_kraus_operators(self) -> list[np.ndarray]:
+        return [np.sqrt(1 - self._p) * I_MATRIX, np.sqrt(self._p) * X_MATRIX]
+
+
+class PhaseFlipNoise(NoiseChannel):
+    """Z with probability p, identity otherwise."""
+
+    def __init__(self, p: float):
+        self._p = _check_prob(p)
+
+    @property
+    def probability(self) -> float:
+        return self._p
+
+    def get_kraus_operators(self) -> list[np.ndarray]:
+        return [np.sqrt(1 - self._p) * I_MATRIX, np.sqrt(self._p) * Z_MATRIX]
+
+
+class DepolarizingNoise(NoiseChannel):
+    """Each Pauli with probability p/3."""
+
+    def __init__(self, p: float):
+        self._p = _check_prob(p)
+
+    @property
+    def probability(self) -> float:
+        return self._p
+
+    def get_kraus_operators(self) -> list[np.ndarray]:
+        return [
+            np.sqrt(1 - self._p) * I_MATRIX,
+            np.sqrt(self._p / 3) * X_MATRIX,
+            np.sqrt(self._p / 3) * Y_MATRIX,
+            np.sqrt(self._p / 3) * Z_MATRIX,
+        ]
+
+
+class AmplitudeDampingNoise(NoiseChannel):
+    """Energy relaxation |1> -> |0> with rate gamma."""
+
+    def __init__(self, gamma: float):
+        self._gamma = _check_prob(gamma, "Gamma")
+
+    @property
+    def probability(self) -> float:
+        return self._gamma
+
+    def get_kraus_operators(self) -> list[np.ndarray]:
+        k0 = np.array([[1, 0], [0, np.sqrt(1 - self._gamma)]],
+                      dtype=np.complex128)
+        k1 = np.array([[0, np.sqrt(self._gamma)], [0, 0]],
+                      dtype=np.complex128)
+        return [k0, k1]
+
+
+class ReadoutError:
+    """Classical per-bit readout confusion model.
+
+    ``p01``: P(read 1 | true 0); ``p10``: P(read 0 | true 1).
+    """
+
+    def __init__(self, p01: float = 0.0, p10: float = 0.0):
+        self.p01 = _check_prob(p01, "p01")
+        self.p10 = _check_prob(p10, "p10")
+
+    @property
+    def confusion_matrix(self) -> np.ndarray:
+        """2x2 matrix C[measured][true]; columns sum to 1."""
+        return np.array([
+            [1 - self.p01, self.p10],
+            [self.p01, 1 - self.p10],
+        ])
+
+    # --- shot mode -------------------------------------------------------
+
+    def apply_to_bitstring(self, bitstring: str,
+                           rng: np.random.Generator) -> str:
+        bits = np.frombuffer(bitstring.encode(), dtype=np.uint8) - ord("0")
+        flip_p = np.where(bits == 0, self.p01, self.p10)
+        flips = rng.random(bits.shape) < flip_p
+        noisy = bits ^ flips
+        return "".join("1" if b else "0" for b in noisy)
+
+    def corrupt_counts(self, counts: dict[str, int],
+                       rng: np.random.Generator) -> dict[str, int]:
+        """Vectorized shot-mode corruption of a whole counts dict: one RNG
+        draw of shape (total_shots, n) instead of a Python loop per shot
+        (the reference loops per shot per bit, ``noise.py:128-139``)."""
+        if not counts:
+            return {}
+        n = len(next(iter(counts)))
+        bitstrings = list(counts.keys())
+        reps = np.array([counts[b] for b in bitstrings])
+        bits = np.array([[int(ch) for ch in b] for b in bitstrings],
+                        dtype=np.uint8)
+        expanded = np.repeat(bits, reps, axis=0)  # (total_shots, n)
+        flip_p = np.where(expanded == 0, self.p01, self.p10)
+        flips = rng.random(expanded.shape) < flip_p
+        noisy = expanded ^ flips
+        # Pack rows to integer codes, then histogram.
+        weights = (1 << np.arange(n - 1, -1, -1)).astype(np.int64)
+        codes = noisy @ weights
+        out: dict[str, int] = {}
+        uniq, cnt = np.unique(codes, return_counts=True)
+        for code, c in zip(uniq, cnt):
+            out[format(int(code), f"0{n}b")] = int(c)
+        return out
+
+    # --- distribution mode -------------------------------------------------
+
+    def apply_to_distribution(self, probs, num_qubits: int):
+        """Confusion-matrix transform of a length-2^n distribution, applied
+        per qubit axis — O(2^n) memory, no Kronecker product.
+
+        NumPy float64 input -> exact host path; jnp input -> traceable
+        device path (same contraction).
+        """
+        if isinstance(probs, jnp.ndarray) and not isinstance(probs, np.ndarray):
+            return self._apply_to_distribution_jnp(probs, num_qubits)
+        c1 = self.confusion_matrix
+        p = np.asarray(probs, dtype=np.float64).reshape([2] * num_qubits)
+        for axis in range(num_qubits):
+            p = np.tensordot(c1, p, axes=([1], [axis]))
+            p = np.moveaxis(p, 0, axis)
+        flat = p.reshape(-1)
+        total = flat.sum()
+        return flat / total if total > 1e-15 else flat
+
+    def _apply_to_distribution_jnp(self, probs: jnp.ndarray, num_qubits: int):
+        c1 = jnp.asarray(self.confusion_matrix, dtype=probs.dtype)
+        dim = probs.shape[-1]
+        for axis in range(num_qubits):
+            a = 1 << axis
+            b = dim // (2 * a)
+            p3 = probs.reshape(a, 2, b)
+            probs = jnp.einsum("mt,atb->amb", c1, p3,
+                               precision="highest").reshape(dim)
+        total = jnp.sum(probs)
+        return jnp.where(total > 1e-15, probs / total, probs)
+
+    def to_dict(self) -> dict:
+        return {"p01": self.p01, "p10": self.p10}
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "ReadoutError":
+        return cls(p01=data.get("p01", 0.0), p10=data.get("p10", 0.0))
+
+    def spec_key(self) -> tuple:
+        return ("ReadoutError", self.p01, self.p10)
+
+
+_CHANNEL_TYPES = {
+    "BitFlipNoise": BitFlipNoise,
+    "PhaseFlipNoise": PhaseFlipNoise,
+    "DepolarizingNoise": DepolarizingNoise,
+    "AmplitudeDampingNoise": AmplitudeDampingNoise,
+}
+
+
+class NoiseModel:
+    """Which channels fire after which gates, plus optional readout error."""
+
+    def __init__(self):
+        self._global_noise: list[NoiseChannel] = []
+        self._gate_noise: dict[str, list[NoiseChannel]] = {}
+        self._readout_error: ReadoutError | None = None
+        self._rng = np.random.default_rng()
+        self._seed: int | None = None
+
+    # --- configuration ------------------------------------------------
+
+    @property
+    def readout_error(self) -> ReadoutError | None:
+        return self._readout_error
+
+    def set_readout_error(self, error: ReadoutError) -> None:
+        self._readout_error = error
+
+    def add_global_noise(self, channel: NoiseChannel):
+        self._global_noise.append(channel)
+
+    def add_gate_noise(self, gate_name: str, channel: NoiseChannel):
+        self._gate_noise.setdefault(gate_name, []).append(channel)
+
+    def set_seed(self, seed: int):
+        self._seed = int(seed)
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def seed(self) -> int | None:
+        return self._seed
+
+    @property
+    def rng(self) -> np.random.Generator:
+        return self._rng
+
+    def has_channels(self) -> bool:
+        return bool(self._global_noise or self._gate_noise)
+
+    # --- compiled-program interface -------------------------------------
+
+    def channels_for_gate(self, gate_name: str) -> list[NoiseChannel]:
+        channels = list(self._global_noise)
+        channels.extend(self._gate_noise.get(gate_name, []))
+        return channels
+
+    def kraus_stacks_for_gate(self, gate_name: str) -> list[np.ndarray]:
+        return [ch.kraus_stack() for ch in self.channels_for_gate(gate_name)]
+
+    def spec_key(self) -> tuple:
+        """Static identity of the channel configuration, used in the
+        compile-cache key of trajectory programs."""
+        return (
+            tuple(ch.spec_key() for ch in self._global_noise),
+            tuple(sorted(
+                (name, tuple(ch.spec_key() for ch in chans))
+                for name, chans in self._gate_noise.items()
+            )),
+        )
+
+    # --- interactive single-state path -----------------------------------
+
+    def apply(self, state: StateVector, gate) -> None:
+        """Stochastically apply all channels configured for this gate to
+        each of its target qubits (mutates ``state``)."""
+        for channel in self.channels_for_gate(gate.gate_name):
+            self._apply_channel(state, channel, gate.target_qubits)
+
+    def _apply_channel(self, state: StateVector, channel: NoiseChannel,
+                       target_qubits: list[int]):
+        kraus_ops = channel.get_kraus_operators()
+        for qubit in target_qubits:
+            if qubit >= state.num_qubits:
+                continue
+            branches = [
+                apply_gate_host(state.device_data, k, [qubit],
+                                state.num_qubits)
+                for k in kraus_ops
+            ]
+            norms = np.array([
+                float(jnp.sum(jnp.abs(b) ** 2)) for b in branches
+            ])
+            total = norms.sum()
+            probs = norms / total if total > 1e-15 else norms
+            idx = int(self._rng.choice(len(kraus_ops), p=probs))
+            chosen = branches[idx]
+            norm = np.sqrt(norms[idx])
+            state.device_data = chosen / norm if norm > 1e-15 else chosen
+
+    # --- serde ------------------------------------------------------------
+
+    def to_dict(self) -> dict:
+        result: dict = {"global": [], "gate_specific": {}}
+        for ch in self._global_noise:
+            result["global"].append({
+                "type": type(ch).__name__,
+                "probability": ch.probability,
+            })
+        for gate_name, channels in self._gate_noise.items():
+            result["gate_specific"][gate_name] = [
+                {"type": type(ch).__name__, "probability": ch.probability}
+                for ch in channels
+            ]
+        if self._readout_error is not None:
+            result["readout_error"] = self._readout_error.to_dict()
+        return result
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "NoiseModel":
+        model = cls()
+        for ch_data in data.get("global", []):
+            model.add_global_noise(
+                _CHANNEL_TYPES[ch_data["type"]](ch_data["probability"]))
+        for gate_name, channels in data.get("gate_specific", {}).items():
+            for ch_data in channels:
+                model.add_gate_noise(
+                    gate_name,
+                    _CHANNEL_TYPES[ch_data["type"]](ch_data["probability"]))
+        if "readout_error" in data:
+            model.set_readout_error(
+                ReadoutError.from_dict(data["readout_error"]))
+        return model

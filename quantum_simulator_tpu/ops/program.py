@@ -1,0 +1,263 @@
+"""Circuit → compiled XLA program.
+
+This is the TPU-native replacement for the reference's interpreted gate walk
+(``/root/reference/quantum_sim/engine/simulator.py:55-68``): instead of
+re-dispatching Python per gate per run, a circuit compiles ONCE per
+*structure* into a jitted function
+
+    ``f(params: f32[P]) -> complex[2^n]``
+
+with every gate parameter a runtime input. Consequences:
+
+* editing rotation angles (GUI sliders, optimizer steps) never recompiles;
+* the whole circuit is differentiable — ``jax.grad`` through gate matrices
+  gives exact gradients without parameter-shift re-simulation;
+* noisy trajectories are the same program with per-gate stochastic Kraus
+  selection (categorical draw + branch select), vmapped over PRNG keys —
+  the batched replacement for the reference's per-shot re-simulation loop
+  (``simulator.py:134-145``).
+
+Compile results are cached keyed by (structure hash, noise key, dtype,
+variant) — the jit analog of the reference's ``circuit_hash`` reference
+invalidation (``reference.py:99-113``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CONFIG
+from ..gates import GateType
+from ..registry import GateRegistry
+from .apply import apply_gate, basis_state_index, make_basis_state
+
+
+@dataclass(frozen=True)
+class ProgramOp:
+    """One unitary in execution order (Measure/Barrier already dropped)."""
+
+    gate_name: str
+    targets: tuple[int, ...]
+    param_offset: int
+    num_params: int
+    column_index: int  # index into the circuit's non-empty-column sequence
+    static_matrix: np.ndarray | None  # baked matrix when not traceable
+    jnp_builder: Callable | None
+
+
+@dataclass(frozen=True)
+class CircuitProgram:
+    num_qubits: int
+    initial_index: int
+    ops: tuple[ProgramOp, ...]
+    num_columns: int
+    num_params: int
+    initial_params: np.ndarray
+    compile_key: tuple
+
+    def op_matrix(self, op: ProgramOp, params, dtype):
+        if op.static_matrix is not None:
+            return jnp.asarray(op.static_matrix, dtype=dtype)
+        p = [params[op.param_offset + j] for j in range(op.num_params)]
+        return op.jnp_builder(*p).astype(dtype)
+
+
+def compile_circuit(circuit) -> CircuitProgram:
+    """Lower a QuantumCircuit to an ordered static op list + param vector."""
+    registry = GateRegistry.instance()
+    ops: list[ProgramOp] = []
+    params: list[float] = []
+    key_parts: list = [circuit.num_qubits, tuple(circuit.initial_states)]
+
+    columns = circuit.get_ordered_gates()
+    for col_idx, column in enumerate(columns):
+        for inst in column:
+            gd = registry.get(inst.gate_name)
+            if gd.gate_type in (GateType.MEASUREMENT, GateType.BARRIER):
+                continue
+            builder = gd.jnp_matrix_func
+            if gd.num_params > 0 and builder is not None:
+                offset = len(params)
+                params.extend(float(p) for p in inst.params)
+                ops.append(ProgramOp(inst.gate_name, tuple(inst.target_qubits),
+                                     offset, gd.num_params, col_idx, None,
+                                     builder))
+                key_parts.append((inst.gate_name, tuple(inst.target_qubits),
+                                  col_idx))
+            else:
+                # Fixed gate, or a custom parameterized gate with a
+                # host-only matrix_func: bake the matrix statically and
+                # fold its values into the compile key.
+                mat = np.asarray(gd.matrix_func(*inst.params),
+                                 dtype=np.complex128)
+                ops.append(ProgramOp(inst.gate_name, tuple(inst.target_qubits),
+                                     0, 0, col_idx, mat, None))
+                key_parts.append((inst.gate_name, tuple(inst.target_qubits),
+                                  col_idx, mat.tobytes()))
+
+    return CircuitProgram(
+        num_qubits=circuit.num_qubits,
+        initial_index=basis_state_index(circuit.initial_states),
+        ops=tuple(ops),
+        num_columns=len(columns),
+        num_params=len(params),
+        initial_params=np.asarray(params, dtype=np.float32),
+        compile_key=tuple(key_parts),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure program bodies (traced once per structure)
+# ---------------------------------------------------------------------------
+
+def _forward_body(program: CircuitProgram, params, dtype):
+    n = program.num_qubits
+    state = make_basis_state(n, program.initial_index, dtype)
+    for op in program.ops:
+        state = apply_gate(state, program.op_matrix(op, params, dtype),
+                           op.targets, n)
+    return state
+
+
+def _steps_body(program: CircuitProgram, params, dtype):
+    """Stacked per-column states, row 0 = initial state (the device analog
+    of the reference's ``run_step_by_step`` generator, ``simulator.py:93``)."""
+    n = program.num_qubits
+    state = make_basis_state(n, program.initial_index, dtype)
+    snapshots = [state]
+    op_i = 0
+    for col in range(program.num_columns):
+        while op_i < len(program.ops) and program.ops[op_i].column_index == col:
+            op = program.ops[op_i]
+            state = apply_gate(state, program.op_matrix(op, params, dtype),
+                               op.targets, n)
+            op_i += 1
+        snapshots.append(state)
+    return jnp.stack(snapshots)
+
+
+def _apply_channel_stochastic(state, kraus_stack, qubit, key, n):
+    """Stochastic Kraus selection, branch-free for XLA: compute every
+    K_i|psi>, draw one by its squared norm, renormalize (device analog of
+    the reference's copy-per-operator loop, ``noise.py:224-260``)."""
+    branches = jnp.stack([
+        apply_gate(state, kraus_stack[i], (qubit,), n)
+        for i in range(kraus_stack.shape[0])
+    ])
+    norms = jnp.sum(jnp.abs(branches) ** 2, axis=-1)
+    idx = jax.random.categorical(key, jnp.log(norms + 1e-30))
+    chosen = jnp.take(branches, idx, axis=0)
+    norm = jnp.take(norms, idx)
+    return chosen / jnp.sqrt(jnp.maximum(norm, 1e-30))
+
+
+def _count_noise_draws(program: CircuitProgram, channels_for) -> int:
+    total = 0
+    for op in program.ops:
+        total += len(channels_for(op.gate_name)) * len(op.targets)
+    return total
+
+
+def _trajectory_body(program: CircuitProgram, channels_for, params, key,
+                     dtype, record_columns: bool):
+    n = program.num_qubits
+    state = make_basis_state(n, program.initial_index, dtype)
+    total_draws = max(1, _count_noise_draws(program, channels_for))
+    keys = jax.random.split(key, total_draws)
+    draw = 0
+    snapshots = [state] if record_columns else None
+    op_i = 0
+    for col in range(program.num_columns):
+        while op_i < len(program.ops) and program.ops[op_i].column_index == col:
+            op = program.ops[op_i]
+            state = apply_gate(state, program.op_matrix(op, params, dtype),
+                               op.targets, n)
+            for kraus_np in channels_for(op.gate_name):
+                kraus = jnp.asarray(kraus_np, dtype=dtype)
+                for q in op.targets:
+                    if q >= n:
+                        continue
+                    state = _apply_channel_stochastic(
+                        state, kraus, q, keys[draw], n)
+                    draw += 1
+            op_i += 1
+        if record_columns:
+            snapshots.append(state)
+    if record_columns:
+        return jnp.stack(snapshots)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Compile cache
+# ---------------------------------------------------------------------------
+
+_CACHE: dict[tuple, Callable] = {}
+
+
+def _cache_get(key, build):
+    fn = _CACHE.get(key)
+    if fn is None:
+        if len(_CACHE) >= CONFIG.compile_cache_size:
+            _CACHE.pop(next(iter(_CACHE)))
+        fn = build()
+        _CACHE[key] = fn
+    return fn
+
+
+def clear_compile_cache():
+    _CACHE.clear()
+
+
+def forward_fn(program: CircuitProgram, dtype=None) -> Callable:
+    """jitted ``f(params) -> state``."""
+    dtype = dtype or CONFIG.dtype
+    key = ("fwd", program.compile_key, str(dtype))
+    return _cache_get(key, lambda: jax.jit(
+        lambda params: _forward_body(program, params, dtype)))
+
+
+def steps_fn(program: CircuitProgram, dtype=None) -> Callable:
+    dtype = dtype or CONFIG.dtype
+    key = ("steps", program.compile_key, str(dtype))
+    return _cache_get(key, lambda: jax.jit(
+        lambda params: _steps_body(program, params, dtype)))
+
+
+def trajectory_fn(program: CircuitProgram, noise_model, dtype=None,
+                  record_columns: bool = False) -> Callable:
+    """jitted ``f(params, key) -> state`` with stochastic noise after every
+    gate (per the NoiseModel's global + per-gate channel lists)."""
+    dtype = dtype or CONFIG.dtype
+    channels_for = noise_model.kraus_stacks_for_gate
+    key = ("traj", program.compile_key, noise_model.spec_key(),
+           str(dtype), record_columns)
+    return _cache_get(key, lambda: jax.jit(
+        lambda params, k: _trajectory_body(
+            program, channels_for, params, k, dtype, record_columns)))
+
+
+def batched_trajectories_fn(program: CircuitProgram, noise_model,
+                            dtype=None, record_columns: bool = False
+                            ) -> Callable:
+    """jitted ``f(params, keys[T]) -> states[T, 2^n]`` — one compiled
+    program evaluates every Monte-Carlo trajectory in parallel. This is the
+    single batched primitive that replaces the reference's per-shot loops in
+    ``run_with_noise`` / ``ensemble_density_matrix`` / fidelity sweeps /
+    debugger trials / QEC threshold trials."""
+    dtype = dtype or CONFIG.dtype
+    channels_for = noise_model.kraus_stacks_for_gate
+    key = ("vtraj", program.compile_key, noise_model.spec_key(),
+           str(dtype), record_columns)
+
+    def build():
+        body = lambda params, k: _trajectory_body(
+            program, channels_for, params, k, dtype, record_columns)
+        return jax.jit(jax.vmap(body, in_axes=(None, 0)))
+
+    return _cache_get(key, build)

@@ -1,0 +1,239 @@
+"""Circuit execution orchestrator over compiled XLA programs.
+
+Parity target: ``/root/reference/quantum_sim/engine/simulator.py:17-199``
+(SimulationResult fields, ``run`` / ``run_step_by_step`` / ``run_with_noise``
+/ ``ensemble_density_matrix`` semantics: measurement gates are sampling
+markers, barriers are visual, noise fires after every gate, noisy runs
+re-simulate per shot, the ensemble averages |psi><psi| over child-seeded
+trials).
+
+TPU-native difference — the headline one: noisy shots and ensemble trials do
+NOT loop. They are ONE compiled, vmapped trajectory program evaluated for
+all Monte-Carlo samples in parallel on the accelerator
+(``ops/program.py:batched_trajectories_fn``), with chunking to bound peak
+HBM. The reference's cost of O(shots * gates * 2^n) Python/NumPy dispatches
+becomes a single device launch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Generator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .circuit import QuantumCircuit
+from .config import CONFIG
+from .measurement import (
+    MeasurementBasis,
+    MeasurementEngine,
+    counts_from_array,
+)
+from .ops import program as prog
+from .state import StateVector
+from .utils.xfer import to_host_complex
+
+
+@dataclass
+class SimulationResult:
+    """Result of a full simulation run."""
+
+    final_state: StateVector
+    measurement_counts: dict[str, int]
+    step_states: list[StateVector] | None = None
+    num_shots: int = 1024
+    seed: int | None = None
+    reference_state: StateVector | None = None
+
+
+def _key_from_rng(rng: np.random.Generator) -> jax.Array:
+    """Deterministic JAX key forked from a NumPy generator (SeedManager
+    child-stream compatible: same master seed -> same key sequence)."""
+    return jax.random.PRNGKey(int(rng.integers(0, 2**63)))
+
+
+def _traj_chunk_size(dim: int, n_kraus_branches: int = 4) -> int:
+    """Trajectories per device launch, bounding peak memory to ~1 GiB."""
+    bytes_per_traj = dim * 8 * max(2, n_kraus_branches)
+    target = 1 << 30
+    chunk = max(1, target // max(1, bytes_per_traj))
+    # Round down to a power of two so chunk shapes (and compiled programs)
+    # stay stable across calls.
+    return 1 << (chunk.bit_length() - 1)
+
+
+def run_batched_trajectories(traj_fn, params, keys: jax.Array,
+                             dim: int) -> jnp.ndarray:
+    """Evaluate a vmapped trajectory fn over many keys with fixed-shape
+    chunks (last chunk padded) to avoid HBM blowups and recompiles."""
+    total = keys.shape[0]
+    chunk = min(_traj_chunk_size(dim), total)
+    if chunk == total:
+        return traj_fn(params, keys)
+    n_chunks = -(-total // chunk)
+    pad = n_chunks * chunk - total
+    if pad:
+        keys = jnp.concatenate([keys, keys[:pad]])
+    outs = [traj_fn(params, keys[i * chunk:(i + 1) * chunk])
+            for i in range(n_chunks)]
+    states = jnp.concatenate(outs)
+    return states[:total] if pad else states
+
+
+class Simulator:
+    """Executes a QuantumCircuit via compiled device programs."""
+
+    def __init__(self, noise_model: object | None = None):
+        self._noise_model = noise_model
+
+    # ------------------------------------------------------------------
+    # Core runs
+    # ------------------------------------------------------------------
+
+    def run(self, circuit: QuantumCircuit, shots: int = 1024,
+            record_steps: bool = False,
+            seed: int | None = None,
+            rng: np.random.Generator | None = None,
+            measurement_basis: MeasurementBasis = MeasurementBasis.Z
+            ) -> SimulationResult:
+        """Apply all gates (one compiled program), then sample measurements.
+
+        With a noise model attached this runs ONE stochastic trajectory
+        (reference `run` semantics); use ``run_with_noise`` for per-shot
+        trajectory sampling.
+        """
+        if rng is None:
+            rng = np.random.default_rng(seed)
+
+        program = prog.compile_circuit(circuit)
+        params = jnp.asarray(program.initial_params)
+        noisy = self._noise_model is not None and self._noise_model.has_channels()
+
+        if record_steps:
+            if noisy:
+                fn = prog.trajectory_fn(program, self._noise_model,
+                                        record_columns=True)
+                stacked = fn(params, _key_from_rng(rng))
+            else:
+                stacked = prog.steps_fn(program)(params)
+            step_states = [
+                StateVector.from_device_array(stacked[i], circuit.num_qubits)
+                for i in range(1, stacked.shape[0])
+            ]
+            final = StateVector.from_device_array(stacked[-1],
+                                                  circuit.num_qubits)
+        else:
+            step_states = None
+            if noisy:
+                fn = prog.trajectory_fn(program, self._noise_model)
+                final_arr = fn(params, _key_from_rng(rng))
+            else:
+                final_arr = prog.forward_fn(program)(params)
+            final = StateVector.from_device_array(final_arr,
+                                                  circuit.num_qubits)
+
+        has_measurement = any(g.gate_name == "Measure" for g in circuit.gates)
+        if has_measurement or shots > 0:
+            readout_err = None
+            if self._noise_model is not None and hasattr(
+                    self._noise_model, "readout_error"):
+                readout_err = self._noise_model.readout_error
+            counts = MeasurementEngine.sample_with_basis(
+                final, shots, basis=measurement_basis,
+                readout_error=readout_err, rng=rng)
+        else:
+            counts = {}
+
+        return SimulationResult(
+            final_state=final,
+            measurement_counts=counts,
+            step_states=step_states,
+            num_shots=shots,
+            seed=seed,
+        )
+
+    def run_step_by_step(self, circuit: QuantumCircuit,
+                         rng: np.random.Generator | None = None
+                         ) -> Generator[tuple[StateVector, int], None, None]:
+        """Yields (state, column_index) including the initial state at -1."""
+        program = prog.compile_circuit(circuit)
+        params = jnp.asarray(program.initial_params)
+        noisy = self._noise_model is not None and self._noise_model.has_channels()
+        if noisy:
+            rng = rng or np.random.default_rng()
+            fn = prog.trajectory_fn(program, self._noise_model,
+                                    record_columns=True)
+            stacked = fn(params, _key_from_rng(rng))
+        else:
+            stacked = prog.steps_fn(program)(params)
+        for i in range(stacked.shape[0]):
+            yield (StateVector.from_device_array(stacked[i],
+                                                 circuit.num_qubits), i - 1)
+
+    # ------------------------------------------------------------------
+    # Monte-Carlo paths (batched on device)
+    # ------------------------------------------------------------------
+
+    def trajectory_states(self, circuit: QuantumCircuit, n_trajectories: int,
+                          seed: int | None = None,
+                          rng: np.random.Generator | None = None
+                          ) -> jnp.ndarray:
+        """(T, 2^n) final states of T stochastic trajectories — the batched
+        primitive under run_with_noise / ensemble / sweeps / QEC trials."""
+        if rng is None:
+            rng = np.random.default_rng(seed)
+        program = prog.compile_circuit(circuit)
+        params = jnp.asarray(program.initial_params)
+        if self._noise_model is None or not self._noise_model.has_channels():
+            state = prog.forward_fn(program)(params)
+            return jnp.broadcast_to(state, (n_trajectories, state.shape[0]))
+        base = _key_from_rng(rng)
+        keys = jax.random.split(base, n_trajectories)
+        fn = prog.batched_trajectories_fn(program, self._noise_model)
+        return run_batched_trajectories(fn, params, keys,
+                                        2**circuit.num_qubits)
+
+    def run_with_noise(self, circuit: QuantumCircuit, shots: int = 1024,
+                       seed: int | None = None,
+                       rng: np.random.Generator | None = None
+                       ) -> SimulationResult:
+        """Per-shot stochastic trajectory + projective measure_all, all
+        batched (reference loops shots times, ``simulator.py:134-145``)."""
+        if self._noise_model is None:
+            return self.run(circuit, shots, seed=seed, rng=rng)
+        if rng is None:
+            rng = np.random.default_rng(seed)
+
+        states = self.trajectory_states(circuit, shots, rng=rng)
+        probs = jnp.abs(states) ** 2
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        draw_key = _key_from_rng(rng)
+        draws = jax.random.categorical(draw_key, jnp.log(probs + 1e-38),
+                                       axis=-1)
+        counts_array = np.bincount(np.asarray(draws),
+                                   minlength=2**circuit.num_qubits)
+        all_counts = counts_from_array(counts_array, circuit.num_qubits)
+
+        final_state = StateVector.from_initial_states(circuit.initial_states)
+        return SimulationResult(
+            final_state=final_state,
+            measurement_counts=all_counts,
+            num_shots=shots,
+            seed=seed,
+        )
+
+    def ensemble_density_matrix(
+        self,
+        circuit: QuantumCircuit,
+        n_trials: int = 50,
+        seed: int | None = None,
+    ) -> np.ndarray:
+        """rho = (1/N) sum_i |psi_i><psi_i| over N stochastic trajectories,
+        accumulated on device in one einsum."""
+        rng = np.random.default_rng(seed)
+        states = self.trajectory_states(circuit, n_trials, rng=rng)
+        rho = jnp.einsum("ti,tj->ij", states, jnp.conj(states),
+                         precision=jax.lax.Precision.HIGHEST) / n_trials
+        return to_host_complex(rho)
