@@ -170,6 +170,25 @@ def jnp_u3_matrix(theta, phi, lam):
     ])
 
 
+def cphase_matrix(phi: float) -> np.ndarray:
+    """Controlled-phase: diag(1, 1, 1, e^{i phi}). Not in the reference's
+    gate set (its QFT substitutes a plain Phase gate, ``algorithms.py:47``);
+    added here so QFT/inverse-QFT are exact."""
+    return np.diag([1.0, 1.0, 1.0, np.exp(1j * phi)]).astype(np.complex128)
+
+
+def jnp_cphase_matrix(phi):
+    one = jnp.ones_like(jnp.exp(1j * phi))
+    return jnp.diag(jnp.stack([one, one, one, jnp.exp(1j * phi)]))
+
+
+def mcz_matrix(num_qubits: int) -> np.ndarray:
+    """Multi-controlled-Z on ``num_qubits`` qubits: diag(1,...,1,-1)."""
+    d = np.ones(2**num_qubits, dtype=np.complex128)
+    d[-1] = -1.0
+    return np.diag(d)
+
+
 def _const(matrix: np.ndarray) -> Callable[[], np.ndarray]:
     """No-arg callable returning a fixed matrix (reference `gates.py:130`)."""
 
@@ -185,4 +204,5 @@ JNP_BUILDERS: dict[str, Callable] = {
     "Rz": jnp_rz_matrix,
     "Phase": jnp_phase_matrix,
     "U3": jnp_u3_matrix,
+    "CPhase": jnp_cphase_matrix,
 }

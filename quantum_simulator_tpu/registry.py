@@ -30,6 +30,7 @@ from .gates import (
     Y_MATRIX,
     Z_MATRIX,
     _const,
+    cphase_matrix,
     phase_matrix,
     rx_matrix,
     ry_matrix,
@@ -98,6 +99,13 @@ class GateRegistry:
                    ("θ", "φ", "λ"), "U3", "#607D8B")
         )
 
+        self.register(GateDefinition(
+            name="CPhase", display_name="Controlled-Phase",
+            gate_type=GateType.CONTROLLED,
+            num_qubits=2, num_params=1, param_names=("φ",),
+            matrix_func=cphase_matrix, symbol="CP", color="#5D4037",
+            num_controls=1, num_targets=1,
+            jnp_matrix_func=JNP_BUILDERS.get("CPhase")))
         self.register(GateDefinition(
             name="CNOT", display_name="Controlled-NOT", gate_type=GateType.CONTROLLED,
             num_qubits=2, num_params=0, param_names=(),
