@@ -48,6 +48,7 @@ class ProgramOp:
     column_index: int  # index into the circuit's non-empty-column sequence
     static_matrix: np.ndarray | None  # baked matrix when not traceable
     jnp_builder: Callable | None
+    gate_index: int = -1  # index into circuit.gates (for param remapping)
 
 
 @dataclass(frozen=True)
@@ -59,6 +60,18 @@ class CircuitProgram:
     num_params: int
     initial_params: np.ndarray
     compile_key: tuple
+
+    def param_offset_for(self, gate_index: int, param_index: int
+                         ) -> int | None:
+        """Program-param position for ``circuit.gates[gate_index]``'s
+        ``param_index``-th parameter, or None if that gate's matrix was
+        baked statically (no traceable builder)."""
+        for op in self.ops:
+            if op.gate_index == gate_index:
+                if op.num_params == 0:
+                    return None
+                return op.param_offset + param_index
+        return None
 
     def op_matrix(self, op: ProgramOp, params, dtype):
         if op.static_matrix is not None:
@@ -74,19 +87,21 @@ def compile_circuit(circuit) -> CircuitProgram:
     params: list[float] = []
     key_parts: list = [circuit.num_qubits, tuple(circuit.initial_states)]
 
+    gate_ids = {id(g): gi for gi, g in enumerate(circuit.gates)}
     columns = circuit.get_ordered_gates()
     for col_idx, column in enumerate(columns):
         for inst in column:
             gd = registry.get(inst.gate_name)
             if gd.gate_type in (GateType.MEASUREMENT, GateType.BARRIER):
                 continue
+            gate_index = gate_ids.get(id(inst), -1)
             builder = gd.jnp_matrix_func
             if gd.num_params > 0 and builder is not None:
                 offset = len(params)
                 params.extend(float(p) for p in inst.params)
                 ops.append(ProgramOp(inst.gate_name, tuple(inst.target_qubits),
                                      offset, gd.num_params, col_idx, None,
-                                     builder))
+                                     builder, gate_index))
                 key_parts.append((inst.gate_name, tuple(inst.target_qubits),
                                   col_idx))
             else:
@@ -96,7 +111,7 @@ def compile_circuit(circuit) -> CircuitProgram:
                 mat = np.asarray(gd.matrix_func(*inst.params),
                                  dtype=np.complex128)
                 ops.append(ProgramOp(inst.gate_name, tuple(inst.target_qubits),
-                                     0, 0, col_idx, mat, None))
+                                     0, 0, col_idx, mat, None, gate_index))
                 key_parts.append((inst.gate_name, tuple(inst.target_qubits),
                                   col_idx, mat.tobytes()))
 
@@ -220,6 +235,22 @@ def forward_fn(program: CircuitProgram, dtype=None) -> Callable:
     key = ("fwd", program.compile_key, str(dtype))
     return _cache_get(key, lambda: jax.jit(
         lambda params: _forward_body(program, params, dtype)))
+
+
+def forward_body(program: CircuitProgram, params, dtype=None):
+    """Traceable (un-jitted) forward pass — compose into larger programs
+    (cost functions, vmapped parameter sweeps, autodiff)."""
+    return _forward_body(program, params, dtype or CONFIG.dtype)
+
+
+def batched_forward_fn(program: CircuitProgram, dtype=None) -> Callable:
+    """jitted ``f(params_batch[B, P]) -> states[B, 2^n]`` — evaluates the
+    same circuit structure at many parameter points in one launch (the
+    engine under batched parameter-shift gradients and plateau sampling)."""
+    dtype = dtype or CONFIG.dtype
+    key = ("vfwd", program.compile_key, str(dtype))
+    return _cache_get(key, lambda: jax.jit(
+        jax.vmap(lambda p: _forward_body(program, p, dtype))))
 
 
 def steps_fn(program: CircuitProgram, dtype=None) -> Callable:

@@ -1,0 +1,156 @@
+"""Optimizer: gradients (parameter-shift / finite-diff / autodiff agree),
+Adam convergence, cost functions, barren plateau analysis."""
+
+import numpy as np
+import pytest
+
+from quantum_simulator_tpu import GateInstance, QuantumCircuit, Simulator
+from quantum_simulator_tpu.optimizer import (
+    CircuitOptimizer,
+    CostFunction,
+    GradientEstimator,
+    ParameterizedCircuitConfig,
+)
+
+
+def ry_circuit(theta=0.1):
+    c = QuantumCircuit(1)
+    c.add_gate(GateInstance("Ry", [0], [theta], column=0))
+    return c
+
+
+def ansatz(n=2, layers=1, theta=0.2):
+    c = QuantumCircuit(n)
+    col = 0
+    for _ in range(layers):
+        for q in range(n):
+            c.add_gate(GateInstance("Ry", [q], [theta], column=col))
+        col += 1
+        for q in range(n - 1):
+            c.add_gate(GateInstance("CNOT", [q, q + 1], [], column=col))
+            col += 1
+    return c
+
+
+class TestConfig:
+    def test_auto_detect_names(self):
+        c = ansatz(2, 1)
+        cfg = ParameterizedCircuitConfig.auto_detect(c)
+        assert cfg.num_params == 2
+        assert cfg.bindings[0].name == "Ry[0].p0"
+
+    def test_bind_and_get_values(self):
+        cfg = ParameterizedCircuitConfig.auto_detect(ry_circuit(0.7))
+        np.testing.assert_allclose(cfg.get_values(), [0.7])
+        qc = cfg.bind_values(np.array([1.5]))
+        assert qc.gates[0].params == [1.5]
+        assert cfg.circuit.gates[0].params == [0.7]  # original untouched
+
+
+class TestGradients:
+    def test_three_methods_agree(self):
+        cfg = ParameterizedCircuitConfig.auto_detect(ry_circuit())
+        cost = CostFunction.z_expectation(0)
+        theta = np.array([0.8])
+        expected = -np.sin(0.8)  # d/dθ cos(θ) for <Z> after Ry(θ)
+        g_ps = GradientEstimator.parameter_shift(cfg, cost, theta)
+        g_fd = GradientEstimator.finite_difference(cfg, cost, theta)
+        _, g_ad = GradientEstimator.autodiff(cfg, cost, theta)
+        for g in (g_ps, g_fd, g_ad):
+            assert g[0] == pytest.approx(expected, abs=1e-3)
+
+    def test_multi_param_gradient_shape(self):
+        cfg = ParameterizedCircuitConfig.auto_detect(ansatz(3, 2))
+        cost = CostFunction.z_expectation(0)
+        vals = cfg.get_values()
+        g = GradientEstimator.parameter_shift(cfg, cost, vals)
+        assert g.shape == vals.shape
+
+
+class TestCostFunctions:
+    def test_vqe_hamiltonian_host_vs_device(self):
+        c = ansatz(2, 1, theta=0.9)
+        state = Simulator().run(c, shots=0).final_state
+        cost = CostFunction.vqe_hamiltonian(
+            [(0.5, "ZZ", [0, 1]), (-0.3, "X", [0]), (0.2, "Y", [1])])
+        host_val = cost(state)
+        import jax.numpy as jnp
+
+        dev_val = float(cost.device_fn(state.device_data, 2))
+        assert host_val == pytest.approx(dev_val, abs=1e-5)
+
+    def test_state_fidelity_cost(self):
+        target = np.zeros(2, dtype=complex)
+        target[1] = 1.0  # |1>
+        cost = CostFunction.state_fidelity(target)
+        state = Simulator().run(ry_circuit(np.pi), shots=0).final_state
+        assert cost(state) == pytest.approx(0.0, abs=1e-5)
+
+    def test_qaoa_maxcut_on_cut_state(self):
+        # |01> cuts the single edge (0,1) -> C = 1
+        c = QuantumCircuit(2, initial_states=[0, 1])
+        c.add_gate(GateInstance("I", [0], [], column=0))
+        state = Simulator().run(c, shots=0).final_state
+        cost = CostFunction.qaoa_maxcut([(0, 1)])
+        assert cost(state) == pytest.approx(1.0, abs=1e-5)
+
+
+class TestOptimizer:
+    @pytest.mark.parametrize("method",
+                             ["parameter_shift", "autodiff",
+                              "finite_difference"])
+    def test_minimizes_z_expectation(self, method):
+        cfg = ParameterizedCircuitConfig.auto_detect(ry_circuit(0.1))
+        opt = CircuitOptimizer(cfg, CostFunction.z_expectation(0),
+                               learning_rate=0.3, max_iterations=80,
+                               gradient_method=method)
+        res = opt.run(seed=42)
+        assert res.optimal_cost < -0.99
+        assert res.iterations <= 80
+        assert len(res.history) == res.iterations
+
+    def test_request_stop(self):
+        cfg = ParameterizedCircuitConfig.auto_detect(ry_circuit())
+        opt = CircuitOptimizer(cfg, CostFunction.z_expectation(0),
+                               max_iterations=100)
+
+        def callback(i, values, cost):
+            if i >= 2:
+                opt.request_stop()
+
+        res = opt.run(callback=callback)
+        assert res.iterations <= 4
+
+    def test_vqe_two_qubit_ground_state(self):
+        """Minimize <Z0 Z1> + 0.5 <X0>: optimizer should reach < -1.0."""
+        cfg = ParameterizedCircuitConfig.auto_detect(ansatz(2, 2))
+        cost = CostFunction.vqe_hamiltonian(
+            [(1.0, "ZZ", [0, 1]), (0.5, "X", [0])])
+        opt = CircuitOptimizer(cfg, cost, learning_rate=0.2,
+                               max_iterations=100,
+                               gradient_method="autodiff")
+        res = opt.run(seed=7)
+        assert res.optimal_cost < -0.9
+
+
+class TestBarrenPlateau:
+    def test_flat_detection(self):
+        cfg = ParameterizedCircuitConfig.auto_detect(ry_circuit())
+        # Constant-cost function -> zero gradients everywhere -> barren
+        from quantum_simulator_tpu.optimizer import DeviceCost
+        import jax.numpy as jnp
+
+        flat = DeviceCost(lambda s: 1.0,
+                          lambda psi, n: jnp.float32(1.0), key=("flat",))
+        opt = CircuitOptimizer(cfg, flat)
+        report = opt.detect_barren_plateau(n_samples=5, seed=1)
+        assert report["is_barren"]
+
+    def test_layered_analysis_shape(self):
+        cfg = ParameterizedCircuitConfig.auto_detect(ansatz(2, 2))
+        opt = CircuitOptimizer(cfg, CostFunction.z_expectation(0))
+        bp = opt.detect_barren_plateau_layered(n_samples=5, seed=3)
+        assert len(bp.param_layer_map) == cfg.num_params
+        assert len(bp.per_layer_mean_variance) == len(bp.per_layer_variance)
+        assert len(bp.per_qubit_variance) >= 2
+        assert bp.threshold == 1e-4
