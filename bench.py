@@ -1,0 +1,188 @@
+"""Benchmark: random brickwork circuit, TPU engine vs reference NumPy engine.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: n=16 (the reference's max qubit count), depth-40 brickwork
+(alternating random-Ry columns and CNOT brick columns) — identical circuit
+dict fed to both engines. ``value`` is this engine's sustained gate-layers
+per second; ``vs_baseline`` is the wall-clock speedup over the reference's
+pure-NumPy engine (``/root/reference``) running the same circuit on this
+host. Secondary diagnostics (larger-n throughput, noisy trajectories/sec)
+go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+N_QUBITS = 16
+DEPTH = 40
+SEED = 42
+
+
+def build_circuit_dict(n: int, depth: int, seed: int) -> dict:
+    rng = np.random.default_rng(seed)
+    gates = []
+    for col in range(depth):
+        if col % 2 == 0:
+            for q in range(n):
+                gates.append({"name": "Ry", "targets": [q],
+                              "params": [float(rng.uniform(0, 2 * np.pi))],
+                              "column": col})
+        else:
+            offset = (col // 2) % 2
+            for q in range(offset, n - 1, 2):
+                gates.append({"name": "CNOT", "targets": [q, q + 1],
+                              "params": [], "column": col})
+    return {"version": "1.0", "num_qubits": n, "gates": gates}
+
+
+def bench_tpu_engine(circuit_dict: dict, repeats: int = 20) -> float:
+    """Seconds per full-circuit application, chained so every iteration's
+    output feeds the next (defeats runtime dedup/elision of repeated
+    identical dispatches — observed on the axon PJRT runtime)."""
+    import jax.numpy as jnp
+
+    from quantum_simulator_tpu.circuit import QuantumCircuit
+    from quantum_simulator_tpu.ops import program as prog
+    from quantum_simulator_tpu.ops.apply import make_basis_state
+    from quantum_simulator_tpu.config import CONFIG
+
+    circuit = QuantumCircuit.from_dict(circuit_dict)
+    program = prog.compile_circuit(circuit)
+    fn = prog.evolve_fn(program)
+    params = jnp.asarray(program.initial_params)
+    state = make_basis_state(circuit.num_qubits, 0, CONFIG.dtype)
+
+    state = fn(state, params)
+    state.block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        state = fn(state, params)
+    state.block_until_ready()
+    return (time.perf_counter() - t0) / repeats
+
+
+_REF_BENCH_SNIPPET = r"""
+import json, sys, time
+circuit_dict = json.load(open(sys.argv[1]))
+repeats = int(sys.argv[2])
+from quantum_sim.engine.circuit import QuantumCircuit
+from quantum_sim.engine.simulator import Simulator
+circuit = QuantumCircuit.from_dict(circuit_dict)
+sim = Simulator()
+sim.run(circuit, shots=0)  # warm
+t0 = time.perf_counter()
+for _ in range(repeats):
+    sim.run(circuit, shots=0)
+per_run = (time.perf_counter() - t0) / repeats
+print(json.dumps({"per_run_s": per_run}))
+"""
+
+
+def bench_reference_engine(circuit_dict: dict, repeats: int = 3
+                           ) -> float | None:
+    """Seconds per run on the reference's NumPy engine (subprocess with
+    PYTHONPATH pinned to /root/reference so its own package resolves)."""
+    ref_root = "/root/reference"
+    if not os.path.isdir(os.path.join(ref_root, "quantum_sim")):
+        return None
+    with tempfile.TemporaryDirectory() as td:
+        cpath = os.path.join(td, "circuit.json")
+        spath = os.path.join(td, "refbench.py")
+        with open(cpath, "w") as f:
+            json.dump(circuit_dict, f)
+        with open(spath, "w") as f:
+            f.write(_REF_BENCH_SNIPPET)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = ref_root
+        try:
+            out = subprocess.run(
+                [sys.executable, spath, cpath, str(repeats)],
+                capture_output=True, text=True, timeout=900,
+                cwd=td, env=env, check=True)
+            return float(json.loads(out.stdout.strip().splitlines()[-1])
+                         ["per_run_s"])
+        except Exception as e:  # pragma: no cover - baseline missing
+            print(f"reference baseline failed: {e}", file=sys.stderr)
+            return None
+
+
+def bench_secondary():
+    """Larger-scale diagnostics -> stderr."""
+    import jax.numpy as jnp
+
+    from quantum_simulator_tpu.circuit import QuantumCircuit
+    from quantum_simulator_tpu.noise import DepolarizingNoise, NoiseModel
+    from quantum_simulator_tpu.ops import program as prog
+    from quantum_simulator_tpu.simulator import Simulator
+
+    # Large-n forward throughput (beyond the reference's 16-qubit cap).
+    for n_big in (24,):
+        try:
+            cdict = build_circuit_dict(n_big, 8, SEED)
+            per_run = bench_tpu_engine(cdict, repeats=3)
+            print(f"[bench] n={n_big} depth-8 brickwork: "
+                  f"{8 / per_run:.1f} gate-layers/s "
+                  f"({per_run * 1000:.1f} ms/run)", file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] n={n_big} failed: {e}", file=sys.stderr)
+
+    # Noisy trajectory throughput.
+    try:
+        c = QuantumCircuit.from_dict(build_circuit_dict(10, 10, SEED))
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.05))
+        sim = Simulator(noise_model=nm)
+        sim.trajectory_states(c, 1024, seed=0).block_until_ready()  # warm
+        t0 = time.perf_counter()
+        states = sim.trajectory_states(c, 1024, seed=1)
+        states.block_until_ready()
+        tps = 1024 / (time.perf_counter() - t0)
+        print(f"[bench] noisy trajectories/sec (n=10 depth-10 depol): "
+              f"{tps:.0f}", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] trajectory bench failed: {e}", file=sys.stderr)
+
+
+def main():
+    circuit_dict = build_circuit_dict(N_QUBITS, DEPTH, SEED)
+    per_run = bench_tpu_engine(circuit_dict)
+    layers_per_sec = DEPTH / per_run
+    print(f"[bench] n={N_QUBITS} depth-{DEPTH}: "
+          f"{per_run * 1000:.2f} ms/run, {layers_per_sec:.1f} layers/s",
+          file=sys.stderr)
+
+    ref_per_run = bench_reference_engine(circuit_dict)
+    if ref_per_run:
+        print(f"[bench] reference NumPy engine: {ref_per_run * 1000:.1f} "
+              f"ms/run", file=sys.stderr)
+        vs_baseline = ref_per_run / per_run
+    else:
+        vs_baseline = float("nan")
+
+    bench_secondary()
+
+    print(json.dumps({
+        "metric": f"gate-layers/sec, n={N_QUBITS} depth-{DEPTH} "
+                  f"random brickwork",
+        "value": round(layers_per_sec, 2),
+        "unit": "layers/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline == vs_baseline
+        else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -243,6 +243,23 @@ def forward_body(program: CircuitProgram, params, dtype=None):
     return _forward_body(program, params, dtype or CONFIG.dtype)
 
 
+def evolve_fn(program: CircuitProgram, dtype=None) -> Callable:
+    """jitted ``f(state, params) -> state`` applying the program to a
+    PROVIDED state (rather than the circuit's initial basis state) — used
+    for chained benchmarking and for composing circuits."""
+    dtype = dtype or CONFIG.dtype
+    key = ("evolve", program.compile_key, str(dtype))
+
+    def body(state, params):
+        n = program.num_qubits
+        for op in program.ops:
+            state = apply_gate(state, program.op_matrix(op, params, dtype),
+                               op.targets, n)
+        return state
+
+    return _cache_get(key, lambda: jax.jit(body))
+
+
 def batched_forward_fn(program: CircuitProgram, dtype=None) -> Callable:
     """jitted ``f(params_batch[B, P]) -> states[B, 2^n]`` — evaluates the
     same circuit structure at many parameter points in one launch (the
