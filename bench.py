@@ -129,7 +129,7 @@ def bench_secondary():
     from quantum_simulator_tpu.simulator import Simulator
 
     # Large-n forward throughput (beyond the reference's 16-qubit cap).
-    for n_big in (24,):
+    for n_big in (20,):
         try:
             cdict = build_circuit_dict(n_big, 8, SEED)
             per_run = bench_tpu_engine(cdict, repeats=3)

@@ -1,0 +1,474 @@
+"""Fused whole-circuit Pallas kernel: the state never leaves VMEM.
+
+The XLA path pays one HBM round-trip of the full 2^n amplitude vector per
+gate. This kernel reads the state ONCE, applies the entire compiled gate
+program against VMEM-resident data, and writes it back ONCE — the
+theoretical bandwidth floor for circuit application.
+
+Data layout: complex amplitudes as planar float32 (re, im) matrices of
+shape (2^(n-7), 128). With qubit 0 = MSB, the LAST 7 qubits index the lane
+dimension and the first n-7 qubits the sublane/row dimension. Gate taxonomy:
+
+* **lane gates** (all targets in the last 7 qubits): embedded into a
+  128x128 "lane operator"; application = complex matmul on the MXU
+  (4 real (R,128)x(128,128) dots). Consecutive lane gates are COMPOSED
+  into one operator in the XLA prelude before the kernel runs.
+* **row gates** (all targets in the first n-7 qubits): 2^k x 2^k scalar
+  table; application = elementwise VPU combines of row-sliced sub-blocks.
+* **mixed gates** (row + lane targets): block decomposition — a
+  2^kr x 2^kr grid of 128x128 lane operators; application = grid of
+  complex matmuls combined across row-bit slices.
+
+The per-gate operators/scalars are built INSIDE jit from the program's
+parameter vector (XLA prelude), so parameter edits don't recompile the
+kernel. The kernel body itself is generated per circuit structure and
+cached by the program's compile key.
+
+Reference hot loop being replaced:
+``/root/reference/quantum_sim/engine/state_vector.py:41-74`` (per-gate
+``np.tensordot`` + transpose, one full state round-trip per gate).
+"""
+
+from __future__ import annotations
+
+import string
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import CONFIG
+from .. import program as prog
+
+LANE_BITS = 7
+LANES = 1 << LANE_BITS
+
+_F32 = jnp.float32
+_HI = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Plan construction (host side, static per circuit structure)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _LaneStep:
+    """One kernel step backed by lane-operator matmuls.
+
+    ``row_targets``: global qubit ids living in the row dimension (k_r of
+    them); the operator grid has 2^k_r x 2^k_r lane ops stored at
+    ``base .. base + 4^k_r`` in the stacked lane tensor.
+    """
+
+    row_targets: tuple[int, ...]
+    base: int
+
+
+@dataclass(frozen=True)
+class _RowStep:
+    """One kernel step on row qubits only: scalar-table combine."""
+
+    row_targets: tuple[int, ...]
+    scalar_base: int  # index into the (S, 2) scalar table
+
+
+@dataclass(frozen=True)
+class _FusedPlan:
+    num_qubits: int
+    steps: tuple
+    num_lane_ops: int
+    num_scalars: int
+    # (op_index_in_program, ...) metadata for the prelude builder
+    prelude: tuple
+
+
+def _split_targets(targets: tuple[int, ...], n: int):
+    row = tuple(t for t in targets if t < n - LANE_BITS)
+    lane = tuple(t for t in targets if t >= n - LANE_BITS)
+    return row, lane
+
+
+def build_plan(program: prog.CircuitProgram) -> _FusedPlan:
+    """Lower a circuit program to fused-kernel steps.
+
+    Consecutive pure-lane gates collapse into one lane operator (composed
+    in the prelude); everything else becomes its own step.
+    """
+    n = program.num_qubits
+    steps: list = []
+    prelude: list = []
+    lane_ops = 0
+    scalars = 0
+    pending_lane: list[int] = []  # program op indices to compose
+
+    def flush_lane():
+        nonlocal lane_ops
+        if pending_lane:
+            steps.append(_LaneStep(row_targets=(), base=lane_ops))
+            prelude.append(("compose_lane", tuple(pending_lane), lane_ops))
+            lane_ops += 1
+            pending_lane.clear()
+
+    for oi, op in enumerate(program.ops):
+        row, lane = _split_targets(op.targets, n)
+        if not row:
+            pending_lane.append(oi)
+            continue
+        flush_lane()
+        if not lane:
+            k = len(row)
+            steps.append(_RowStep(row_targets=row, scalar_base=scalars))
+            prelude.append(("row_scalars", oi, scalars))
+            scalars += 4**k
+        else:
+            kr = len(row)
+            grid = 1 << kr
+            steps.append(_LaneStep(row_targets=row, base=lane_ops))
+            prelude.append(("block_lane", oi, lane_ops))
+            lane_ops += grid * grid
+    flush_lane()
+
+    return _FusedPlan(num_qubits=n, steps=tuple(steps),
+                      num_lane_ops=max(1, lane_ops),
+                      num_scalars=max(1, scalars),
+                      prelude=tuple(prelude))
+
+
+# ---------------------------------------------------------------------------
+# XLA prelude: build lane operators / scalar tables from traced matrices
+# ---------------------------------------------------------------------------
+
+def _embed_lane_op(u: jnp.ndarray, lane_positions: tuple[int, ...]
+                   ) -> jnp.ndarray:
+    """Embed a 2^k x 2^k operator acting on the given lane-bit positions
+    (0 = most significant of the 7 lane bits) into a 128x128 operator."""
+    k = len(lane_positions)
+    u_t = u.reshape((2,) * (2 * k))
+    letters = string.ascii_lowercase
+    out_l = [None] * LANE_BITS
+    in_l = [None] * LANE_BITS
+    operands = [u_t]
+    specs = []
+    li = 0
+    # target bits take the operator's axes
+    u_out = []
+    u_in = []
+    for p in lane_positions:
+        out_l[p] = letters[li]
+        u_out.append(letters[li])
+        li += 1
+        in_l[p] = letters[li]
+        u_in.append(letters[li])
+        li += 1
+    specs.append("".join(u_out) + "".join(u_in))
+    eye = jnp.eye(2, dtype=u.dtype)
+    for b in range(LANE_BITS):
+        if out_l[b] is None:
+            out_l[b] = letters[li]
+            li += 1
+            in_l[b] = letters[li]
+            li += 1
+            operands.append(eye)
+            specs.append(out_l[b] + in_l[b])
+    spec = ",".join(specs) + "->" + "".join(out_l) + "".join(in_l)
+    full = jnp.einsum(spec, *operands, precision=_HI)
+    return full.reshape(LANES, LANES)
+
+
+def _ordered_gate_tensor(u: jnp.ndarray, targets: tuple[int, ...],
+                         order: list[int]) -> jnp.ndarray:
+    """Permute gate tensor axes to the given target order."""
+    k = len(targets)
+    g = u.reshape((2,) * (2 * k))
+    if order != list(range(k)):
+        perm = tuple(order) + tuple(k + i for i in order)
+        g = g.transpose(perm)
+    return g.reshape(1 << k, 1 << k)
+
+
+def build_operands(program: prog.CircuitProgram, plan: _FusedPlan, params,
+                   dtype=jnp.complex64):
+    """(lane_re, lane_im, scalars) tensors for the kernel, traced from the
+    parameter vector."""
+    n = program.num_qubits
+    lane_ops = [None] * plan.num_lane_ops
+    scalar_rows = [None] * plan.num_scalars
+
+    for item in plan.prelude:
+        kind = item[0]
+        if kind == "compose_lane":
+            _, op_indices, base = item
+            combined = None
+            for oi in op_indices:
+                op = program.ops[oi]
+                u = program.op_matrix(op, params, dtype)
+                lane_pos = tuple(t - (n - LANE_BITS) for t in op.targets)
+                full = _embed_lane_op(u, lane_pos)
+                combined = full if combined is None else full @ combined
+            lane_ops[base] = combined
+        elif kind == "row_scalars":
+            _, oi, base = item
+            op = program.ops[oi]
+            row, _ = _split_targets(op.targets, n)
+            order = sorted(range(len(op.targets)),
+                           key=lambda i: op.targets[i])
+            u = _ordered_gate_tensor(
+                program.op_matrix(op, params, dtype), op.targets, order)
+            k = len(row)
+            flat = u.reshape(-1)  # row-major (out, in)
+            for j in range(4**k):
+                scalar_rows[base + j] = jnp.stack(
+                    [jnp.real(flat[j]), jnp.imag(flat[j])])
+        elif kind == "block_lane":
+            _, oi, base = item
+            op = program.ops[oi]
+            row, lane = _split_targets(op.targets, n)
+            # order: row targets (sorted) first, then lane targets (sorted)
+            sorted_all = sorted(row) + sorted(lane)
+            order = [op.targets.index(q) for q in sorted_all]
+            u = _ordered_gate_tensor(
+                program.op_matrix(op, params, dtype), op.targets, order)
+            kr, kl = len(row), len(lane)
+            gr, gl = 1 << kr, 1 << kl
+            u4 = u.reshape(gr, gl, gr, gl)
+            lane_pos = tuple(q - (n - LANE_BITS) for q in sorted(lane))
+            for r_out in range(gr):
+                for r_in in range(gr):
+                    lane_ops[base + r_out * gr + r_in] = _embed_lane_op(
+                        u4[r_out, :, r_in, :], lane_pos)
+
+    lane_stack = jnp.stack([
+        op if op is not None else jnp.zeros((LANES, LANES), dtype)
+        for op in lane_ops
+    ])
+    scalar_stack = jnp.stack([
+        s if s is not None else jnp.zeros(2, _F32) for s in scalar_rows
+    ]).astype(_F32)
+    return (jnp.real(lane_stack).astype(_F32),
+            jnp.imag(lane_stack).astype(_F32), scalar_stack)
+
+
+# ---------------------------------------------------------------------------
+# Kernel body generation
+# ---------------------------------------------------------------------------
+
+def _row_axis_split(x, row_targets: tuple[int, ...], n: int):
+    """Reshape (R, 128) so each row-target bit is its own axis. Returns
+    (reshaped, combo_indexer) where combo_indexer(arr, combo) slices the
+    sub-block for a row-bit combination."""
+    n_row = n - LANE_BITS
+    bits = sorted(n_row - 1 - (n - LANE_BITS - 1 - (q)) for q in row_targets)
+    # Row-bit position of qubit q (qubit 0 = MSB of the row index):
+    positions = sorted(q for q in row_targets)  # qubit ids, ascending
+    shape = []
+    prev = -1
+    axis_of_bit = []
+    for q in positions:
+        seg = q - prev - 1
+        shape.append(1 << seg)
+        axis_of_bit.append(len(shape))
+        shape.append(2)
+        prev = q
+    shape.append(1 << (n_row - positions[-1] - 1))
+    shape.append(LANES)
+    xr = x.reshape(shape)
+
+    def slicer(arr, combo: tuple[int, ...]):
+        idx = [slice(None)] * len(shape)
+        for ax, b in zip(axis_of_bit, combo):
+            idx[ax] = b
+        return arr[tuple(idx)]
+
+    return xr, slicer, shape, axis_of_bit
+
+
+def _assemble(parts: dict, shape, axis_of_bit, k: int):
+    """Inverse of the slicer: stack 2^k sub-blocks back."""
+    # Recursively stack along each split axis (innermost bit last).
+    def rec(prefix: tuple[int, ...], depth: int):
+        if depth == k:
+            return parts[prefix]
+        return jnp.stack([rec(prefix + (0,), depth + 1),
+                          rec(prefix + (1,), depth + 1)],
+                         axis=axis_of_bit[depth] - depth)
+        # NOTE: after slicing, downstream axes shift left by the number of
+        # consumed split axes; stacking back restores them outer-to-inner.
+
+    return rec((), 0)
+
+
+def _complex_matmul(xre, xim, lre, lim):
+    """(..., 128) x (128, 128) complex matmul, contracting the lane dim
+    with the operator's INPUT index (operator layout [out, in])."""
+    nd = xre.ndim
+    dn = (((nd - 1,), (1,)), ((), ()))
+    mm = partial(jax.lax.dot_general, dimension_numbers=dn,
+                 preferred_element_type=_F32)
+    re = mm(xre, lre) - mm(xim, lim)
+    im = mm(xre, lim) + mm(xim, lre)
+    return re, im
+
+
+def make_kernel(plan: _FusedPlan) -> Callable:
+    """Generate the kernel body for a circuit plan (static unroll)."""
+    n = plan.num_qubits
+
+    def kernel(scal_ref, lane_re_ref, lane_im_ref, xre_ref, xim_ref,
+               ore_ref, oim_ref):
+        xre = xre_ref[:]
+        xim = xim_ref[:]
+
+        for step in plan.steps:
+            if isinstance(step, _LaneStep) and not step.row_targets:
+                lre = lane_re_ref[step.base]
+                lim = lane_im_ref[step.base]
+                xre, xim = _complex_matmul(xre, xim, lre, lim)
+            elif isinstance(step, _LaneStep):
+                kr = len(step.row_targets)
+                gr = 1 << kr
+                xr_re, slicer, shape, axes = _row_axis_split(
+                    xre, step.row_targets, n)
+                xr_im, _, _, _ = _row_axis_split(xim, step.row_targets, n)
+                in_re = {}
+                in_im = {}
+                for ci in range(gr):
+                    combo = tuple((ci >> (kr - 1 - j)) & 1
+                                  for j in range(kr))
+                    in_re[combo] = slicer(xr_re, combo)
+                    in_im[combo] = slicer(xr_im, combo)
+                out_re = {}
+                out_im = {}
+                for co in range(gr):
+                    combo_o = tuple((co >> (kr - 1 - j)) & 1
+                                    for j in range(kr))
+                    acc_re = None
+                    acc_im = None
+                    for ci in range(gr):
+                        combo_i = tuple((ci >> (kr - 1 - j)) & 1
+                                        for j in range(kr))
+                        idx = step.base + co * gr + ci
+                        re_p, im_p = _complex_matmul(
+                            in_re[combo_i], in_im[combo_i],
+                            lane_re_ref[idx], lane_im_ref[idx])
+                        acc_re = re_p if acc_re is None else acc_re + re_p
+                        acc_im = im_p if acc_im is None else acc_im + im_p
+                    out_re[combo_o] = acc_re
+                    out_im[combo_o] = acc_im
+                xre = _assemble(out_re, shape, axes, kr).reshape(xre.shape)
+                xim = _assemble(out_im, shape, axes, kr).reshape(xim.shape)
+            else:  # _RowStep
+                kr = len(step.row_targets)
+                gr = 1 << kr
+                xr_re, slicer, shape, axes = _row_axis_split(
+                    xre, step.row_targets, n)
+                xr_im, _, _, _ = _row_axis_split(xim, step.row_targets, n)
+                in_re = {}
+                in_im = {}
+                for ci in range(gr):
+                    combo = tuple((ci >> (kr - 1 - j)) & 1
+                                  for j in range(kr))
+                    in_re[combo] = slicer(xr_re, combo)
+                    in_im[combo] = slicer(xr_im, combo)
+                out_re = {}
+                out_im = {}
+                for co in range(gr):
+                    combo_o = tuple((co >> (kr - 1 - j)) & 1
+                                    for j in range(kr))
+                    acc_re = None
+                    acc_im = None
+                    for ci in range(gr):
+                        combo_i = tuple((ci >> (kr - 1 - j)) & 1
+                                        for j in range(kr))
+                        srow = step.scalar_base + co * gr + ci
+                        gre = scal_ref[srow, 0]
+                        gim = scal_ref[srow, 1]
+                        re_p = gre * in_re[combo_i] - gim * in_im[combo_i]
+                        im_p = gre * in_im[combo_i] + gim * in_re[combo_i]
+                        acc_re = re_p if acc_re is None else acc_re + re_p
+                        acc_im = im_p if acc_im is None else acc_im + im_p
+                    out_re[combo_o] = acc_re
+                    out_im[combo_o] = acc_im
+                xre = _assemble(out_re, shape, axes, kr).reshape(xre.shape)
+                xim = _assemble(out_im, shape, axes, kr).reshape(xim.shape)
+
+        ore_ref[:] = xre
+        oim_ref[:] = xim
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+def supports(program: prog.CircuitProgram) -> bool:
+    n = program.num_qubits
+    if n < LANE_BITS + 1 or n > CONFIG.pallas_max_qubits:
+        return False
+    # Every gate must have at most 2 row targets (3-qubit gates entirely in
+    # the lane region are fine).
+    for op in program.ops:
+        row, lane = _split_targets(op.targets, n)
+        if len(row) > 2:
+            return False
+    return True
+
+
+_FUSED_CACHE: dict[tuple, Callable] = {}
+
+
+def fused_forward_fn(program: prog.CircuitProgram, dtype=None,
+                     interpret: bool = False) -> Callable:
+    """jitted ``f(params) -> complex state (2^n,)`` running the whole
+    circuit inside one Pallas kernel."""
+    dtype = dtype or CONFIG.dtype
+    key = ("fused", program.compile_key, str(dtype), interpret)
+    cached = _FUSED_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    plan = build_plan(program)
+    kernel = make_kernel(plan)
+    n = program.num_qubits
+    rows = 1 << (n - LANE_BITS)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((rows, LANES), _F32),
+                   jax.ShapeDtypeStruct((rows, LANES), _F32)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY
+                         if plan.num_lane_ops * LANES * LANES * 8
+                         > 6 * 2**20 else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY
+                         if plan.num_lane_ops * LANES * LANES * 8
+                         > 6 * 2**20 else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )
+
+    def f(params):
+        lane_re, lane_im, scalars = build_operands(program, plan, params,
+                                                   dtype)
+        init = jnp.zeros((rows, LANES), _F32)
+        r0, c0 = divmod(program.initial_index, LANES)
+        xre = init.at[r0, c0].set(1.0)
+        xim = init
+        ore, oim = call(scalars, lane_re, lane_im, xre, xim)
+        return (ore + 1j * oim).reshape(-1).astype(dtype)
+
+    fn = jax.jit(f)
+    if len(_FUSED_CACHE) > 32:
+        _FUSED_CACHE.pop(next(iter(_FUSED_CACHE)))
+    _FUSED_CACHE[key] = fn
+    return fn
