@@ -209,7 +209,8 @@ def build_operands(program: prog.CircuitProgram, plan: _FusedPlan, params,
                 u = program.op_matrix(op, params, dtype)
                 lane_pos = tuple(t - (n - LANE_BITS) for t in op.targets)
                 full = _embed_lane_op(u, lane_pos)
-                combined = full if combined is None else full @ combined
+                combined = full if combined is None else jnp.matmul(
+                    full, combined, precision=_HI)
             lane_ops[base] = combined
         elif kind == "row_scalars":
             _, oi, base = item
@@ -308,25 +309,107 @@ def _complex_matmul(xre, xim, lre, lim):
     nd = xre.ndim
     dn = (((nd - 1,), (1,)), ((), ()))
     mm = partial(jax.lax.dot_general, dimension_numbers=dn,
-                 preferred_element_type=_F32)
+                 preferred_element_type=_F32, precision=_HI)
     re = mm(xre, lre) - mm(xim, lim)
     im = mm(xre, lim) + mm(xim, lre)
     return re, im
 
 
-def make_kernel(plan: _FusedPlan) -> Callable:
+def _lane_consumption_order(plan: _FusedPlan) -> list[int]:
+    """Lane-op indices in the order the kernel consumes them."""
+    seq: list[int] = []
+    for step in plan.steps:
+        if isinstance(step, _LaneStep):
+            gr = 1 << len(step.row_targets)
+            seq.extend(step.base + j for j in range(gr * gr))
+    return seq
+
+
+class _LaneStreamer:
+    """Double-buffered HBM->VMEM streaming of lane operators.
+
+    The consumption order is static, so each fetch starts the DMA for the
+    NEXT operator while the current one is being used (classic two-slot
+    pipeline; see the Pallas guide's double-buffering pattern).
+    """
+
+    def __init__(self, lane_re_ref, lane_im_ref, scratch_re, scratch_im,
+                 sems, seq: list[int]):
+        self.re_ref = lane_re_ref
+        self.im_ref = lane_im_ref
+        self.sre = scratch_re
+        self.sim = scratch_im
+        self.sems = sems
+        self.seq = seq
+        self.pos = 0
+        if seq:
+            self._start(0)
+
+    def _start(self, i: int):
+        slot = i % 2
+        idx = self.seq[i]
+        pltpu.make_async_copy(self.re_ref.at[idx], self.sre.at[slot],
+                              self.sems.at[slot, 0]).start()
+        pltpu.make_async_copy(self.im_ref.at[idx], self.sim.at[slot],
+                              self.sems.at[slot, 1]).start()
+
+    def _wait(self, i: int):
+        slot = i % 2
+        idx = self.seq[i]
+        pltpu.make_async_copy(self.re_ref.at[idx], self.sre.at[slot],
+                              self.sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(self.im_ref.at[idx], self.sim.at[slot],
+                              self.sems.at[slot, 1]).wait()
+
+    def fetch(self, idx: int):
+        i = self.pos
+        assert self.seq[i] == idx, "lane ops must be consumed in order"
+        self._wait(i)
+        if i + 1 < len(self.seq):
+            self._start(i + 1)
+        self.pos += 1
+        slot = i % 2
+        return self.sre[slot], self.sim[slot]
+
+
+class _LaneResident:
+    """Lane operators fully resident in VMEM: direct indexing."""
+
+    def __init__(self, lane_re_ref, lane_im_ref):
+        self.re_ref = lane_re_ref
+        self.im_ref = lane_im_ref
+
+    def fetch(self, idx: int):
+        return self.re_ref[idx], self.im_ref[idx]
+
+
+# Lane stacks above this size stream from HBM instead of living in VMEM.
+_RESIDENT_LIMIT_BYTES = 4 * 2**20
+
+
+def _lane_bytes(plan: _FusedPlan) -> int:
+    return plan.num_lane_ops * LANES * LANES * 4 * 2
+
+
+def make_kernel(plan: _FusedPlan, streaming: bool) -> Callable:
     """Generate the kernel body for a circuit plan (static unroll)."""
     n = plan.num_qubits
+    seq = _lane_consumption_order(plan)
 
     def kernel(scal_ref, lane_re_ref, lane_im_ref, xre_ref, xim_ref,
-               ore_ref, oim_ref):
+               ore_ref, oim_ref, *scratch):
+        if streaming:
+            scratch_re, scratch_im, sems = scratch
+            lanes = _LaneStreamer(lane_re_ref, lane_im_ref,
+                                  scratch_re, scratch_im, sems, seq)
+        else:
+            lanes = _LaneResident(lane_re_ref, lane_im_ref)
         xre = xre_ref[:]
         xim = xim_ref[:]
 
         for step in plan.steps:
             if isinstance(step, _LaneStep) and not step.row_targets:
-                lre = lane_re_ref[step.base]
-                lim = lane_im_ref[step.base]
+                lre, lim = lanes.fetch(step.base)
                 xre, xim = _complex_matmul(xre, xim, lre, lim)
             elif isinstance(step, _LaneStep):
                 kr = len(step.row_targets)
@@ -351,10 +434,9 @@ def make_kernel(plan: _FusedPlan) -> Callable:
                     for ci in range(gr):
                         combo_i = tuple((ci >> (kr - 1 - j)) & 1
                                         for j in range(kr))
-                        idx = step.base + co * gr + ci
+                        lre, lim = lanes.fetch(step.base + co * gr + ci)
                         re_p, im_p = _complex_matmul(
-                            in_re[combo_i], in_im[combo_i],
-                            lane_re_ref[idx], lane_im_ref[idx])
+                            in_re[combo_i], in_im[combo_i], lre, lim)
                         acc_re = re_p if acc_re is None else acc_re + re_p
                         acc_im = im_p if acc_im is None else acc_im + im_p
                     out_re[combo_o] = acc_re
@@ -433,9 +515,19 @@ def fused_forward_fn(program: prog.CircuitProgram, dtype=None,
         return cached
 
     plan = build_plan(program)
-    kernel = make_kernel(plan)
+    streaming = _lane_bytes(plan) > _RESIDENT_LIMIT_BYTES
+    kernel = make_kernel(plan, streaming)
     n = program.num_qubits
     rows = 1 << (n - LANE_BITS)
+
+    lane_space = pltpu.ANY if streaming else pltpu.VMEM
+    scratch_shapes = []
+    if streaming:
+        scratch_shapes = [
+            pltpu.VMEM((2, LANES, LANES), _F32),
+            pltpu.VMEM((2, LANES, LANES), _F32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
 
     call = pl.pallas_call(
         kernel,
@@ -443,17 +535,14 @@ def fused_forward_fn(program: prog.CircuitProgram, dtype=None,
                    jax.ShapeDtypeStruct((rows, LANES), _F32)),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY
-                         if plan.num_lane_ops * LANES * LANES * 8
-                         > 6 * 2**20 else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY
-                         if plan.num_lane_ops * LANES * LANES * 8
-                         > 6 * 2**20 else pltpu.VMEM),
+            pl.BlockSpec(memory_space=lane_space),
+            pl.BlockSpec(memory_space=lane_space),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )
 
