@@ -1,0 +1,360 @@
+"""Advanced Qt panels: debugger, comparison, optimizer, QEC (panels 9-12).
+
+Thin views over CircuitDebugger / CircuitComparator / CircuitOptimizer /
+QECSimulator; long-running work goes through worker threads so the GUI
+stays responsive (the engine's batched device launches make most runs
+near-instant anyway).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+from matplotlib.backends.backend_qtagg import FigureCanvasQTAgg
+from matplotlib.figure import Figure
+from PyQt6.QtCore import pyqtSignal
+from PyQt6.QtWidgets import (
+    QComboBox,
+    QDoubleSpinBox,
+    QHBoxLayout,
+    QLabel,
+    QPushButton,
+    QSlider,
+    QSpinBox,
+    QTableWidget,
+    QTableWidgetItem,
+    QTextBrowser,
+    QVBoxLayout,
+    QWidget,
+)
+from PyQt6.QtCore import Qt
+
+from ..comparison import CircuitComparator
+from ..debugger import CircuitDebugger
+from ..optimizer import (
+    CircuitOptimizer,
+    CostFunction,
+    ParameterizedCircuitConfig,
+)
+from ..qec import AVAILABLE_CODES, QECSimulator
+
+
+class _Canvas(QWidget):
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self._layout = QVBoxLayout(self)
+        self.controls = QHBoxLayout()
+        self._layout.addLayout(self.controls)
+        self.figure = Figure(figsize=(5, 3))
+        self.canvas = FigureCanvasQTAgg(self.figure)
+        self._layout.addWidget(self.canvas)
+
+    def axes(self):
+        self.figure.clear()
+        return self.figure.add_subplot(111)
+
+    def redraw(self):
+        self.canvas.draw_idle()
+
+
+class DebuggerPanel(_Canvas):
+    """Timeline stepping + noise heatmap + error trace (panel 9)."""
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self.debugger = CircuitDebugger()
+        self.trials_spin = QSpinBox()
+        self.trials_spin.setRange(10, 500)
+        self.trials_spin.setValue(50)
+        self.slider = QSlider(Qt.Orientation.Horizontal)
+        self.slider.valueChanged.connect(self._on_slider)
+        back = QPushButton("◀")
+        back.clicked.connect(lambda: self._step(-1))
+        fwd = QPushButton("▶")
+        fwd.clicked.connect(lambda: self._step(1))
+        self.status = QLabel("")
+        for w in (QLabel("Trials:"), self.trials_spin, back, fwd,
+                  self.status):
+            self.controls.addWidget(w)
+        self.controls.addStretch(1)
+
+    def run_debug(self, circuit, noise_model=None, seed: int = 42) -> None:
+        self.debugger.run_full_debug(circuit, noise_model, seed=seed)
+        self.slider.setMaximum(max(0, self.debugger.num_steps - 1))
+        if noise_model is not None:
+            self._attribution = self.debugger.compute_noise_attribution(
+                circuit, noise_model, n_trials=self.trials_spin.value(),
+                seed=seed)
+        else:
+            self._attribution = None
+        self._refresh()
+
+    def _step(self, direction: int) -> None:
+        if direction > 0:
+            self.debugger.step_forward()
+        else:
+            self.debugger.step_backward()
+        self.slider.setValue(self.debugger.position)
+
+    def _on_slider(self, value: int) -> None:
+        self.debugger.goto_step(value)
+        self._refresh()
+
+    def _refresh(self) -> None:
+        snap = self.debugger.current_snapshot
+        if snap is None:
+            return
+        ax = self.axes()
+        fids = [s.fidelity for s in self.debugger.snapshots]
+        cols = [s.column_index for s in self.debugger.snapshots]
+        ax.plot(cols, fids, "-o", color="#89b4fa", label="fidelity")
+        ax.axvline(snap.column_index, color="#f38ba8", alpha=0.6)
+        if self._attribution is not None:
+            pct = self._attribution.column_attribution_pct
+            ax.bar(range(len(pct)), [p / 100 for p in pct], alpha=0.3,
+                   color="#fab387", label="noise attribution")
+        ax.set_xlabel("Column")
+        ax.legend(fontsize=8)
+        self.status.setText(
+            f"col {snap.column_index}: F={snap.fidelity:.4f} "
+            f"{' '.join(snap.gate_labels)}")
+        self.redraw()
+
+
+class ComparisonPanel(QWidget):
+    """Side-by-side circuit comparison (panel 10)."""
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        layout = QVBoxLayout(self)
+        self.table = QTableWidget(0, 2)
+        self.table.setHorizontalHeaderLabels(["Metric", "Value"])
+        layout.addWidget(self.table)
+        export_btn = QPushButton("Export JSON report")
+        layout.addWidget(export_btn)
+        self._export_btn = export_btn
+        self._last = None
+        export_btn.clicked.connect(self._export)
+
+    def compare(self, circuit_a, circuit_b, shots=1024, noise_model=None,
+                seed=None) -> None:
+        result = CircuitComparator().compare(circuit_a, circuit_b,
+                                             shots=shots,
+                                             noise_model=noise_model,
+                                             seed=seed)
+        self._last = result
+        rows = [
+            ("Output fidelity", f"{result.output_fidelity:.6f}"),
+            ("Distribution TVD", f"{result.distribution_tvd:.4f}"),
+            ("KL(A||B)", f"{result.distribution_kl_ab:.4f}"),
+            ("KL(B||A)", f"{result.distribution_kl_ba:.4f}"),
+            ("Gates A / B", f"{result.metrics_a.gate_count} / "
+                            f"{result.metrics_b.gate_count}"),
+            ("Depth A / B", f"{result.metrics_a.depth} / "
+                            f"{result.metrics_b.depth}"),
+            ("2q+ gates A / B", f"{result.metrics_a.multi_qubit_gates} / "
+                                f"{result.metrics_b.multi_qubit_gates}"),
+            ("Purity A / B", f"{result.purity_a:.4f} / "
+                             f"{result.purity_b:.4f}"),
+            ("Entropy A / B", f"{result.entropy_a:.4f} / "
+                              f"{result.entropy_b:.4f}"),
+        ]
+        self.table.setRowCount(len(rows))
+        for r, (k, v) in enumerate(rows):
+            self.table.setItem(r, 0, QTableWidgetItem(k))
+            self.table.setItem(r, 1, QTableWidgetItem(v))
+
+    def _export(self) -> None:
+        if self._last is None:
+            return
+        from PyQt6.QtWidgets import QFileDialog
+
+        path, _ = QFileDialog.getSaveFileName(self, "Export report",
+                                              "comparison.json",
+                                              "JSON (*.json)")
+        if path:
+            CircuitComparator.export_report(self._last, path)
+
+
+class OptimizerPanel(_Canvas):
+    """VQE/QAOA optimization with live convergence plot (panel 11)."""
+
+    progress = pyqtSignal(int, float)
+    finished = pyqtSignal(object)
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self.cost_combo = QComboBox()
+        self.cost_combo.addItems(["z_expectation", "zz_chain",
+                                  "qaoa_maxcut"])
+        self.lr_spin = QDoubleSpinBox()
+        self.lr_spin.setRange(0.001, 2.0)
+        self.lr_spin.setValue(0.1)
+        self.iters_spin = QSpinBox()
+        self.iters_spin.setRange(1, 2000)
+        self.iters_spin.setValue(100)
+        self.grad_combo = QComboBox()
+        self.grad_combo.addItems(["autodiff", "parameter_shift",
+                                  "finite_difference"])
+        self.run_btn = QPushButton("Optimize")
+        self.plateau_btn = QPushButton("Barren Plateau")
+        for w in (QLabel("Cost:"), self.cost_combo, QLabel("LR:"),
+                  self.lr_spin, QLabel("Iters:"), self.iters_spin,
+                  QLabel("Grad:"), self.grad_combo, self.run_btn,
+                  self.plateau_btn):
+            self.controls.addWidget(w)
+        self.controls.addStretch(1)
+        self._history: list[float] = []
+        self.progress.connect(self._on_progress)
+        self.finished.connect(self._on_finished)
+        self._optimizer: CircuitOptimizer | None = None
+
+    def _cost_fn(self, circuit):
+        name = self.cost_combo.currentText()
+        n = circuit.num_qubits
+        if name == "zz_chain":
+            return CostFunction.vqe_hamiltonian(
+                [(-1.0, "ZZ", [i, i + 1]) for i in range(n - 1)])
+        if name == "qaoa_maxcut":
+            return CostFunction.qaoa_maxcut(
+                [(i, i + 1) for i in range(n - 1)])
+        return CostFunction.z_expectation(0)
+
+    def optimize(self, circuit, seed: int = 42) -> None:
+        config = ParameterizedCircuitConfig.auto_detect(circuit)
+        if config.num_params == 0:
+            self.axes().set_title("No parameterized gates in circuit")
+            self.redraw()
+            return
+        self._history = []
+        self._optimizer = CircuitOptimizer(
+            config, self._cost_fn(circuit),
+            learning_rate=self.lr_spin.value(),
+            max_iterations=self.iters_spin.value(),
+            gradient_method=self.grad_combo.currentText())
+
+        def work():
+            result = self._optimizer.run(
+                callback=lambda i, v, c: self.progress.emit(i, c),
+                seed=seed)
+            self.finished.emit(result)
+
+        threading.Thread(target=work, daemon=True).start()
+
+    def stop(self) -> None:
+        if self._optimizer is not None:
+            self._optimizer.request_stop()
+
+    def _on_progress(self, i: int, cost: float) -> None:
+        self._history.append(cost)
+        if i % 5 == 0:
+            self._plot()
+
+    def _on_finished(self, result) -> None:
+        self._plot()
+        ax = self.figure.gca()
+        ax.set_title(f"optimal cost = {result.optimal_cost:.6f} "
+                     f"({result.iterations} iters, "
+                     f"converged={result.converged})", fontsize=9)
+        self.redraw()
+
+    def _plot(self) -> None:
+        ax = self.axes()
+        ax.plot(self._history, color="#89b4fa")
+        ax.set_xlabel("Iteration")
+        ax.set_ylabel("Cost")
+        self.redraw()
+
+    def show_plateau(self, circuit, seed: int = 42) -> None:
+        config = ParameterizedCircuitConfig.auto_detect(circuit)
+        if config.num_params == 0:
+            return
+        opt = CircuitOptimizer(config, self._cost_fn(circuit))
+        bp = opt.detect_barren_plateau_layered(n_samples=25, seed=seed)
+        ax = self.axes()
+        layers = [d[0] for d in bp.depth_scaling]
+        variances = [d[1] for d in bp.depth_scaling]
+        ax.semilogy(layers, variances, "-o", color="#fab387")
+        ax.axhline(bp.threshold, ls="--", color="#f38ba8")
+        ax.set_xlabel("Layer")
+        ax.set_ylabel("Gradient variance")
+        ax.set_title(f"barren={bp.overall_is_barren} "
+                     f"(mean var {bp.overall_mean_variance:.2e})",
+                     fontsize=9)
+        self.redraw()
+
+
+class QECPanel(_Canvas):
+    """QEC cycle + threshold curves (panel 12)."""
+
+    sweep_done = pyqtSignal(object)
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self.code_combo = QComboBox()
+        self.code_combo.addItems(list(AVAILABLE_CODES))
+        self.noise_combo = QComboBox()
+        self.noise_combo.addItems(["bit_flip", "phase_flip",
+                                   "depolarizing"])
+        self.p_spin = QDoubleSpinBox()
+        self.p_spin.setRange(0.0, 0.5)
+        self.p_spin.setSingleStep(0.01)
+        self.p_spin.setValue(0.1)
+        self.logical_combo = QComboBox()
+        self.logical_combo.addItems(["|0>_L", "|1>_L"])
+        cycle_btn = QPushButton("Run Cycle")
+        cycle_btn.clicked.connect(self.run_cycle)
+        sweep_btn = QPushButton("Threshold Sweep")
+        sweep_btn.clicked.connect(self.run_sweep)
+        self.status = QLabel("")
+        for w in (QLabel("Code:"), self.code_combo, QLabel("Noise:"),
+                  self.noise_combo, QLabel("p:"), self.p_spin,
+                  self.logical_combo, cycle_btn, sweep_btn, self.status):
+            self.controls.addWidget(w)
+        self.controls.addStretch(1)
+        self.sweep_done.connect(self._plot_sweep)
+
+    def _sim(self) -> QECSimulator:
+        return QECSimulator(AVAILABLE_CODES[self.code_combo.currentText()]())
+
+    def run_cycle(self) -> None:
+        logical = self.logical_combo.currentIndex()
+        result = self._sim().run_cycle(
+            logical, self.noise_combo.currentText(), self.p_spin.value(),
+            seed=42)
+        self.status.setText(
+            f"syndrome={result.syndrome} corr={result.correction_applied} "
+            f"F={result.fidelity_after:.4f} <Z_L>="
+            f"{result.logical_z_expectation:+.3f}")
+        ax = self.axes()
+        ax.bar(["before", "after"],
+               [result.fidelity_before, result.fidelity_after],
+               color=["#f38ba8", "#a6e3a1"])
+        ax.set_ylabel("Fidelity vs ideal codeword")
+        self.redraw()
+
+    def run_sweep(self) -> None:
+        sim = self._sim()
+        noise = self.noise_combo.currentText()
+
+        def work():
+            points = sim.threshold_sweep(
+                np.linspace(0.001, 0.3, 15).tolist(), n_trials=100,
+                noise_type=noise, seed=42)
+            self.sweep_done.emit(points)
+
+        threading.Thread(target=work, daemon=True).start()
+
+    def _plot_sweep(self, points) -> None:
+        ax = self.axes()
+        ps = [p.physical_rate for p in points]
+        ax.plot(ps, [p.logical_rate for p in points], "-o",
+                label="logical (fidelity)", color="#89b4fa")
+        ax.plot(ps, [1 - p.decoder_success_rate for p in points], "-s",
+                label="logical (Z_L sign)", color="#fab387")
+        ax.plot(ps, ps, "--", color="gray", label="no correction")
+        ax.set_xlabel("Physical error rate")
+        ax.set_ylabel("Logical error rate")
+        ax.legend(fontsize=8)
+        self.redraw()

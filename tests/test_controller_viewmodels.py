@@ -1,0 +1,252 @@
+"""Controller layer (undo/redo, async runs) and panel view-models."""
+
+import time
+
+import numpy as np
+import pytest
+
+from quantum_simulator_tpu import (
+    DepolarizingNoise,
+    GateInstance,
+    MeasurementBasis,
+    NoiseModel,
+    QuantumCircuit,
+    Simulator,
+    StateVector,
+)
+from quantum_simulator_tpu.controller import (
+    CircuitController,
+    SimulationController,
+)
+from quantum_simulator_tpu.gates import CNOT_MATRIX, H_MATRIX
+from quantum_simulator_tpu.reference import ReferenceManager
+from quantum_simulator_tpu.viewmodels import (
+    AnalysisDashboardModel,
+    BlochModel,
+    DensityMatrixModel,
+    EntanglementGraphModel,
+    EntropyEvolutionModel,
+    FidelitySweepModel,
+    HistogramModel,
+    ResourceMonitorModel,
+    StateVectorModel,
+    identify_bloch_state,
+)
+
+
+def bell_state():
+    sv = StateVector(2)
+    sv.apply_gate(H_MATRIX, [0])
+    sv.apply_gate(CNOT_MATRIX, [0, 1])
+    return sv
+
+
+def bell_circuit():
+    c = QuantumCircuit(2)
+    c.add_gate(GateInstance("H", [0], [], column=0))
+    c.add_gate(GateInstance("CNOT", [0, 1], [], column=1))
+    return c
+
+
+class TestCircuitController:
+    def test_add_undo_redo(self):
+        ctl = CircuitController(QuantumCircuit(2))
+        changes = []
+        ctl.on_circuit_changed(lambda: changes.append(1))
+        ctl.add_gate("H", [0], column=0)
+        assert ctl.circuit.gate_count() == 1
+        assert len(changes) == 1
+        ctl.undo()
+        assert ctl.circuit.gate_count() == 0
+        ctl.redo()
+        assert ctl.circuit.gate_count() == 1
+        assert ctl.can_undo() and not ctl.can_redo()
+
+    def test_move_and_params(self):
+        ctl = CircuitController(QuantumCircuit(2))
+        gate = ctl.add_gate("Rx", [0], [0.5], column=0)
+        ctl.move_gate(gate, 3, [1])
+        assert gate.column == 3 and gate.target_qubits == [1]
+        ctl.update_gate_params(gate, [1.5])
+        assert gate.params == [1.5]
+        ctl.undo()
+        assert gate.params == [0.5]
+        ctl.undo()
+        assert gate.column == 0 and gate.target_qubits == [0]
+
+    def test_set_qubit_count_undo_restores_gates(self):
+        ctl = CircuitController(QuantumCircuit(3))
+        ctl.add_gate("H", [2], column=0)
+        ctl.set_qubit_count(2)
+        assert ctl.circuit.gate_count() == 0
+        ctl.undo()
+        assert ctl.circuit.gate_count() == 1
+        assert ctl.circuit.num_qubits == 3
+
+    def test_load_template_and_clear(self):
+        ctl = CircuitController(QuantumCircuit(2))
+        ctl.load_template("ghz_state", num_qubits=3)
+        assert ctl.circuit.num_qubits == 3
+        assert ctl.circuit.gate_count() > 0
+        ctl.clear_circuit()
+        assert ctl.circuit.gate_count() == 0
+        ctl.undo()
+        assert ctl.circuit.gate_count() > 0
+        with pytest.raises(ValueError):
+            ctl.load_template("nope")
+
+    def test_unknown_gate_rejected(self):
+        ctl = CircuitController(QuantumCircuit(2))
+        with pytest.raises(KeyError):
+            ctl.add_gate("NotAGate", [0])
+
+
+class TestSimulationController:
+    def _wait(self, ctl, timeout=30.0):
+        t0 = time.time()
+        while ctl.is_running and time.time() - t0 < timeout:
+            time.sleep(0.02)
+
+    def test_full_run_callbacks(self):
+        ctl = SimulationController()
+        results = []
+        progress = []
+        ctl.on_finished = results.append
+        ctl.on_progress = progress.append
+        ctl.run_simulation(bell_circuit(), shots=100, seed=42)
+        self._wait(ctl)
+        assert len(results) == 1
+        assert sum(results[0].measurement_counts.values()) == 100
+        assert progress[-1] == 100
+
+    def test_step_by_step_callbacks(self):
+        ctl = SimulationController()
+        steps = []
+        done = []
+        ctl.on_step_updated = lambda s, col: steps.append(col)
+        ctl.on_finished = done.append
+        ctl.run_step_by_step(bell_circuit(), shots=0)
+        self._wait(ctl)
+        assert steps == [-1, 0, 1]
+        assert len(done) == 1
+
+    def test_error_callback(self):
+        ctl = SimulationController()
+        errors = []
+        ctl.on_error = errors.append
+
+        class Boom:
+            def has_channels(self):
+                raise RuntimeError("boom")
+
+        ctl.set_noise_model(Boom())
+        ctl.run_simulation(bell_circuit(), shots=10)
+        self._wait(ctl)
+        assert errors and "boom" in errors[0]
+
+
+class TestViewModels:
+    def test_statevector_rows(self):
+        rows = StateVectorModel.rows(bell_state(), nonzero_only=True)
+        assert [r.bitstring for r in rows] == ["00", "11"]
+        assert rows[0].probability == pytest.approx(0.5, abs=1e-5)
+        all_rows = StateVectorModel.rows(bell_state())
+        assert len(all_rows) == 4
+
+    def test_bloch_model(self):
+        sv = StateVector(1)
+        sv.apply_gate(H_MATRIX, [0])
+        snap = BlochModel.snapshot(sv)[0]
+        assert snap.label == "|+⟩"
+        assert snap.purity == pytest.approx(1.0, abs=1e-4)
+        # Bell state: maximally mixed qubit, no label
+        b = BlochModel.snapshot(bell_state())[0]
+        assert b.label is None
+        assert b.purity == pytest.approx(0.5, abs=1e-4)
+        assert identify_bloch_state(0, 0, -1) == "|1⟩"
+        # trajectory recording
+        model = BlochModel()
+        model.record_step(sv)
+        model.record_step(sv)
+        assert len(model.trajectory(0)) == 2
+
+    def test_histogram(self):
+        bars = HistogramModel.from_state(bell_state(), 1000, seed=42)
+        assert {b for b, _, _ in bars} == {"00", "11"}
+        assert sum(c for _, c, _ in bars) == 1000
+        x_bars = HistogramModel.from_state(
+            bell_state(), 100, basis=MeasurementBasis.X, seed=1)
+        assert sum(c for _, c, _ in x_bars) == 100
+
+    def test_density_matrix_model(self):
+        view = DensityMatrixModel.from_state(bell_state())
+        assert view.real.shape == (4, 4)
+        assert view.purity == pytest.approx(1.0, abs=1e-4)
+        # ensemble with cache
+        model = DensityMatrixModel()
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.2))
+        v1 = model.ensemble(bell_circuit(), nm, n_trials=20, seed=1)
+        v2 = model.ensemble(bell_circuit(), nm, n_trials=20, seed=1)
+        assert v1 is v2  # cached
+        assert v1.purity < 0.999
+
+    def test_density_truncation(self):
+        sv = StateVector(9)
+        view = DensityMatrixModel.from_state(sv)
+        assert view.truncated
+
+    def test_entanglement_graph(self):
+        g = EntanglementGraphModel.build(bell_state())
+        assert len(g.positions) == 2
+        assert len(g.edges) == 1
+        i, j, w = g.edges[0]
+        assert (i, j) == (0, 1) and w == pytest.approx(2.0, abs=1e-4)
+        g2 = EntanglementGraphModel.build(bell_state(), metric="concurrence")
+        assert g2.edges[0][2] == pytest.approx(1.0, abs=1e-4)
+
+    def test_entropy_evolution(self):
+        model = EntropyEvolutionModel(epsilon=0.1)
+        sim = Simulator()
+        events_all = []
+        for state, col in sim.run_step_by_step(bell_circuit()):
+            events_all += model.record_step(state, col)
+        assert len(model.steps) == 3
+        assert model.per_qubit[-1][0] == pytest.approx(1.0, abs=1e-4)
+        assert model.bipartite[-1] == pytest.approx(1.0, abs=1e-4)
+        assert any(e.event_type.value == "creation" for e in events_all)
+
+    def test_fidelity_sweep(self):
+        points = FidelitySweepModel.sweep(bell_circuit(), [0.0, 0.3],
+                                          trials=10, seed=42)
+        assert points[0].fidelity == 1.0
+        assert points[1].fidelity < 0.95
+
+    def test_analysis_dashboard(self):
+        mgr = ReferenceManager()
+        state = bell_state()
+        mgr.store(state)
+        dash = AnalysisDashboardModel.build(state, mgr)
+        assert dash.purity == pytest.approx(1.0, abs=1e-4)
+        assert dash.nonzero_amplitudes == 2
+        assert dash.fidelity_to_reference == pytest.approx(1.0, abs=1e-5)
+        assert not dash.is_separable
+        assert dash.pairwise_concurrence["q0-q1"] == pytest.approx(
+            1.0, abs=1e-4)
+        assert dash.per_qubit_pauli["q0"]["Z"] == pytest.approx(
+            0.0, abs=1e-5)
+        # product state is separable
+        dash2 = AnalysisDashboardModel.build(StateVector(2))
+        assert dash2.is_separable
+
+    def test_resource_monitor(self):
+        model = ResourceMonitorModel()
+        s = model.sample()
+        assert s is None or s.rss_bytes > 0
+        model.record_simulation("bell", 2, 0.01)
+        assert model.timings[0].num_qubits == 2
+        table = ResourceMonitorModel.comparison_table()
+        sv_row, dm_row = table
+        assert sv_row["max_qubits"] > dm_row["max_qubits"]
+        assert ResourceMonitorModel.max_qubits_for_ram(
+            16 * 1024**3, "sv") == 30  # complex64 on a 16 GiB chip
