@@ -1,0 +1,23 @@
+"""Model zoo: variational ansätze and Hamiltonian builders."""
+
+from .ansatz import (
+    brickwork_circuit,
+    hardware_efficient_ansatz,
+    qaoa_maxcut_ansatz,
+)
+from .hamiltonians import (
+    heisenberg_chain,
+    maxcut_edges_ring,
+    tfim_chain,
+    zz_chain,
+)
+
+__all__ = [
+    "brickwork_circuit",
+    "hardware_efficient_ansatz",
+    "heisenberg_chain",
+    "maxcut_edges_ring",
+    "qaoa_maxcut_ansatz",
+    "tfim_chain",
+    "zz_chain",
+]

@@ -391,9 +391,55 @@ def _lane_bytes(plan: _FusedPlan) -> int:
     return plan.num_lane_ops * LANES * LANES * 4 * 2
 
 
+def _execute_plan(plan: _FusedPlan, lanes, scal_get, xre, xim):
+    """Run every plan step against (xre, xim). ``lanes.fetch(i)`` yields
+    the i-th lane operator planes; ``scal_get(i)`` a (re, im) scalar pair.
+    Shared by the Pallas kernel and the pure-XLA executor."""
+    n = plan.num_qubits
+
+    def combos(k):
+        return [tuple((c >> (k - 1 - j)) & 1 for j in range(k))
+                for c in range(1 << k)]
+
+    for step in plan.steps:
+        if isinstance(step, _LaneStep) and not step.row_targets:
+            lre, lim = lanes.fetch(step.base)
+            xre, xim = _complex_matmul(xre, xim, lre, lim)
+            continue
+
+        kr = len(step.row_targets)
+        gr = 1 << kr
+        xr_re, slicer, shape, axes = _row_axis_split(xre, step.row_targets,
+                                                     n)
+        xr_im, _, _, _ = _row_axis_split(xim, step.row_targets, n)
+        cs = combos(kr)
+        in_re = {c: slicer(xr_re, c) for c in cs}
+        in_im = {c: slicer(xr_im, c) for c in cs}
+        out_re = {}
+        out_im = {}
+        for co, combo_o in enumerate(cs):
+            acc_re = None
+            acc_im = None
+            for ci, combo_i in enumerate(cs):
+                if isinstance(step, _LaneStep):
+                    lre, lim = lanes.fetch(step.base + co * gr + ci)
+                    re_p, im_p = _complex_matmul(
+                        in_re[combo_i], in_im[combo_i], lre, lim)
+                else:
+                    gre, gim = scal_get(step.scalar_base + co * gr + ci)
+                    re_p = gre * in_re[combo_i] - gim * in_im[combo_i]
+                    im_p = gre * in_im[combo_i] + gim * in_re[combo_i]
+                acc_re = re_p if acc_re is None else acc_re + re_p
+                acc_im = im_p if acc_im is None else acc_im + im_p
+            out_re[combo_o] = acc_re
+            out_im[combo_o] = acc_im
+        xre = _assemble(out_re, shape, axes, kr).reshape(xre.shape)
+        xim = _assemble(out_im, shape, axes, kr).reshape(xim.shape)
+    return xre, xim
+
+
 def make_kernel(plan: _FusedPlan, streaming: bool) -> Callable:
     """Generate the kernel body for a circuit plan (static unroll)."""
-    n = plan.num_qubits
     seq = _lane_consumption_order(plan)
 
     def kernel(scal_ref, lane_re_ref, lane_im_ref, xre_ref, xim_ref,
@@ -404,80 +450,9 @@ def make_kernel(plan: _FusedPlan, streaming: bool) -> Callable:
                                   scratch_re, scratch_im, sems, seq)
         else:
             lanes = _LaneResident(lane_re_ref, lane_im_ref)
-        xre = xre_ref[:]
-        xim = xim_ref[:]
-
-        for step in plan.steps:
-            if isinstance(step, _LaneStep) and not step.row_targets:
-                lre, lim = lanes.fetch(step.base)
-                xre, xim = _complex_matmul(xre, xim, lre, lim)
-            elif isinstance(step, _LaneStep):
-                kr = len(step.row_targets)
-                gr = 1 << kr
-                xr_re, slicer, shape, axes = _row_axis_split(
-                    xre, step.row_targets, n)
-                xr_im, _, _, _ = _row_axis_split(xim, step.row_targets, n)
-                in_re = {}
-                in_im = {}
-                for ci in range(gr):
-                    combo = tuple((ci >> (kr - 1 - j)) & 1
-                                  for j in range(kr))
-                    in_re[combo] = slicer(xr_re, combo)
-                    in_im[combo] = slicer(xr_im, combo)
-                out_re = {}
-                out_im = {}
-                for co in range(gr):
-                    combo_o = tuple((co >> (kr - 1 - j)) & 1
-                                    for j in range(kr))
-                    acc_re = None
-                    acc_im = None
-                    for ci in range(gr):
-                        combo_i = tuple((ci >> (kr - 1 - j)) & 1
-                                        for j in range(kr))
-                        lre, lim = lanes.fetch(step.base + co * gr + ci)
-                        re_p, im_p = _complex_matmul(
-                            in_re[combo_i], in_im[combo_i], lre, lim)
-                        acc_re = re_p if acc_re is None else acc_re + re_p
-                        acc_im = im_p if acc_im is None else acc_im + im_p
-                    out_re[combo_o] = acc_re
-                    out_im[combo_o] = acc_im
-                xre = _assemble(out_re, shape, axes, kr).reshape(xre.shape)
-                xim = _assemble(out_im, shape, axes, kr).reshape(xim.shape)
-            else:  # _RowStep
-                kr = len(step.row_targets)
-                gr = 1 << kr
-                xr_re, slicer, shape, axes = _row_axis_split(
-                    xre, step.row_targets, n)
-                xr_im, _, _, _ = _row_axis_split(xim, step.row_targets, n)
-                in_re = {}
-                in_im = {}
-                for ci in range(gr):
-                    combo = tuple((ci >> (kr - 1 - j)) & 1
-                                  for j in range(kr))
-                    in_re[combo] = slicer(xr_re, combo)
-                    in_im[combo] = slicer(xr_im, combo)
-                out_re = {}
-                out_im = {}
-                for co in range(gr):
-                    combo_o = tuple((co >> (kr - 1 - j)) & 1
-                                    for j in range(kr))
-                    acc_re = None
-                    acc_im = None
-                    for ci in range(gr):
-                        combo_i = tuple((ci >> (kr - 1 - j)) & 1
-                                        for j in range(kr))
-                        srow = step.scalar_base + co * gr + ci
-                        gre = scal_ref[srow, 0]
-                        gim = scal_ref[srow, 1]
-                        re_p = gre * in_re[combo_i] - gim * in_im[combo_i]
-                        im_p = gre * in_im[combo_i] + gim * in_re[combo_i]
-                        acc_re = re_p if acc_re is None else acc_re + re_p
-                        acc_im = im_p if acc_im is None else acc_im + im_p
-                    out_re[combo_o] = acc_re
-                    out_im[combo_o] = acc_im
-                xre = _assemble(out_re, shape, axes, kr).reshape(xre.shape)
-                xim = _assemble(out_im, shape, axes, kr).reshape(xim.shape)
-
+        xre, xim = _execute_plan(
+            plan, lanes, lambda i: (scal_ref[i, 0], scal_ref[i, 1]),
+            xre_ref[:], xim_ref[:])
         ore_ref[:] = xre
         oim_ref[:] = xim
 
@@ -502,6 +477,47 @@ def supports(program: prog.CircuitProgram) -> bool:
 
 
 _FUSED_CACHE: dict[tuple, Callable] = {}
+
+
+def plan_forward_fn(program: prog.CircuitProgram, dtype=None) -> Callable:
+    """jitted ``f(params) -> complex state`` executing the fused PLAN with
+    plain XLA ops (no Pallas): lane gates become uniform (R,128)x(128,128)
+    dots, row gates elementwise combines. Compiles far faster than the
+    per-gate einsum program at large n (uniform dot shapes, and dots are
+    fusion barriers so XLA cannot build pathological mega-fusions) while
+    doing strictly less memory traffic per step."""
+    dtype = dtype or CONFIG.dtype
+    key = ("plan-xla", program.compile_key, str(dtype))
+    cached = _FUSED_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    plan = build_plan(program)
+    n = program.num_qubits
+    rows = 1 << (n - LANE_BITS)
+
+    class _Arrays:
+        def __init__(self, lre, lim):
+            self.lre = lre
+            self.lim = lim
+
+        def fetch(self, i):
+            return self.lre[i], self.lim[i]
+
+    def f(params):
+        lane_re, lane_im, scalars = build_operands(program, plan, params,
+                                                   dtype)
+        init = jnp.zeros((rows, LANES), _F32)
+        r0, c0 = divmod(program.initial_index, LANES)
+        xre = init.at[r0, c0].set(1.0)
+        xre, xim = _execute_plan(
+            plan, _Arrays(lane_re, lane_im),
+            lambda i: (scalars[i, 0], scalars[i, 1]), xre, init)
+        return (xre + 1j * xim).reshape(-1).astype(dtype)
+
+    fn = jax.jit(f)
+    _FUSED_CACHE[key] = fn
+    return fn
 
 
 def fused_forward_fn(program: prog.CircuitProgram, dtype=None,
