@@ -463,17 +463,23 @@ def make_kernel(plan: _FusedPlan, streaming: bool) -> Callable:
 # Public entry
 # ---------------------------------------------------------------------------
 
-def supports(program: prog.CircuitProgram) -> bool:
+def plan_supports(program: prog.CircuitProgram) -> bool:
+    """The plan decomposition handles any gate with <= 2 row targets
+    (gates fully inside the 7 lane qubits may be up to 3-qubit)."""
     n = program.num_qubits
-    if n < LANE_BITS + 1 or n > CONFIG.pallas_max_qubits:
+    if n < LANE_BITS + 1:
         return False
-    # Every gate must have at most 2 row targets (3-qubit gates entirely in
-    # the lane region are fine).
     for op in program.ops:
-        row, lane = _split_targets(op.targets, n)
+        row, _ = _split_targets(op.targets, n)
         if len(row) > 2:
             return False
     return True
+
+
+def supports(program: prog.CircuitProgram) -> bool:
+    """Whole-state-in-VMEM Pallas kernel eligibility."""
+    return (plan_supports(program)
+            and program.num_qubits <= CONFIG.pallas_max_qubits)
 
 
 _FUSED_CACHE: dict[tuple, Callable] = {}

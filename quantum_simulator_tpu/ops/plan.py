@@ -1,0 +1,403 @@
+"""Group-matmul circuit executor: the large-n XLA workhorse.
+
+The per-gate einsum program (``ops/apply.py``) moves the full 2^n state
+through HBM once per gate and compiles pathologically at n >= 20 on
+remote-compile TPU runtimes. This executor partitions the n qubits into
+ceil(n/7) groups of <= 7 bits and views the state as a tensor with one
+axis of size <= 128 per group. Then:
+
+* any run of consecutive gates confined to ONE group composes (matmul of
+  small operators) into a single <=128x128 operator, applied as ONE
+  dot_general over that axis — a whole rotation column costs ceil(n/7)
+  passes over the state instead of n;
+* a gate spanning two groups slices one target's bit (2x2 block
+  structure) and applies four embedded operators on the other group's
+  axis;
+* anything else (3 groups touched) falls back to the generic
+  segmented-einsum apply for that gate only.
+
+All matmuls share a handful of shapes, so XLA compiles quickly, and every
+pass is a large MXU contraction — bandwidth-optimal per step. Operators
+are built inside jit from the parameter vector (no recompile on edits).
+
+Complex state is carried as planar float32 (re, im) so every dot is a real
+MXU matmul with HIGHEST precision.
+"""
+
+from __future__ import annotations
+
+import string
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CONFIG
+from . import program as prog
+from .apply import apply_gate
+
+GROUP_BITS = 7
+
+_F32 = jnp.float32
+_HI = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Layout
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GroupLayout:
+    """Qubits -> tensor axes. Axis 0 is the MOST significant group (may
+    hold fewer than 7 bits); the last axis holds the 7 least significant
+    qubits. qubit 0 = MSB of the basis index (engine convention)."""
+
+    num_qubits: int
+    axis_sizes: tuple[int, ...]        # tensor shape, most significant first
+    axis_bits: tuple[int, ...]         # bits per axis
+
+    @classmethod
+    def for_qubits(cls, n: int) -> "GroupLayout":
+        bits = []
+        rem = n
+        while rem > 0:
+            take = min(GROUP_BITS, rem)
+            bits.append(take)
+            rem -= take
+        # built from least significant; reverse to MSB-first
+        bits = tuple(reversed(bits))
+        return cls(num_qubits=n, axis_sizes=tuple(1 << b for b in bits),
+                   axis_bits=bits)
+
+    def axis_of(self, qubit: int) -> int:
+        """Axis index holding this qubit."""
+        bitpos = self.num_qubits - 1 - qubit  # bit position from LSB
+        group_from_lsb = bitpos // GROUP_BITS
+        return len(self.axis_bits) - 1 - group_from_lsb
+
+    def pos_in_axis(self, qubit: int) -> int:
+        """MSB-first bit position of the qubit within its axis."""
+        bitpos = self.num_qubits - 1 - qubit
+        within = bitpos % GROUP_BITS
+        ax = self.axis_of(qubit)
+        return self.axis_bits[ax] - 1 - within
+
+
+# ---------------------------------------------------------------------------
+# Plan
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class AxisMatmulStep:
+    axis: int
+    op_index: int   # into that axis's operator stack
+
+
+@dataclass(frozen=True)
+class CrossStep:
+    """One sliced bit on ``slice_axis`` x embedded operators on ``op_axis``:
+    out_block[i] = sum_k op[i*2+k] applied to in_block[k]."""
+
+    slice_axis: int
+    slice_pos: int          # MSB-first bit position within slice_axis
+    op_axis: int
+    op_base: int            # 4 consecutive ops in op_axis's stack
+
+
+@dataclass(frozen=True)
+class GenericStep:
+    program_op: int         # fall back to segmented-einsum apply
+
+
+@dataclass(frozen=True)
+class GroupPlan:
+    layout: GroupLayout
+    steps: tuple
+    ops_per_axis: tuple[int, ...]       # stack sizes
+    prelude: tuple                       # operator-build recipe
+
+
+def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
+    layout = GroupLayout.for_qubits(program.num_qubits)
+    n_axes = len(layout.axis_sizes)
+    steps: list = []
+    prelude: list = []
+    counts = [0] * n_axes
+    pending: dict[int, list[int]] = {}  # axis -> program op indices
+
+    def flush(axis: int):
+        if pending.get(axis):
+            steps.append(AxisMatmulStep(axis=axis, op_index=counts[axis]))
+            prelude.append(("compose", axis, tuple(pending[axis]),
+                            counts[axis]))
+            counts[axis] += 1
+            pending[axis] = []
+
+    def flush_all():
+        for ax in range(n_axes):
+            flush(ax)
+
+    for oi, op in enumerate(program.ops):
+        axes = sorted({layout.axis_of(q) for q in op.targets})
+        if len(axes) == 1:
+            ax = axes[0]
+            # composing is only safe against pending ops on the SAME axis;
+            # ops on other axes commute (disjoint qubit sets), so pending
+            # stacks on other axes can stay open.
+            pending.setdefault(ax, []).append(oi)
+        elif len(axes) == 2 and len(op.targets) <= 3:
+            # pick the axis with exactly one target bit to slice
+            by_axis: dict[int, list[int]] = {}
+            for q in op.targets:
+                by_axis.setdefault(layout.axis_of(q), []).append(q)
+            lone = [ax for ax in axes if len(by_axis[ax]) == 1]
+            if not lone:
+                flush_all()
+                steps.append(GenericStep(program_op=oi))
+                continue
+            slice_axis = lone[0]
+            op_axis = axes[0] if axes[0] != slice_axis else axes[1]
+            flush(slice_axis)
+            flush(op_axis)
+            steps.append(CrossStep(
+                slice_axis=slice_axis,
+                slice_pos=layout.pos_in_axis(by_axis[slice_axis][0]),
+                op_axis=op_axis,
+                op_base=counts[op_axis]))
+            prelude.append(("cross", oi, slice_axis, op_axis,
+                            counts[op_axis]))
+            counts[op_axis] += 4
+        else:
+            flush_all()
+            steps.append(GenericStep(program_op=oi))
+
+    flush_all()
+    return GroupPlan(layout=layout, steps=tuple(steps),
+                     ops_per_axis=tuple(max(1, c) for c in counts),
+                     prelude=tuple(prelude))
+
+
+# ---------------------------------------------------------------------------
+# Operator building (inside jit, from the parameter vector)
+# ---------------------------------------------------------------------------
+
+def _embed_in_axis(u: jnp.ndarray, positions: tuple[int, ...],
+                   axis_bits: int) -> jnp.ndarray:
+    """Embed a 2^k operator acting on the given MSB-first bit positions of
+    an ``axis_bits``-bit axis into a (2^axis_bits, 2^axis_bits) operator."""
+    k = len(positions)
+    u_t = u.reshape((2,) * (2 * k))
+    letters = string.ascii_lowercase
+    out_l: list[str | None] = [None] * axis_bits
+    in_l: list[str | None] = [None] * axis_bits
+    operands = [u_t]
+    specs = []
+    li = 0
+    u_out, u_in = [], []
+    for p in positions:
+        out_l[p] = letters[li]
+        u_out.append(letters[li])
+        li += 1
+        in_l[p] = letters[li]
+        u_in.append(letters[li])
+        li += 1
+    specs.append("".join(u_out) + "".join(u_in))
+    eye = jnp.eye(2, dtype=u.dtype)
+    for b in range(axis_bits):
+        if out_l[b] is None:
+            out_l[b] = letters[li]
+            li += 1
+            in_l[b] = letters[li]
+            li += 1
+            operands.append(eye)
+            specs.append(out_l[b] + in_l[b])
+    spec = ",".join(specs) + "->" + "".join(out_l) + "".join(in_l)
+    dim = 1 << axis_bits
+    return jnp.einsum(spec, *operands, precision=_HI).reshape(dim, dim)
+
+
+def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
+                         params, dtype):
+    """Per-axis operator stacks (re, im) float32, traced from params."""
+    layout = plan.layout
+    stacks: list[list] = [[None] * c for c in plan.ops_per_axis]
+
+    def gate_matrix(op, qubit_order):
+        u = program.op_matrix(op, params, dtype)
+        k = len(op.targets)
+        g = u.reshape((2,) * (2 * k))
+        order = [op.targets.index(q) for q in qubit_order]
+        if order != list(range(k)):
+            perm = tuple(order) + tuple(k + i for i in order)
+            g = g.transpose(perm)
+        return g.reshape(1 << k, 1 << k)
+
+    for item in plan.prelude:
+        if item[0] == "compose":
+            _, axis, op_indices, slot = item
+            bits = layout.axis_bits[axis]
+            combined = None
+            for oi in op_indices:
+                op = program.ops[oi]
+                qubits = sorted(op.targets,
+                                key=lambda q: layout.pos_in_axis(q))
+                u = gate_matrix(op, qubits)
+                pos = tuple(layout.pos_in_axis(q) for q in qubits)
+                full = _embed_in_axis(u, pos, bits)
+                combined = full if combined is None else jnp.matmul(
+                    full, combined, precision=_HI)
+            stacks[axis][slot] = combined
+        else:  # cross
+            _, oi, slice_axis, op_axis, base = item
+            op = program.ops[oi]
+            bits = layout.axis_bits[op_axis]
+            slice_qubits = [q for q in op.targets
+                            if layout.axis_of(q) == slice_axis]
+            op_qubits = sorted(
+                (q for q in op.targets if layout.axis_of(q) == op_axis),
+                key=lambda q: layout.pos_in_axis(q))
+            # order: sliced qubit first (MSB of gate index), then op-axis
+            # qubits by axis position
+            u = gate_matrix(op, slice_qubits + op_qubits)
+            kl = len(op_qubits)
+            gl = 1 << kl
+            u4 = u.reshape(2, gl, 2, gl)
+            pos = tuple(layout.pos_in_axis(q) for q in op_qubits)
+            for i in range(2):
+                for k in range(2):
+                    stacks[op_axis][base + i * 2 + k] = _embed_in_axis(
+                        u4[i, :, k, :], pos, bits)
+
+    out = []
+    for axis, stack in enumerate(stacks):
+        dim = layout.axis_sizes[axis]
+        filled = [s if s is not None else jnp.zeros((dim, dim), dtype)
+                  for s in stack]
+        stacked = jnp.stack(filled)
+        out.append((jnp.real(stacked).astype(_F32),
+                    jnp.imag(stacked).astype(_F32)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Execution
+# ---------------------------------------------------------------------------
+
+def _axis_matmul(xre, xim, lre, lim, axis: int, rank: int):
+    """Contract operator (S, S) with tensor axis ``axis``: out[..a..] =
+    sum_b op[a, b] x[..b..], preserving axis order."""
+    letters = string.ascii_lowercase
+    subs = list(letters[:rank])
+    in_sub = "".join(subs)
+    op_out, op_in = letters[rank], subs[axis]
+    out_subs = list(subs)
+    out_subs[axis] = op_out
+    spec = f"{op_out}{op_in},{in_sub}->{''.join(out_subs)}"
+
+    def mm(a, b):
+        return jnp.einsum(spec, a, b, precision=_HI)
+
+    re = mm(lre, xre) - mm(lim, xim)
+    im = mm(lim, xre) + mm(lre, xim)
+    return re, im
+
+
+def _split_axis_bit(shape: tuple[int, ...], axis: int, pos: int):
+    """New shape exposing bit ``pos`` (MSB-first) of ``axis`` as its own
+    dimension; returns (new_shape, bit_axis_index)."""
+    bits = shape[axis].bit_length() - 1
+    # MSB-first position ``pos`` has weight 2^(bits-1-pos) within the axis.
+    pre = 1 << pos                # bits above (more significant)
+    post = 1 << (bits - pos - 1)  # bits below
+    new_shape = shape[:axis] + (pre, 2, post) + shape[axis + 1:]
+    return new_shape, axis + 1
+
+
+def execute_group_plan(plan: GroupPlan, axis_ops, program, params, dtype,
+                       xre, xim):
+    """Run all steps. (xre, xim) are float32 tensors shaped
+    ``plan.layout.axis_sizes``."""
+    layout = plan.layout
+    rank = len(layout.axis_sizes)
+
+    for step in plan.steps:
+        if isinstance(step, AxisMatmulStep):
+            lre, lim = axis_ops[step.axis]
+            xre, xim = _axis_matmul(xre, xim, lre[step.op_index],
+                                    lim[step.op_index], step.axis, rank)
+        elif isinstance(step, CrossStep):
+            shape = tuple(layout.axis_sizes)
+            new_shape, bit_axis = _split_axis_bit(shape, step.slice_axis,
+                                                  step.slice_pos)
+            xr = xre.reshape(new_shape)
+            xi = xim.reshape(new_shape)
+            # op axis index shifts right if it comes after the split axis
+            op_axis = step.op_axis + (2 if step.op_axis > step.slice_axis
+                                      else 0)
+            sub_rank = len(new_shape)
+            lre, lim = axis_ops[step.op_axis]
+            ins = [(jnp.take(xr, k, axis=bit_axis),
+                    jnp.take(xi, k, axis=bit_axis)) for k in (0, 1)]
+            outs = []
+            for i in (0, 1):
+                acc_re = None
+                acc_im = None
+                for k in (0, 1):
+                    idx = step.op_base + i * 2 + k
+                    # after take(), axes left of bit_axis keep positions;
+                    # the bit axis is removed, shifting later axes by 1
+                    eff_axis = op_axis - (1 if op_axis > bit_axis else 0)
+                    re_p, im_p = _axis_matmul(
+                        ins[k][0], ins[k][1], lre[idx], lim[idx],
+                        eff_axis, sub_rank - 1)
+                    acc_re = re_p if acc_re is None else acc_re + re_p
+                    acc_im = im_p if acc_im is None else acc_im + im_p
+                outs.append((acc_re, acc_im))
+            xre = jnp.stack([outs[0][0], outs[1][0]],
+                            axis=bit_axis).reshape(shape)
+            xim = jnp.stack([outs[0][1], outs[1][1]],
+                            axis=bit_axis).reshape(shape)
+        else:  # GenericStep
+            op = program.ops[step.program_op]
+            u = program.op_matrix(op, params, dtype)
+            flat = (xre + 1j * xim).reshape(-1).astype(dtype)
+            flat = apply_gate(flat, u, op.targets, layout.num_qubits)
+            shaped = flat.reshape(layout.axis_sizes)
+            xre = jnp.real(shaped).astype(_F32)
+            xim = jnp.imag(shaped).astype(_F32)
+
+    return xre, xim
+
+
+_PLAN_CACHE: dict[tuple, Callable] = {}
+
+
+def group_forward_fn(program: prog.CircuitProgram, dtype=None) -> Callable:
+    """jitted ``f(params) -> complex state (2^n,)`` via the group-matmul
+    plan. Handles EVERY circuit (generic per-gate fallback for the rare
+    3-group gates)."""
+    dtype = dtype or CONFIG.dtype
+    key = ("group-plan", program.compile_key, str(dtype))
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    plan = build_group_plan(program)
+
+    def f(params):
+        axis_ops = build_group_operands(program, plan, params, dtype)
+        shape = plan.layout.axis_sizes
+        xre = jnp.zeros(shape, _F32).reshape(-1).at[
+            program.initial_index].set(1.0).reshape(shape)
+        xim = jnp.zeros(shape, _F32)
+        xre, xim = execute_group_plan(plan, axis_ops, program, params,
+                                      dtype, xre, xim)
+        return (xre + 1j * xim).reshape(-1).astype(dtype)
+
+    fn = jax.jit(f)
+    if len(_PLAN_CACHE) > 64:
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+    _PLAN_CACHE[key] = fn
+    return fn

@@ -229,9 +229,20 @@ def clear_compile_cache():
     _CACHE.clear()
 
 
+# Above this qubit count the per-gate einsum program compiles pathologically
+# on TPU (remote-compile timeouts/OOM observed at n>=20); the plan-based
+# executor (uniform 128-lane dots) takes over when the circuit qualifies.
+_PLAN_EXECUTOR_MIN_QUBITS = 19
+
+
 def forward_fn(program: CircuitProgram, dtype=None) -> Callable:
     """jitted ``f(params) -> state``."""
     dtype = dtype or CONFIG.dtype
+    if (program.num_qubits >= _PLAN_EXECUTOR_MIN_QUBITS
+            and jax.default_backend() == "tpu"):
+        from .plan import group_forward_fn
+
+        return group_forward_fn(program, dtype)
     key = ("fwd", program.compile_key, str(dtype))
     return _cache_get(key, lambda: jax.jit(
         lambda params: _forward_body(program, params, dtype)))

@@ -1,0 +1,104 @@
+"""Group-matmul plan executor vs the per-gate einsum path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantum_simulator_tpu.circuit import GateInstance, QuantumCircuit
+from quantum_simulator_tpu.models import brickwork_circuit
+from quantum_simulator_tpu.ops import program as prog
+from quantum_simulator_tpu.ops.plan import (
+    AxisMatmulStep,
+    CrossStep,
+    GenericStep,
+    GroupLayout,
+    build_group_plan,
+    group_forward_fn,
+)
+
+
+def both(circuit, atol=1e-5):
+    p = prog.compile_circuit(circuit)
+    params = jnp.asarray(p.initial_params)
+    got = np.asarray(group_forward_fn(p)(params))
+    expected = np.asarray(
+        jnp.asarray(prog._forward_body(p, params, None))
+        if False else prog.forward_fn(p)(params))
+    np.testing.assert_allclose(got, expected, atol=atol)
+    return got
+
+
+class TestGroupLayout:
+    def test_axis_partition(self):
+        lay = GroupLayout.for_qubits(16)
+        assert lay.axis_bits == (2, 7, 7)
+        assert lay.axis_sizes == (4, 128, 128)
+        assert lay.axis_of(0) == 0 and lay.axis_of(1) == 0
+        assert lay.axis_of(2) == 1 and lay.axis_of(8) == 1
+        assert lay.axis_of(9) == 2 and lay.axis_of(15) == 2
+        # MSB-first position within axis
+        assert lay.pos_in_axis(0) == 0
+        assert lay.pos_in_axis(2) == 0
+        assert lay.pos_in_axis(8) == 6
+        assert lay.pos_in_axis(15) == 6
+
+    def test_small_circuit_single_axis(self):
+        lay = GroupLayout.for_qubits(5)
+        assert lay.axis_bits == (5,)
+
+
+class TestCorrectness:
+    def test_brickwork_various_sizes(self):
+        for n in (8, 10, 12, 16):
+            both(brickwork_circuit(n, 6, seed=7))
+
+    def test_cross_group_cnot(self):
+        c = QuantumCircuit(10)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        c.add_gate(GateInstance("CNOT", [0, 9], [], column=1))
+        got = both(c)
+        probs = np.abs(got) ** 2
+        assert probs[0] == pytest.approx(0.5, abs=1e-5)
+        assert probs[(1 << 9) | 1] == pytest.approx(0.5, abs=1e-5)
+
+    def test_cross_group_toffoli_two_plus_one(self):
+        c = QuantumCircuit(10, initial_states=[1, 1] + [0] * 8)
+        c.add_gate(GateInstance("Toffoli", [0, 1, 7], [], column=0))
+        both(c)
+
+    def test_three_group_gate_falls_back(self):
+        c = QuantumCircuit(16, initial_states=[1] + [0] * 15)
+        c.add_gate(GateInstance("X", [4], [], column=0))
+        c.add_gate(GateInstance("Toffoli", [0, 4, 12], [], column=1))
+        p = prog.compile_circuit(c)
+        plan = build_group_plan(p)
+        assert any(isinstance(s, GenericStep) for s in plan.steps)
+        both(c)
+
+    def test_composition_reduces_steps(self):
+        """A column of rotations on one group = ONE matmul step."""
+        c = QuantumCircuit(8)
+        for q in range(1, 8):
+            c.add_gate(GateInstance("Ry", [q], [0.1 * q], column=0))
+        p = prog.compile_circuit(c)
+        plan = build_group_plan(p)
+        matmuls = [s for s in plan.steps if isinstance(s, AxisMatmulStep)]
+        assert len(matmuls) <= 2  # one per touched axis
+        both(c)
+
+    def test_cross_steps_built(self):
+        c = QuantumCircuit(10)
+        c.add_gate(GateInstance("CNOT", [1, 8], [], column=0))
+        p = prog.compile_circuit(c)
+        plan = build_group_plan(p)
+        assert any(isinstance(s, CrossStep) for s in plan.steps)
+
+    def test_parameterized_no_recompile(self):
+        c = QuantumCircuit(9)
+        c.add_gate(GateInstance("Ry", [0], [0.4], column=0))
+        c.add_gate(GateInstance("CNOT", [0, 8], [], column=1))
+        p = prog.compile_circuit(c)
+        fn = group_forward_fn(p)
+        out1 = np.asarray(fn(jnp.asarray([0.4], jnp.float32)))
+        out2 = np.asarray(fn(jnp.asarray([1.3], jnp.float32)))
+        assert not np.allclose(out1, out2)
