@@ -129,6 +129,37 @@ class MainWindow(QMainWindow):
         splitter.setSizes([400, 500])
         self.setCentralWidget(splitter)
 
+        # Docks: gate palette (left) + properties editor (right).
+        from PyQt6.QtWidgets import QDockWidget
+
+        from .docks import GatePalette, PropertiesPanel
+
+        self.gate_palette = GatePalette()
+        palette_dock = QDockWidget("Gates", self)
+        palette_dock.setWidget(self.gate_palette)
+        self.addDockWidget(Qt.DockWidgetArea.LeftDockWidgetArea,
+                           palette_dock)
+        self.gate_palette.gate_chosen.connect(self._select_palette_gate)
+
+        self.properties_panel = PropertiesPanel()
+        props_dock = QDockWidget("Properties", self)
+        props_dock.setWidget(self.properties_panel)
+        self.addDockWidget(Qt.DockWidgetArea.RightDockWidgetArea,
+                           props_dock)
+        self.circuit_view.gate_selected.connect(
+            lambda g: self.properties_panel.set_gate(
+                g, self.circuit_controller.circuit.num_qubits))
+        self.properties_panel.params_changed.connect(
+            self.circuit_controller.update_gate_params)
+        self.properties_panel.targets_changed.connect(
+            lambda g, t: self.circuit_controller.move_gate(g, g.column, t))
+
+    def _select_palette_gate(self, name: str) -> None:
+        combo = self.circuit_view.gate_combo
+        idx = combo.findData(name)
+        if idx >= 0:
+            combo.setCurrentIndex(idx)
+
     def _build_menus(self) -> None:
         def act(menu, text, slot, shortcut=None):
             action = QAction(text, self)
@@ -268,6 +299,7 @@ class MainWindow(QMainWindow):
 
     def _custom_gate(self) -> None:
         CustomGateDialog(self).exec()
+        self.gate_palette.refresh()
         self.circuit_view.refresh()
 
     def _run_benchmarks(self) -> None:
