@@ -91,12 +91,28 @@ class MeasurementEngine:
         bitstring = collapsed.measure_all(rng)
         return bitstring, collapsed
 
+    # Above this state size the 2^n probability vector stays on device and
+    # sampling uses jax.random.categorical (the host only sees sparse
+    # counts). Below it, host multinomial keeps NumPy-seed parity with the
+    # reference.
+    DEVICE_SAMPLING_MIN_DIM = 1 << 20
+
     @staticmethod
     def sample(state: StateVector, shots: int,
                rng: np.random.Generator | None = None) -> dict[str, int]:
         """Multinomial sampling without collapse (host RNG for seed parity
-        with the reference's ``rng.multinomial``)."""
+        with the reference's ``rng.multinomial``; device-side categorical
+        for states too large to ship to the host)."""
         rng = rng or np.random.default_rng()
+        dim = 2**state.num_qubits
+        if dim >= MeasurementEngine.DEVICE_SAMPLING_MIN_DIM:
+            from .ops.apply import probabilities as _probs
+
+            key = jax.random.PRNGKey(int(rng.integers(0, 2**63)))
+            counts_dev = sample_counts_device(_probs(state.device_data),
+                                              shots, key)
+            return counts_from_array(np.asarray(counts_dev),
+                                     state.num_qubits)
         probs = state.probabilities
         total = probs.sum()
         if total > 1e-15:

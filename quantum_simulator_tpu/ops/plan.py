@@ -372,6 +372,27 @@ def execute_group_plan(plan: GroupPlan, axis_ops, program, params, dtype,
 
 
 _PLAN_CACHE: dict[tuple, Callable] = {}
+_BUILT_PLANS: dict[tuple, GroupPlan] = {}
+
+
+def group_forward_body(program: prog.CircuitProgram, params, dtype=None):
+    """Traceable forward pass via the group plan (compose into larger
+    programs; ``group_forward_fn`` is its jitted form)."""
+    dtype = dtype or CONFIG.dtype
+    plan = _BUILT_PLANS.get(program.compile_key)
+    if plan is None:
+        plan = build_group_plan(program)
+        if len(_BUILT_PLANS) > 128:
+            _BUILT_PLANS.pop(next(iter(_BUILT_PLANS)))
+        _BUILT_PLANS[program.compile_key] = plan
+    axis_ops = build_group_operands(program, plan, params, dtype)
+    shape = plan.layout.axis_sizes
+    xre = jnp.zeros(shape, _F32).reshape(-1).at[
+        program.initial_index].set(1.0).reshape(shape)
+    xim = jnp.zeros(shape, _F32)
+    xre, xim = execute_group_plan(plan, axis_ops, program, params, dtype,
+                                  xre, xim)
+    return (xre + 1j * xim).reshape(-1).astype(dtype)
 
 
 def group_forward_fn(program: prog.CircuitProgram, dtype=None) -> Callable:
@@ -384,19 +405,7 @@ def group_forward_fn(program: prog.CircuitProgram, dtype=None) -> Callable:
     if cached is not None:
         return cached
 
-    plan = build_group_plan(program)
-
-    def f(params):
-        axis_ops = build_group_operands(program, plan, params, dtype)
-        shape = plan.layout.axis_sizes
-        xre = jnp.zeros(shape, _F32).reshape(-1).at[
-            program.initial_index].set(1.0).reshape(shape)
-        xim = jnp.zeros(shape, _F32)
-        xre, xim = execute_group_plan(plan, axis_ops, program, params,
-                                      dtype, xre, xim)
-        return (xre + 1j * xim).reshape(-1).astype(dtype)
-
-    fn = jax.jit(f)
+    fn = jax.jit(lambda params: group_forward_body(program, params, dtype))
     if len(_PLAN_CACHE) > 64:
         _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
     _PLAN_CACHE[key] = fn
