@@ -53,6 +53,12 @@ def rotate_to_basis(state: StateVector,
 
 def counts_from_array(counts_array: np.ndarray, num_qubits: int
                       ) -> dict[str, int]:
+    """Dense histogram -> {bitstring: count}; C fast path when built."""
+    from .native import counts_from_array_native
+
+    native = counts_from_array_native(counts_array, num_qubits)
+    if native is not None:
+        return native
     out: dict[str, int] = {}
     (nonzero,) = np.nonzero(counts_array)
     for i in nonzero:
