@@ -199,6 +199,123 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
 # Public API
 # ---------------------------------------------------------------------------
 
+def _build_noisy_local_body(program: prog.CircuitProgram, noise_model,
+                            g: int, n_devices: int, axis: str,
+                            dtype) -> Callable:
+    """Per-shard stochastic-trajectory body: ``(params, key) -> block``.
+
+    Kraus channels apply to LOCAL qubit positions (the layout tracker
+    moves global targets down first); branch probabilities are global
+    norms (``psum`` over the mesh), and the categorical draw uses the
+    replicated key so every shard selects the same branch.
+    """
+    n = program.num_qubits
+    n_local = n - g
+    init_dev = program.initial_index >> n_local
+    init_local = program.initial_index & ((1 << n_local) - 1)
+
+    total_draws = 0
+    for op in program.ops:
+        total_draws += len(noise_model.kraus_stacks_for_gate(op.gate_name)) \
+            * len(op.targets)
+    total_draws = max(1, total_draws)
+
+    def body(params, key):
+        my = jax.lax.axis_index(axis)
+        amp0 = jnp.where(my == init_dev,
+                         jnp.ones((), dtype=dtype), jnp.zeros((), dtype))
+        block = jnp.zeros(1 << n_local, dtype=dtype).at[init_local].set(amp0)
+        keys = jax.random.split(key, total_draws)
+        draw = 0
+
+        layout = _Layout(n)
+
+        def ensure_local(qubits: tuple[int, ...]) -> list[int]:
+            nonlocal block
+            positions = [layout.pos_of[q] for q in qubits]
+            for i, p in enumerate(positions):
+                if p < g:
+                    taken = set(layout.pos_of[q] for q in qubits)
+                    scratch = next(sp for sp in range(n - 1, g - 1, -1)
+                                   if sp not in taken)
+                    block = _swap_global_local(block, p, scratch, g,
+                                               n_local, axis, n_devices)
+                    layout.swap_positions(p, scratch)
+                    positions[i] = scratch
+            return [p - g for p in positions]
+
+        for op in program.ops:
+            local_targets = ensure_local(op.targets)
+            u = program.op_matrix(op, params, dtype)
+            block = apply_gate(block, u, tuple(local_targets), n_local)
+            for kraus_np in noise_model.kraus_stacks_for_gate(op.gate_name):
+                kraus = jnp.asarray(kraus_np, dtype=dtype)
+                for q in op.targets:
+                    (lq,) = ensure_local((q,))
+                    branches = jnp.stack([
+                        apply_gate(block, kraus[i], (lq,), n_local)
+                        for i in range(kraus.shape[0])
+                    ])
+                    local_norms = jnp.sum(jnp.abs(branches) ** 2, axis=-1)
+                    norms = jax.lax.psum(local_norms, axis)
+                    idx = jax.random.categorical(
+                        keys[draw], jnp.log(norms + 1e-30))
+                    chosen = jnp.take(branches, idx, axis=0)
+                    norm = jnp.take(norms, idx)
+                    block = chosen / jnp.sqrt(jnp.maximum(norm, 1e-30))
+                    draw += 1
+
+        # Restore identity layout (same procedure as the noiseless body).
+        swap_mat = jnp.asarray(
+            np.array([[1, 0, 0, 0], [0, 0, 1, 0],
+                      [0, 1, 0, 0], [0, 0, 0, 1]], dtype=np.complex128),
+            dtype=dtype)
+        for p_target in range(g):
+            q = layout.qubit_at[p_target]
+            if q == p_target:
+                continue
+            s = layout.pos_of[p_target]
+            if s >= g:
+                block = _swap_global_local(block, p_target, s, g,
+                                           n_local, axis, n_devices)
+                layout.swap_positions(p_target, s)
+            else:
+                taken = {s, p_target}
+                scratch = next(sp for sp in range(n - 1, g - 1, -1)
+                               if sp not in taken)
+                block = _swap_global_local(block, s, scratch, g,
+                                           n_local, axis, n_devices)
+                layout.swap_positions(s, scratch)
+                block = _swap_global_local(block, p_target, scratch, g,
+                                           n_local, axis, n_devices)
+                layout.swap_positions(p_target, scratch)
+        for p_target in range(g, n):
+            while layout.qubit_at[p_target] != p_target:
+                s = layout.pos_of[p_target]
+                block = apply_gate(block, swap_mat,
+                                   (p_target - g, s - g), n_local)
+                layout.swap_positions(p_target, s)
+        return block
+
+    return body
+
+
+def sharded_trajectory_fn(program: prog.CircuitProgram, noise_model,
+                          mesh: Mesh, dtype=None) -> Callable:
+    """jitted ``f(params, key) -> sharded noisy state`` — one stochastic
+    trajectory with every Kraus selection made consistently across the
+    mesh (global branch norms by psum, replicated draw keys)."""
+    dtype = dtype or CONFIG.dtype
+    axis = mesh.axis_names[0]
+    n_devices = mesh.shape[axis]
+    g = int(math.log2(n_devices))
+    body = _build_noisy_local_body(program, noise_model, g, n_devices,
+                                   axis, dtype)
+    fn = shard_map_compat(body, mesh=mesh, in_specs=(P(), P()),
+                          out_specs=P(axis))
+    return jax.jit(fn, out_shardings=NamedSharding(mesh, P(axis)))
+
+
 def sharded_forward_fn(program: prog.CircuitProgram, mesh: Mesh,
                        dtype=None) -> Callable:
     """jitted ``f(params) -> global sharded state (2^n,)`` over ``mesh``."""
@@ -266,6 +383,31 @@ class DistributedSimulator:
         fn = sharded_forward_fn(program, self._mesh)
         state = fn(jnp.asarray(program.initial_params))
         return DistributedStateVector(state, circuit.num_qubits, self._mesh)
+
+    def run_noisy_trajectory(self, circuit: QuantumCircuit, noise_model,
+                             seed: int | None = None
+                             ) -> DistributedStateVector:
+        """One stochastic-Kraus trajectory over the mesh."""
+        program = prog.compile_circuit(circuit)
+        fn = sharded_trajectory_fn(program, noise_model, self._mesh)
+        rng = np.random.default_rng(seed)
+        key = jax.random.PRNGKey(int(rng.integers(0, 2**63)))
+        state = fn(jnp.asarray(program.initial_params), key)
+        return DistributedStateVector(state, circuit.num_qubits, self._mesh)
+
+    def expectation_z(self, state: DistributedStateVector,
+                      qubit: int) -> float:
+        """<Z_qubit> on a sharded state without gathering it."""
+        n = state.num_qubits
+        probs = jnp.abs(state.device_data) ** 2
+        idx = jnp.arange(2**n)
+        sign = 1.0 - 2.0 * ((idx >> (n - 1 - qubit)) & 1)
+        return float(jnp.sum(probs * sign))
+
+    def fidelity(self, a: DistributedStateVector,
+                 b: DistributedStateVector) -> float:
+        """|<a|b>|^2 between two sharded states."""
+        return float(jnp.abs(jnp.vdot(a.device_data, b.device_data)) ** 2)
 
     def sample(self, state: DistributedStateVector, shots: int,
                rng: np.random.Generator | None = None) -> dict[str, int]:

@@ -145,3 +145,75 @@ class TestGradThroughCollectives:
         g = jax.grad(cost)(jnp.asarray(program.initial_params))
         # <Z0> = cos(theta) -> d/dtheta = -sin(theta)
         assert float(g[0]) == pytest.approx(-np.sin(0.4), abs=1e-4)
+
+
+class TestShardedNoise:
+    def test_noisy_trajectory_norm_and_mixing(self):
+        from quantum_simulator_tpu import DepolarizingNoise, NoiseModel
+
+        c = QuantumCircuit(5)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        for i in range(1, 5):
+            c.add_gate(GateInstance("CNOT", [0, i], [], column=i))
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.3))
+        dist = DistributedSimulator(n_devices=4)
+        ideal = dist.run(c)
+        noisy = dist.run_noisy_trajectory(c, nm, seed=7)
+        assert noisy.norm() == pytest.approx(1.0, abs=1e-4)
+        # with p=0.3 over 9 channel applications, fidelity should drop
+        fid = dist.fidelity(ideal, noisy)
+        assert fid < 0.999
+
+    def test_noisy_trajectory_zero_noise_matches_ideal(self):
+        from quantum_simulator_tpu import DepolarizingNoise, NoiseModel
+
+        c = QuantumCircuit(5)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        c.add_gate(GateInstance("CNOT", [0, 4], [], column=1))
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.0))
+        dist = DistributedSimulator(n_devices=4)
+        ideal = dist.run(c)
+        noisy = dist.run_noisy_trajectory(c, nm, seed=1)
+        assert dist.fidelity(ideal, noisy) == pytest.approx(1.0, abs=1e-4)
+
+    def test_trajectory_statistics_match_single_device(self):
+        """Mean fidelity across sharded trajectories ~ the single-device
+        batched path (same physics, different RNG streams)."""
+        from quantum_simulator_tpu import (
+            BitFlipNoise,
+            NoiseModel,
+            Simulator,
+        )
+        import jax.numpy as jnp
+
+        c = QuantumCircuit(4)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        c.add_gate(GateInstance("CNOT", [0, 3], [], column=1))
+        nm = NoiseModel()
+        nm.add_global_noise(BitFlipNoise(0.2))
+
+        dist = DistributedSimulator(n_devices=4)
+        ideal = dist.run(c)
+        fids_sharded = [
+            dist.fidelity(ideal, dist.run_noisy_trajectory(c, nm, seed=s))
+            for s in range(25)
+        ]
+
+        sim = Simulator(noise_model=nm)
+        states = sim.trajectory_states(c, 200, seed=0)
+        ideal_dev = Simulator().run(c, shots=0).final_state.device_data
+        overlaps = jnp.einsum("d,td->t", jnp.conj(ideal_dev), states)
+        fids_single = np.asarray(jnp.abs(overlaps) ** 2)
+
+        assert np.mean(fids_sharded) == pytest.approx(
+            float(fids_single.mean()), abs=0.15)
+
+    def test_expectation_z_sharded(self):
+        c = QuantumCircuit(4, initial_states=[1, 0, 0, 0])
+        c.add_gate(GateInstance("I", [0], [], column=0))
+        dist = DistributedSimulator(n_devices=4)
+        state = dist.run(c)
+        assert dist.expectation_z(state, 0) == pytest.approx(-1.0, abs=1e-5)
+        assert dist.expectation_z(state, 1) == pytest.approx(1.0, abs=1e-5)
