@@ -128,12 +128,26 @@ def bench_secondary():
     from quantum_simulator_tpu.ops import program as prog
     from quantum_simulator_tpu.simulator import Simulator
 
-    # Large-n forward throughput (beyond the reference's 16-qubit cap).
-    for n_big in (20,):
+    # Large-n forward throughput (beyond the reference's 16-qubit cap),
+    # via the group-matmul executor (the einsum program does not compile
+    # in reasonable time at n >= 20 on this runtime).
+    for n_big in (20, 24):
         try:
+            from quantum_simulator_tpu.ops.plan import group_forward_fn
+
             cdict = build_circuit_dict(n_big, 8, SEED)
-            per_run = bench_tpu_engine(cdict, repeats=3)
-            print(f"[bench] n={n_big} depth-8 brickwork: "
+            circuit = QuantumCircuit.from_dict(cdict)
+            program = prog.compile_circuit(circuit)
+            fn = group_forward_fn(program)
+            params = jnp.asarray(program.initial_params)
+            fn(params).block_until_ready()
+            t0 = time.perf_counter()
+            reps = 5
+            for i in range(reps):
+                out = fn(params + 1e-7 * i)  # distinct inputs defeat dedup
+            out.block_until_ready()
+            per_run = (time.perf_counter() - t0) / reps
+            print(f"[bench] n={n_big} depth-8 brickwork (group plan): "
                   f"{8 / per_run:.1f} gate-layers/s "
                   f"({per_run * 1000:.1f} ms/run)", file=sys.stderr)
         except Exception as e:

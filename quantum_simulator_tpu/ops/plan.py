@@ -382,6 +382,152 @@ def execute_group_plan(plan: GroupPlan, axis_ops, program, params, dtype,
     return xre, xim
 
 
+def apply_gate_grouped(xre, xim, u, targets: tuple[int, ...],
+                       layout: GroupLayout, dtype):
+    """Apply one gate to a group-layout (re, im) state pair.
+
+    Single-axis gates embed + matmul; two-axis gates with a lone bit on
+    one axis use the 2x2-block cross mechanism; anything else falls back
+    to the flat segmented-einsum apply.
+    """
+    rank = len(layout.axis_sizes)
+    axes = sorted({layout.axis_of(q) for q in targets})
+    k = len(targets)
+
+    def ordered(u, qubit_order):
+        g = u.reshape((2,) * (2 * k))
+        order = [list(targets).index(q) for q in qubit_order]
+        if order != list(range(k)):
+            perm = tuple(order) + tuple(k + i for i in order)
+            g = g.transpose(perm)
+        return g.reshape(1 << k, 1 << k)
+
+    if len(axes) == 1:
+        ax = axes[0]
+        qubits = sorted(targets, key=lambda q: layout.pos_in_axis(q))
+        full = _embed_in_axis(ordered(u, qubits),
+                              tuple(layout.pos_in_axis(q) for q in qubits),
+                              layout.axis_bits[ax])
+        return _axis_matmul(xre, xim, jnp.real(full).astype(_F32),
+                            jnp.imag(full).astype(_F32), ax, rank)
+
+    by_axis: dict[int, list[int]] = {}
+    for q in targets:
+        by_axis.setdefault(layout.axis_of(q), []).append(q)
+    lone = [ax for ax in axes if len(by_axis[ax]) == 1]
+    if len(axes) == 2 and lone:
+        slice_axis = lone[0]
+        op_axis = axes[0] if axes[0] != slice_axis else axes[1]
+        slice_q = by_axis[slice_axis][0]
+        op_qubits = sorted(by_axis[op_axis],
+                           key=lambda q: layout.pos_in_axis(q))
+        u4 = ordered(u, [slice_q] + op_qubits).reshape(
+            2, 1 << len(op_qubits), 2, 1 << len(op_qubits))
+        pos = tuple(layout.pos_in_axis(q) for q in op_qubits)
+        bits = layout.axis_bits[op_axis]
+        blocks = [[_embed_in_axis(u4[i, :, j, :], pos, bits)
+                   for j in (0, 1)] for i in (0, 1)]
+
+        shape = tuple(layout.axis_sizes)
+        new_shape, bit_axis = _split_axis_bit(
+            shape, slice_axis, layout.pos_in_axis(slice_q))
+        xr = xre.reshape(new_shape)
+        xi = xim.reshape(new_shape)
+        op_axis_shift = op_axis + (2 if op_axis > slice_axis else 0)
+        eff_axis = op_axis_shift - (1 if op_axis_shift > bit_axis else 0)
+        ins = [(jnp.take(xr, j, axis=bit_axis),
+                jnp.take(xi, j, axis=bit_axis)) for j in (0, 1)]
+        outs = []
+        for i in (0, 1):
+            acc_re = None
+            acc_im = None
+            for j in (0, 1):
+                b = blocks[i][j]
+                re_p, im_p = _axis_matmul(
+                    ins[j][0], ins[j][1],
+                    jnp.real(b).astype(_F32), jnp.imag(b).astype(_F32),
+                    eff_axis, len(new_shape) - 1)
+                acc_re = re_p if acc_re is None else acc_re + re_p
+                acc_im = im_p if acc_im is None else acc_im + im_p
+            outs.append((acc_re, acc_im))
+        xre = jnp.stack([outs[0][0], outs[1][0]],
+                        axis=bit_axis).reshape(shape)
+        xim = jnp.stack([outs[0][1], outs[1][1]],
+                        axis=bit_axis).reshape(shape)
+        return xre, xim
+
+    # Generic fallback: flat complex apply.
+    flat = (xre + 1j * xim).reshape(-1).astype(dtype)
+    flat = apply_gate(flat, u, targets, layout.num_qubits)
+    shaped = flat.reshape(layout.axis_sizes)
+    return jnp.real(shaped).astype(_F32), jnp.imag(shaped).astype(_F32)
+
+
+def group_trajectory_body(program: prog.CircuitProgram, noise_model,
+                          params, key, dtype=None,
+                          record_columns: bool = False):
+    """Stochastic-Kraus trajectory over the group layout: the large-n
+    counterpart of ``ops/program._trajectory_body`` (which rides the
+    einsum path that stops compiling around n=20)."""
+    dtype = dtype or CONFIG.dtype
+    layout = GroupLayout.for_qubits(program.num_qubits)
+    shape = layout.axis_sizes
+
+    total_draws = 0
+    for op in program.ops:
+        total_draws += len(noise_model.kraus_stacks_for_gate(op.gate_name)) \
+            * len(op.targets)
+    keys = jax.random.split(key, max(1, total_draws))
+    draw = 0
+
+    xre = jnp.zeros(shape, _F32).reshape(-1).at[
+        program.initial_index].set(1.0).reshape(shape)
+    xim = jnp.zeros(shape, _F32)
+    snapshots = []
+
+    def combine(a, b):
+        return (a + 1j * b).reshape(-1).astype(dtype)
+
+    if record_columns:
+        snapshots.append(combine(xre, xim))
+
+    op_i = 0
+    for col in range(program.num_columns):
+        while (op_i < len(program.ops)
+               and program.ops[op_i].column_index == col):
+            op = program.ops[op_i]
+            u = program.op_matrix(op, params, dtype)
+            xre, xim = apply_gate_grouped(xre, xim, u, op.targets, layout,
+                                          dtype)
+            for kraus_np in noise_model.kraus_stacks_for_gate(op.gate_name):
+                kraus = jnp.asarray(kraus_np, dtype=dtype)
+                for q in op.targets:
+                    branches = [
+                        apply_gate_grouped(xre, xim, kraus[i], (q,),
+                                           layout, dtype)
+                        for i in range(kraus.shape[0])
+                    ]
+                    bre = jnp.stack([b[0] for b in branches])
+                    bim = jnp.stack([b[1] for b in branches])
+                    norms = jnp.sum(
+                        bre.reshape(bre.shape[0], -1) ** 2
+                        + bim.reshape(bim.shape[0], -1) ** 2, axis=-1)
+                    idx = jax.random.categorical(
+                        keys[draw], jnp.log(norms + 1e-30))
+                    inv = 1.0 / jnp.sqrt(jnp.maximum(
+                        jnp.take(norms, idx), 1e-30))
+                    xre = jnp.take(bre, idx, axis=0) * inv
+                    xim = jnp.take(bim, idx, axis=0) * inv
+                    draw += 1
+            op_i += 1
+        if record_columns:
+            snapshots.append(combine(xre, xim))
+
+    if record_columns:
+        return jnp.stack(snapshots)
+    return combine(xre, xim)
+
+
 _PLAN_CACHE: dict[tuple, Callable] = {}
 _BUILT_PLANS: dict[tuple, GroupPlan] = {}
 

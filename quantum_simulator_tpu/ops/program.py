@@ -288,6 +288,11 @@ def steps_fn(program: CircuitProgram, dtype=None) -> Callable:
         lambda params: _steps_body(program, params, dtype)))
 
 
+def _use_group_path(program: CircuitProgram) -> bool:
+    return (program.num_qubits >= _PLAN_EXECUTOR_MIN_QUBITS
+            and jax.default_backend() == "tpu")
+
+
 def trajectory_fn(program: CircuitProgram, noise_model, dtype=None,
                   record_columns: bool = False) -> Callable:
     """jitted ``f(params, key) -> state`` with stochastic noise after every
@@ -295,7 +300,13 @@ def trajectory_fn(program: CircuitProgram, noise_model, dtype=None,
     dtype = dtype or CONFIG.dtype
     channels_for = noise_model.kraus_stacks_for_gate
     key = ("traj", program.compile_key, noise_model.spec_key(),
-           str(dtype), record_columns)
+           str(dtype), record_columns, _use_group_path(program))
+    if _use_group_path(program):
+        from .plan import group_trajectory_body
+
+        return _cache_get(key, lambda: jax.jit(
+            lambda params, k: group_trajectory_body(
+                program, noise_model, params, k, dtype, record_columns)))
     return _cache_get(key, lambda: jax.jit(
         lambda params, k: _trajectory_body(
             program, channels_for, params, k, dtype, record_columns)))
@@ -312,11 +323,17 @@ def batched_trajectories_fn(program: CircuitProgram, noise_model,
     dtype = dtype or CONFIG.dtype
     channels_for = noise_model.kraus_stacks_for_gate
     key = ("vtraj", program.compile_key, noise_model.spec_key(),
-           str(dtype), record_columns)
+           str(dtype), record_columns, _use_group_path(program))
 
     def build():
-        body = lambda params, k: _trajectory_body(
-            program, channels_for, params, k, dtype, record_columns)
+        if _use_group_path(program):
+            from .plan import group_trajectory_body
+
+            body = lambda params, k: group_trajectory_body(
+                program, noise_model, params, k, dtype, record_columns)
+        else:
+            body = lambda params, k: _trajectory_body(
+                program, channels_for, params, k, dtype, record_columns)
         return jax.jit(jax.vmap(body, in_axes=(None, 0)))
 
     return _cache_get(key, build)

@@ -102,3 +102,46 @@ class TestCorrectness:
         out1 = np.asarray(fn(jnp.asarray([0.4], jnp.float32)))
         out2 = np.asarray(fn(jnp.asarray([1.3], jnp.float32)))
         assert not np.allclose(out1, out2)
+
+
+class TestGroupTrajectories:
+    def test_matches_einsum_body_same_key(self):
+        import jax
+        from quantum_simulator_tpu.noise import (
+            AmplitudeDampingNoise,
+            DepolarizingNoise,
+            NoiseModel,
+        )
+        from quantum_simulator_tpu.ops.plan import group_trajectory_body
+        from quantum_simulator_tpu.ops.program import _trajectory_body
+
+        c = QuantumCircuit(9)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        for i in range(1, 9):
+            c.add_gate(GateInstance("CNOT", [0, i], [], column=i))
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.1))
+        nm.add_global_noise(AmplitudeDampingNoise(0.05))
+        p = prog.compile_circuit(c)
+        params = jnp.asarray(p.initial_params)
+        key = jax.random.PRNGKey(3)
+        got = np.asarray(group_trajectory_body(p, nm, params, key))
+        expected = np.asarray(_trajectory_body(
+            p, nm.kraus_stacks_for_gate, params, key, jnp.complex64,
+            False))
+        np.testing.assert_allclose(got, expected, atol=1e-6)
+        assert np.sum(np.abs(got) ** 2) == pytest.approx(1.0, abs=1e-5)
+
+    def test_record_columns_shapes(self):
+        import jax
+        from quantum_simulator_tpu.noise import DepolarizingNoise, NoiseModel
+        from quantum_simulator_tpu.ops.plan import group_trajectory_body
+
+        c = brickwork_circuit(8, 4, seed=1)
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.05))
+        p = prog.compile_circuit(c)
+        steps = group_trajectory_body(p, nm, jnp.asarray(p.initial_params),
+                                      jax.random.PRNGKey(0),
+                                      record_columns=True)
+        assert steps.shape == (5, 2**8)
