@@ -65,12 +65,17 @@ def bench_tpu_engine(circuit_dict: dict, repeats: int = 20) -> float:
     params = jnp.asarray(program.initial_params)
     state = make_basis_state(circuit.num_qubits, 0, CONFIG.dtype)
 
+    def sync(s):
+        # block_until_ready does not actually block on some remote PJRT
+        # runtimes (axon); a scalar host transfer is the only true sync.
+        return float(np.asarray(jnp.sum(jnp.abs(s) ** 2)))
+
     state = fn(state, params)
-    state.block_until_ready()  # compile + warm
+    sync(state)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(repeats):
         state = fn(state, params)
-    state.block_until_ready()
+    sync(state)  # chained dependencies force sequential execution
     return (time.perf_counter() - t0) / repeats
 
 
@@ -140,12 +145,18 @@ def bench_secondary():
             program = prog.compile_circuit(circuit)
             fn = group_forward_fn(program)
             params = jnp.asarray(program.initial_params)
-            fn(params).block_until_ready()
+
+            def sync(s):
+                return float(np.asarray(jnp.sum(jnp.abs(s) ** 2)))
+
+            sync(fn(params))
             t0 = time.perf_counter()
             reps = 5
-            for i in range(reps):
-                out = fn(params + 1e-7 * i)  # distinct inputs defeat dedup
-            out.block_until_ready()
+            out = fn(params)
+            for _ in range(reps - 1):
+                # chain: perturb params by a value depending on the output
+                out = fn(params + 1e-9 * jnp.real(out[0]))
+            sync(out)
             per_run = (time.perf_counter() - t0) / reps
             print(f"[bench] n={n_big} depth-8 brickwork (group plan): "
                   f"{8 / per_run:.1f} gate-layers/s "
@@ -159,10 +170,13 @@ def bench_secondary():
         nm = NoiseModel()
         nm.add_global_noise(DepolarizingNoise(0.05))
         sim = Simulator(noise_model=nm)
-        sim.trajectory_states(c, 1024, seed=0).block_until_ready()  # warm
+        def sync(s):
+            return float(np.asarray(jnp.sum(jnp.abs(s) ** 2)))
+
+        sync(sim.trajectory_states(c, 1024, seed=0))  # warm
         t0 = time.perf_counter()
         states = sim.trajectory_states(c, 1024, seed=1)
-        states.block_until_ready()
+        sync(states)
         tps = 1024 / (time.perf_counter() - t0)
         print(f"[bench] noisy trajectories/sec (n=10 depth-10 depol): "
               f"{tps:.0f}", file=sys.stderr)

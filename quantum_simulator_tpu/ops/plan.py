@@ -183,39 +183,55 @@ def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
 # Operator building (inside jit, from the parameter vector)
 # ---------------------------------------------------------------------------
 
+_EMBED_MASKS: dict[tuple, np.ndarray] = {}
+
+
+def _embed_masks(positions: tuple[int, ...], axis_bits: int) -> np.ndarray:
+    """Static (4^k, S, S) 0/1 masks such that the embedding of a 2^k
+    operator U at the given bit positions is sum_e U.flat[e] * masks[e].
+    Cached per (positions, axis_bits) — these are compile-time constants,
+    so the traced embedding is ONE small contraction per gate (keeps
+    compile time linear in circuit depth)."""
+    key = (positions, axis_bits)
+    cached = _EMBED_MASKS.get(key)
+    if cached is not None:
+        return cached
+    k = len(positions)
+    dim = 1 << axis_bits
+    masks = np.zeros((4**k, dim, dim), dtype=np.float32)
+    # For each axis index pair (row, col): identity on non-target bits;
+    # the target bits select which U entry contributes.
+    idx = np.arange(dim)
+    non_target_mask = 0
+    for b in range(axis_bits):
+        if b not in positions:
+            non_target_mask |= 1 << (axis_bits - 1 - b)
+
+    def target_code(v: int) -> int:
+        code = 0
+        for p in positions:
+            code = (code << 1) | ((v >> (axis_bits - 1 - p)) & 1)
+        return code
+
+    for row in range(dim):
+        cols = idx[(idx & non_target_mask) == (row & non_target_mask)]
+        r_code = target_code(row)
+        for col in cols:
+            e = r_code * (1 << k) + target_code(int(col))
+            masks[e, row, col] = 1.0
+    _EMBED_MASKS[key] = masks
+    return masks
+
+
 def _embed_in_axis(u: jnp.ndarray, positions: tuple[int, ...],
                    axis_bits: int) -> jnp.ndarray:
     """Embed a 2^k operator acting on the given MSB-first bit positions of
     an ``axis_bits``-bit axis into a (2^axis_bits, 2^axis_bits) operator."""
-    k = len(positions)
-    u_t = u.reshape((2,) * (2 * k))
-    letters = string.ascii_lowercase
-    out_l: list[str | None] = [None] * axis_bits
-    in_l: list[str | None] = [None] * axis_bits
-    operands = [u_t]
-    specs = []
-    li = 0
-    u_out, u_in = [], []
-    for p in positions:
-        out_l[p] = letters[li]
-        u_out.append(letters[li])
-        li += 1
-        in_l[p] = letters[li]
-        u_in.append(letters[li])
-        li += 1
-    specs.append("".join(u_out) + "".join(u_in))
-    eye = jnp.eye(2, dtype=u.dtype)
-    for b in range(axis_bits):
-        if out_l[b] is None:
-            out_l[b] = letters[li]
-            li += 1
-            in_l[b] = letters[li]
-            li += 1
-            operands.append(eye)
-            specs.append(out_l[b] + in_l[b])
-    spec = ",".join(specs) + "->" + "".join(out_l) + "".join(in_l)
-    dim = 1 << axis_bits
-    return jnp.einsum(spec, *operands, precision=_HI).reshape(dim, dim)
+    masks = jnp.asarray(_embed_masks(positions, axis_bits))
+    flat = u.reshape(-1)
+    re = jnp.tensordot(jnp.real(flat).astype(_F32), masks, axes=1)
+    im = jnp.tensordot(jnp.imag(flat).astype(_F32), masks, axes=1)
+    return (re + 1j * im).astype(u.dtype)
 
 
 def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
