@@ -331,6 +331,45 @@ def _axis_matmul(xre, xim, lre, lim, axis: int, rank: int):
     return out[tuple(idx_re)], out[tuple(idx_im)]
 
 
+def _apply_cross(xre, xim, blocks, slice_axis: int, slice_pos: int,
+                 op_axis: int, shape: tuple[int, ...]):
+    """Cross-axis gate as ONE complex matmul: the sliced bit merges with
+    the operator axis (out[i] = sum_k Op_ik in[k] is a matmul over the
+    combined 2S space). ``blocks``[i][k] are the four (S, S) operators."""
+    new_shape, bit_axis = _split_axis_bit(shape, slice_axis, slice_pos)
+    xr = xre.reshape(new_shape)
+    xi = xim.reshape(new_shape)
+    o = op_axis + (2 if op_axis > slice_axis else 0)
+
+    if bit_axis < o:
+        dest = o - 1
+    else:
+        dest = o
+    xr = jnp.moveaxis(xr, bit_axis, dest)
+    xi = jnp.moveaxis(xi, bit_axis, dest)
+    # bit now sits immediately left of the op axis at (dest, dest+1)
+    moved_shape = xr.shape
+    s = moved_shape[dest + 1]
+    merged_shape = (moved_shape[:dest] + (2 * s,)
+                    + moved_shape[dest + 2:])
+    xr = xr.reshape(merged_shape)
+    xi = xi.reshape(merged_shape)
+
+    full = jnp.concatenate([
+        jnp.concatenate([blocks[0][0], blocks[0][1]], axis=1),
+        jnp.concatenate([blocks[1][0], blocks[1][1]], axis=1),
+    ], axis=0)
+    xr, xi = _axis_matmul(xr, xi, jnp.real(full).astype(_F32),
+                          jnp.imag(full).astype(_F32), dest,
+                          len(merged_shape))
+
+    xr = xr.reshape(moved_shape)
+    xi = xi.reshape(moved_shape)
+    xr = jnp.moveaxis(xr, dest, bit_axis)
+    xi = jnp.moveaxis(xi, dest, bit_axis)
+    return xr.reshape(shape), xi.reshape(shape)
+
+
 def _split_axis_bit(shape: tuple[int, ...], axis: int, pos: int):
     """New shape exposing bit ``pos`` (MSB-first) of ``axis`` as its own
     dimension; returns (new_shape, bit_axis_index)."""
@@ -355,37 +394,13 @@ def execute_group_plan(plan: GroupPlan, axis_ops, program, params, dtype,
             xre, xim = _axis_matmul(xre, xim, lre[step.op_index],
                                     lim[step.op_index], step.axis, rank)
         elif isinstance(step, CrossStep):
-            shape = tuple(layout.axis_sizes)
-            new_shape, bit_axis = _split_axis_bit(shape, step.slice_axis,
-                                                  step.slice_pos)
-            xr = xre.reshape(new_shape)
-            xi = xim.reshape(new_shape)
-            # op axis index shifts right if it comes after the split axis
-            op_axis = step.op_axis + (2 if step.op_axis > step.slice_axis
-                                      else 0)
-            sub_rank = len(new_shape)
             lre, lim = axis_ops[step.op_axis]
-            ins = [(jnp.take(xr, k, axis=bit_axis),
-                    jnp.take(xi, k, axis=bit_axis)) for k in (0, 1)]
-            outs = []
-            for i in (0, 1):
-                acc_re = None
-                acc_im = None
-                for k in (0, 1):
-                    idx = step.op_base + i * 2 + k
-                    # after take(), axes left of bit_axis keep positions;
-                    # the bit axis is removed, shifting later axes by 1
-                    eff_axis = op_axis - (1 if op_axis > bit_axis else 0)
-                    re_p, im_p = _axis_matmul(
-                        ins[k][0], ins[k][1], lre[idx], lim[idx],
-                        eff_axis, sub_rank - 1)
-                    acc_re = re_p if acc_re is None else acc_re + re_p
-                    acc_im = im_p if acc_im is None else acc_im + im_p
-                outs.append((acc_re, acc_im))
-            xre = jnp.stack([outs[0][0], outs[1][0]],
-                            axis=bit_axis).reshape(shape)
-            xim = jnp.stack([outs[0][1], outs[1][1]],
-                            axis=bit_axis).reshape(shape)
+            blocks = [[(lre[step.op_base + i * 2 + k]
+                        + 1j * lim[step.op_base + i * 2 + k])
+                       for k in (0, 1)] for i in (0, 1)]
+            xre, xim = _apply_cross(xre, xim, blocks, step.slice_axis,
+                                    step.slice_pos, step.op_axis,
+                                    tuple(layout.axis_sizes))
         else:  # GenericStep
             op = program.ops[step.program_op]
             u = program.op_matrix(op, params, dtype)
@@ -443,34 +458,9 @@ def apply_gate_grouped(xre, xim, u, targets: tuple[int, ...],
         bits = layout.axis_bits[op_axis]
         blocks = [[_embed_in_axis(u4[i, :, j, :], pos, bits)
                    for j in (0, 1)] for i in (0, 1)]
-
-        shape = tuple(layout.axis_sizes)
-        new_shape, bit_axis = _split_axis_bit(
-            shape, slice_axis, layout.pos_in_axis(slice_q))
-        xr = xre.reshape(new_shape)
-        xi = xim.reshape(new_shape)
-        op_axis_shift = op_axis + (2 if op_axis > slice_axis else 0)
-        eff_axis = op_axis_shift - (1 if op_axis_shift > bit_axis else 0)
-        ins = [(jnp.take(xr, j, axis=bit_axis),
-                jnp.take(xi, j, axis=bit_axis)) for j in (0, 1)]
-        outs = []
-        for i in (0, 1):
-            acc_re = None
-            acc_im = None
-            for j in (0, 1):
-                b = blocks[i][j]
-                re_p, im_p = _axis_matmul(
-                    ins[j][0], ins[j][1],
-                    jnp.real(b).astype(_F32), jnp.imag(b).astype(_F32),
-                    eff_axis, len(new_shape) - 1)
-                acc_re = re_p if acc_re is None else acc_re + re_p
-                acc_im = im_p if acc_im is None else acc_im + im_p
-            outs.append((acc_re, acc_im))
-        xre = jnp.stack([outs[0][0], outs[1][0]],
-                        axis=bit_axis).reshape(shape)
-        xim = jnp.stack([outs[0][1], outs[1][1]],
-                        axis=bit_axis).reshape(shape)
-        return xre, xim
+        return _apply_cross(xre, xim, blocks, slice_axis,
+                            layout.pos_in_axis(slice_q), op_axis,
+                            tuple(layout.axis_sizes))
 
     # Generic fallback: flat complex apply.
     flat = (xre + 1j * xim).reshape(-1).astype(dtype)
