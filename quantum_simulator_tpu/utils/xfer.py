@@ -8,8 +8,19 @@ split real/imag float planes; float transfers pass straight through.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _combine_planes(re, im, dtype):
+    # Inside jit the 1j constant is program-internal — eager complex
+    # arithmetic on fresh host data can hit UNIMPLEMENTED on runtimes
+    # without complex DMA.
+    return (re + 1j * im).astype(dtype)
 
 
 def to_device_complex(array, dtype) -> jnp.ndarray:
@@ -19,7 +30,7 @@ def to_device_complex(array, dtype) -> jnp.ndarray:
     re = jnp.asarray(np.ascontiguousarray(arr.real), dtype=real_dt)
     if np.iscomplexobj(arr):
         im = jnp.asarray(np.ascontiguousarray(arr.imag), dtype=real_dt)
-        return (re + 1j * im).astype(dtype)
+        return _combine_planes(re, im, dtype)
     return re.astype(dtype)
 
 
