@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from abc import ABC, abstractmethod
 from dataclasses import dataclass
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
@@ -498,6 +498,7 @@ class QECSimulator:
     def __init__(self, code: QECCode):
         self._code = code
         self._cycle_fns: dict[str, callable] = {}
+        self._states_fns: dict[str, callable] = {}
         self._encoded_cache: dict[int, StateVector] = {}
 
     @property
@@ -534,12 +535,17 @@ class QECSimulator:
         syndrome_list = [int(b) for b in np.asarray(syndrome[0])]
         corrections = self._code.decode_syndrome(syndrome_list)
 
-        # Reconstruct the noisy state for the result object: corrected state
-        # un-corrected by re-applying the (self-inverse) correction masks.
+        # Materialize the (noisy, corrected) state pair for the result
+        # object with the same key the batched cycle used.
+        states_fn = self._states_fns.get(noise_type)
+        if states_fn is None:
+            states_fn = _build_states_fn(self._code, noise_type)
+            self._states_fns[noise_type] = states_fn
+        noisy_arr, corrected_arr = states_fn(jnp.float32(noise_prob),
+                                             ideal.device_data, key)
         n = self._code.total_qubits
-        corrected_arr = _apply_masks_host(ideal.device_data, fn, noise_prob,
-                                          key, self._code, noise_type)
-        noisy_sv, corrected_sv = corrected_arr
+        noisy_sv = StateVector.from_device_array(noisy_arr, n)
+        corrected_sv = StateVector.from_device_array(corrected_arr, n)
 
         expected_sign = 1.0 if logical_state == 0 else -1.0
         z_val = float(z_exp[0])
@@ -614,13 +620,13 @@ class QECSimulator:
         }
 
 
-def _apply_masks_host(ideal_arr, fn, noise_prob, key, code, noise_type):
-    """Recompute the (noisy, corrected) pair for QECResult's state fields
-    with the same key the batched cycle used."""
+def _build_states_fn(code, noise_type: str):
+    """jitted (p, ideal, key) -> (noisy, corrected) state arrays (cached
+    per QECSimulator/noise_type so run_cycle never recompiles)."""
     n = code.total_qubits
     dim = 2**n
 
-    @partial(jax.jit, static_argnums=())
+    @jax.jit
     def states(p, ideal, k):
         r = jax.random.uniform(k, (code.data_qubits,))
         xor_noise, z_noise = _pauli_masks_from_draws(
@@ -644,9 +650,7 @@ def _apply_masks_host(ideal_arr, fn, noise_prob, key, code, noise_type):
         corrected = _apply_masks(noisy, jnp.int32(xc), jnp.int32(zc), dim)
         return noisy, corrected
 
-    noisy, corrected = states(jnp.float32(noise_prob), ideal_arr, key)
-    return (StateVector.from_device_array(noisy, n),
-            StateVector.from_device_array(corrected, n))
+    return states
 
 
 AVAILABLE_CODES = {
