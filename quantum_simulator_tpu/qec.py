@@ -37,7 +37,6 @@ from .gates import H_MATRIX, X_MATRIX, Z_MATRIX
 from .ops.apply import apply_gate
 from .simulator import Simulator
 from .state import StateVector
-from .utils.xfer import to_device_complex
 
 
 @dataclass
