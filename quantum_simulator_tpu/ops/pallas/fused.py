@@ -263,7 +263,6 @@ def _row_axis_split(x, row_targets: tuple[int, ...], n: int):
     (reshaped, combo_indexer) where combo_indexer(arr, combo) slices the
     sub-block for a row-bit combination."""
     n_row = n - LANE_BITS
-    bits = sorted(n_row - 1 - (n - LANE_BITS - 1 - (q)) for q in row_targets)
     # Row-bit position of qubit q (qubit 0 = MSB of the row index):
     positions = sorted(q for q in row_targets)  # qubit ids, ascending
     shape = []
