@@ -157,13 +157,16 @@ def _steps_body(program: CircuitProgram, params, dtype):
 
 
 def _apply_channel_stochastic(state, kraus_stack, qubit, key, n):
-    """Stochastic Kraus selection, branch-free for XLA: compute every
-    K_i|psi>, draw one by its squared norm, renormalize (device analog of
-    the reference's copy-per-operator loop, ``noise.py:224-260``)."""
-    branches = jnp.stack([
-        apply_gate(state, kraus_stack[i], (qubit,), n)
-        for i in range(kraus_stack.shape[0])
-    ])
+    """Stochastic Kraus selection, branch-free for XLA: ONE batched
+    contraction computes every K_i|psi>, then a categorical draw on the
+    squared norms picks the surviving branch (device analog of the
+    reference's copy-per-operator loop, ``noise.py:224-260``)."""
+    a = 1 << qubit
+    b = 1 << (n - qubit - 1)
+    st = state.reshape(a, 2, b)
+    branches = jnp.einsum("mij,ajb->maib", kraus_stack, st,
+                          precision=jax.lax.Precision.HIGHEST)
+    branches = branches.reshape(kraus_stack.shape[0], -1)
     norms = jnp.sum(jnp.abs(branches) ** 2, axis=-1)
     idx = jax.random.categorical(key, jnp.log(norms + 1e-30))
     chosen = jnp.take(branches, idx, axis=0)
