@@ -66,3 +66,19 @@ def statevector_dtype():
 def np_dtype():
     """NumPy dtype mirror for host-side reference computations."""
     return np.complex128
+
+
+def enable_complex128() -> None:
+    """Switch the engine to complex128 verification mode.
+
+    Requires x64 support in jax (enabled here); intended for CPU-backend
+    numerical verification — complex128 on TPU is software-emulated and
+    slow. Call BEFORE building any compiled programs.
+    """
+    jax.config.update("jax_enable_x64", True)
+    CONFIG.dtype = jnp.complex128
+
+
+def enable_complex64() -> None:
+    """Back to the TPU-native default."""
+    CONFIG.dtype = jnp.complex64

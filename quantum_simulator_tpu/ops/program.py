@@ -121,7 +121,7 @@ def compile_circuit(circuit) -> CircuitProgram:
         ops=tuple(ops),
         num_columns=len(columns),
         num_params=len(params),
-        initial_params=np.asarray(params, dtype=np.float32),
+        initial_params=np.asarray(params, dtype=np.float64),
         compile_key=tuple(key_parts),
     )
 
@@ -284,9 +284,29 @@ def batched_forward_fn(program: CircuitProgram, dtype=None) -> Callable:
         jax.vmap(lambda p: _forward_body(program, p, dtype))))
 
 
+class _NoNoise:
+    """Channel-free noise stand-in for reusing the trajectory bodies."""
+
+    @staticmethod
+    def kraus_stacks_for_gate(gate_name: str):
+        return []
+
+    @staticmethod
+    def spec_key():
+        return ()
+
+
 def steps_fn(program: CircuitProgram, dtype=None) -> Callable:
     dtype = dtype or CONFIG.dtype
-    key = ("steps", program.compile_key, str(dtype))
+    key = ("steps", program.compile_key, str(dtype),
+           _use_group_path(program))
+    if _use_group_path(program):
+        from .plan import group_trajectory_body
+
+        return _cache_get(key, lambda: jax.jit(
+            lambda params: group_trajectory_body(
+                program, _NoNoise, params, jax.random.PRNGKey(0), dtype,
+                record_columns=True)))
     return _cache_get(key, lambda: jax.jit(
         lambda params: _steps_body(program, params, dtype)))
 

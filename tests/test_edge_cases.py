@@ -109,3 +109,38 @@ class TestCustomGateFlow:
         # sqrt(X)^2 = X
         assert result.final_state.probabilities[1] == pytest.approx(
             1.0, abs=1e-5)
+
+
+def test_complex128_verification_mode():
+    """complex128 mode matches NumPy to 1e-12 (runs in a subprocess so the
+    global x64 flag doesn't leak into other tests)."""
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+from quantum_simulator_tpu.config import enable_complex128
+enable_complex128()
+import numpy as np
+from quantum_simulator_tpu import QuantumCircuit, GateInstance, Simulator
+c = QuantumCircuit(3)
+c.add_gate(GateInstance("H", [0], [], column=0))
+c.add_gate(GateInstance("CNOT", [0, 1], [], column=1))
+c.add_gate(GateInstance("Rz", [2], [0.7], column=1))
+state = Simulator().run(c, shots=0).final_state
+amps = state.data
+assert amps.dtype == np.complex128
+inv = 1 / np.sqrt(2)
+expected = np.zeros(8, complex)
+expected[0] = inv * np.exp(-0.35j)
+expected[6] = inv * np.exp(-0.35j)  # |110> with Rz phase on |0> of q2
+err = np.max(np.abs(amps - expected))
+assert err < 1e-12, err
+print("OK", err)
+"""
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, cwd="/root/repo",
+                         timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
