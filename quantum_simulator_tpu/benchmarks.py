@@ -3,13 +3,15 @@
 Parity target: ``/root/reference/quantum_sim/engine/benchmarks.py:22-241``
 (Bell / GHZ-3 / Hadamard-1 / QFT-3 / Identity / X-Gate with the same
 expected nonzero bitstrings and fidelity floors; ideal timed run, optional
-noisy fidelity, TVD, pass/fail).
+noisy fidelity, TVD, pass/fail). Rebuilt as a declarative spec table — the
+circuit builders, expected outcomes, and floors live in one data structure.
 """
 
 from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from typing import Callable
 
 import numpy as np
 
@@ -28,85 +30,70 @@ class BenchmarkResult:
     details: str = ""
 
 
+@dataclass(frozen=True)
+class BenchmarkSpec:
+    """One acceptance benchmark: circuit factory + pass criteria."""
+
+    name: str
+    build: Callable[[], QuantumCircuit]
+    expected_nonzero: frozenset[str] | None  # None = all states expected
+    fidelity_min: float
+
+
+def _gates(n: int, *specs) -> QuantumCircuit:
+    c = QuantumCircuit(num_qubits=n)
+    for name, targets, col in specs:
+        c.add_gate(GateInstance(name, list(targets), [], col))
+    return c
+
+
+def _qft3() -> QuantumCircuit:
+    from .algorithms import AlgorithmTemplate
+
+    return AlgorithmTemplate.quantum_fourier_transform(3)
+
+
+SPECS: tuple[BenchmarkSpec, ...] = (
+    BenchmarkSpec(
+        "Bell State",
+        lambda: _gates(2, ("H", [0], 0), ("CNOT", [0, 1], 1)),
+        frozenset({"00", "11"}), 0.99),
+    BenchmarkSpec(
+        "GHZ-3",
+        lambda: _gates(3, ("H", [0], 0), ("CNOT", [0, 1], 1),
+                       ("CNOT", [0, 2], 2)),
+        frozenset({"000", "111"}), 0.99),
+    BenchmarkSpec(
+        "Hadamard-1",
+        lambda: _gates(1, ("H", [0], 0)),
+        frozenset({"0", "1"}), 0.99),
+    BenchmarkSpec("QFT-3", _qft3, None, 0.99),
+    BenchmarkSpec("Identity", lambda: QuantumCircuit(num_qubits=2),
+                  frozenset({"00"}), 0.9999),
+    BenchmarkSpec(
+        "X-Gate",
+        lambda: _gates(2, ("X", [0], 0)),
+        frozenset({"10"}), 0.99),
+)
+
+
 class BenchmarkSuite:
     """Predefined validation benchmarks."""
 
-    @staticmethod
-    def _bell_benchmark() -> dict:
-        circuit = QuantumCircuit(num_qubits=2)
-        circuit.add_gate(GateInstance("H", [0], [], 0))
-        circuit.add_gate(GateInstance("CNOT", [0, 1], [], 1))
-        return {
-            "name": "Bell State",
-            "circuit": circuit,
-            "expected_nonzero": {"00", "11"},
-            "expected_fidelity_min": 0.99,
-        }
-
-    @staticmethod
-    def _ghz3_benchmark() -> dict:
-        circuit = QuantumCircuit(num_qubits=3)
-        circuit.add_gate(GateInstance("H", [0], [], 0))
-        circuit.add_gate(GateInstance("CNOT", [0, 1], [], 1))
-        circuit.add_gate(GateInstance("CNOT", [0, 2], [], 2))
-        return {
-            "name": "GHZ-3",
-            "circuit": circuit,
-            "expected_nonzero": {"000", "111"},
-            "expected_fidelity_min": 0.99,
-        }
-
-    @staticmethod
-    def _hadamard1_benchmark() -> dict:
-        circuit = QuantumCircuit(num_qubits=1)
-        circuit.add_gate(GateInstance("H", [0], [], 0))
-        return {
-            "name": "Hadamard-1",
-            "circuit": circuit,
-            "expected_nonzero": {"0", "1"},
-            "expected_fidelity_min": 0.99,
-        }
-
-    @staticmethod
-    def _qft3_benchmark() -> dict:
-        from .algorithms import AlgorithmTemplate
-
-        return {
-            "name": "QFT-3",
-            "circuit": AlgorithmTemplate.quantum_fourier_transform(3),
-            "expected_nonzero": None,  # uniform over all states on |000>
-            "expected_fidelity_min": 0.99,
-        }
-
-    @staticmethod
-    def _identity_benchmark() -> dict:
-        return {
-            "name": "Identity",
-            "circuit": QuantumCircuit(num_qubits=2),
-            "expected_nonzero": {"00"},
-            "expected_fidelity_min": 0.9999,
-        }
-
-    @staticmethod
-    def _xgate_benchmark() -> dict:
-        circuit = QuantumCircuit(num_qubits=2)
-        circuit.add_gate(GateInstance("X", [0], [], 0))
-        return {
-            "name": "X-Gate",
-            "circuit": circuit,
-            "expected_nonzero": {"10"},
-            "expected_fidelity_min": 0.99,
-        }
-
     @classmethod
     def get_all_benchmarks(cls) -> list[dict]:
+        """Reference-shaped benchmark dicts (name/circuit/expected_nonzero/
+        expected_fidelity_min)."""
         return [
-            cls._bell_benchmark(),
-            cls._ghz3_benchmark(),
-            cls._hadamard1_benchmark(),
-            cls._qft3_benchmark(),
-            cls._identity_benchmark(),
-            cls._xgate_benchmark(),
+            {
+                "name": spec.name,
+                "circuit": spec.build(),
+                "expected_nonzero": (set(spec.expected_nonzero)
+                                     if spec.expected_nonzero is not None
+                                     else None),
+                "expected_fidelity_min": spec.fidelity_min,
+            }
+            for spec in SPECS
         ]
 
     @classmethod
@@ -120,42 +107,36 @@ class BenchmarkSuite:
         rng = np.random.default_rng(seed)
         results: list[BenchmarkResult] = []
 
-        for bench in cls.get_all_benchmarks():
-            circuit: QuantumCircuit = bench["circuit"]
-            expected_nonzero = bench["expected_nonzero"]
-            fidelity_min = bench["expected_fidelity_min"]
+        for spec in SPECS:
+            circuit = spec.build()
 
-            sim_ideal = Simulator()
             child_rng = np.random.default_rng(rng.integers(0, 2**63))
             t0 = time.perf_counter()
-            result_ideal = sim_ideal.run(circuit, shots=1024, rng=child_rng)
-            result_ideal.final_state.device_data.block_until_ready()
+            ideal = Simulator().run(circuit, shots=1024, rng=child_rng)
+            # True device sync: reduce to a host scalar.
+            float(np.sum(ideal.final_state.probabilities))
             runtime_ms = (time.perf_counter() - t0) * 1000
-            ideal_state = result_ideal.final_state
 
             if noise_model is not None:
                 child_rng2 = np.random.default_rng(rng.integers(0, 2**63))
                 noisy_state = Simulator(noise_model=noise_model).run(
                     circuit, shots=0, rng=child_rng2).final_state
-                fidelity = StateAnalysis.process_fidelity(ideal_state,
-                                                          noisy_state)
+                fidelity = StateAnalysis.process_fidelity(
+                    ideal.final_state, noisy_state)
             else:
                 fidelity = 1.0
 
             tvd = ConvergenceAnalysis.tvd(
-                ideal_state.probabilities,
-                result_ideal.measurement_counts,
-                result_ideal.num_shots,
-            )
+                ideal.final_state.probabilities,
+                ideal.measurement_counts, ideal.num_shots)
 
-            passed = fidelity >= fidelity_min
-            if expected_nonzero is not None:
-                actual_nonzero = set(result_ideal.measurement_counts)
-                if not expected_nonzero.issubset(actual_nonzero):
-                    passed = False
+            passed = fidelity >= spec.fidelity_min
+            if spec.expected_nonzero is not None and not \
+                    spec.expected_nonzero.issubset(ideal.measurement_counts):
+                passed = False
 
             results.append(BenchmarkResult(
-                name=bench["name"],
+                name=spec.name,
                 passed=passed,
                 fidelity=fidelity,
                 tvd=tvd,
