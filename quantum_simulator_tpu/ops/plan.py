@@ -469,6 +469,20 @@ def apply_gate_grouped(xre, xim, u, targets: tuple[int, ...],
     return jnp.real(shaped).astype(_F32), jnp.imag(shaped).astype(_F32)
 
 
+def _rho_q_grouped(xre, xim, q: int, layout: GroupLayout):
+    """Single-qubit reduced density matrix from a planar group state."""
+    ax = layout.axis_of(q)
+    pos = layout.pos_in_axis(q)
+    shape = tuple(layout.axis_sizes)
+    new_shape, bit_axis = _split_axis_bit(shape, ax, pos)
+    yr = jnp.moveaxis(xre.reshape(new_shape), bit_axis, 0).reshape(2, -1)
+    yi = jnp.moveaxis(xim.reshape(new_shape), bit_axis, 0).reshape(2, -1)
+    mm = lambda a, b: jnp.matmul(a, b.T, precision=_HI)
+    rr = mm(yr, yr) + mm(yi, yi)
+    ri = mm(yi, yr) - mm(yr, yi)
+    return rr + 1j * ri
+
+
 def group_trajectory_body(program: prog.CircuitProgram, noise_model,
                           params, key, dtype=None,
                           record_columns: bool = False):
@@ -508,22 +522,22 @@ def group_trajectory_body(program: prog.CircuitProgram, noise_model,
             for kraus_np in noise_model.kraus_stacks_for_gate(op.gate_name):
                 kraus = jnp.asarray(kraus_np, dtype=dtype)
                 for q in op.targets:
-                    branches = [
-                        apply_gate_grouped(xre, xim, kraus[i], (q,),
-                                           layout, dtype)
-                        for i in range(kraus.shape[0])
-                    ]
-                    bre = jnp.stack([b[0] for b in branches])
-                    bim = jnp.stack([b[1] for b in branches])
-                    norms = jnp.sum(
-                        bre.reshape(bre.shape[0], -1) ** 2
-                        + bim.reshape(bim.shape[0], -1) ** 2, axis=-1)
+                    # Branch probabilities from the 1q reduced density
+                    # matrix (one cheap pass), then apply ONLY the drawn
+                    # Kraus operator.
+                    rho = _rho_q_grouped(xre, xim, q, layout)
+                    norms = jnp.real(jnp.einsum(
+                        "mij,jk,mlk->m", kraus, rho, jnp.conj(kraus),
+                        precision=_HI))
                     idx = jax.random.categorical(
                         keys[draw], jnp.log(norms + 1e-30))
+                    k_sel = jnp.take(kraus, idx, axis=0)
+                    xre, xim = apply_gate_grouped(xre, xim, k_sel, (q,),
+                                                  layout, dtype)
                     inv = 1.0 / jnp.sqrt(jnp.maximum(
                         jnp.take(norms, idx), 1e-30))
-                    xre = jnp.take(bre, idx, axis=0) * inv
-                    xim = jnp.take(bim, idx, axis=0) * inv
+                    xre = xre * inv
+                    xim = xim * inv
                     draw += 1
             op_i += 1
         if record_columns:

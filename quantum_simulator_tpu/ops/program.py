@@ -157,21 +157,26 @@ def _steps_body(program: CircuitProgram, params, dtype):
 
 
 def _apply_channel_stochastic(state, kraus_stack, qubit, key, n):
-    """Stochastic Kraus selection, branch-free for XLA: ONE batched
-    contraction computes every K_i|psi>, then a categorical draw on the
-    squared norms picks the surviving branch (device analog of the
-    reference's copy-per-operator loop, ``noise.py:224-260``)."""
+    """Stochastic Kraus selection without materializing the branches.
+
+    The branch probability ||K_i psi||^2 equals tr(K_i rho_q K_i^dag)
+    where rho_q is the single-qubit reduced density matrix — ONE cheap
+    pass over the state. Draw the branch from those, then apply ONLY the
+    selected operator (a second pass). The reference applies every Kraus
+    operator to a full state copy per draw (``noise.py:224-260``)."""
+    hi = jax.lax.Precision.HIGHEST
     a = 1 << qubit
     b = 1 << (n - qubit - 1)
     st = state.reshape(a, 2, b)
-    branches = jnp.einsum("mij,ajb->maib", kraus_stack, st,
-                          precision=jax.lax.Precision.HIGHEST)
-    branches = branches.reshape(kraus_stack.shape[0], -1)
-    norms = jnp.sum(jnp.abs(branches) ** 2, axis=-1)
+    rho = jnp.einsum("aib,ajb->ij", st, jnp.conj(st), precision=hi)
+    # norms_m = tr(K_m rho K_m^dag)
+    norms = jnp.real(jnp.einsum("mij,jk,mlk->m", kraus_stack, rho,
+                                jnp.conj(kraus_stack), precision=hi))
     idx = jax.random.categorical(key, jnp.log(norms + 1e-30))
-    chosen = jnp.take(branches, idx, axis=0)
+    k_sel = jnp.take(kraus_stack, idx, axis=0)
+    out = jnp.einsum("ij,ajb->aib", k_sel, st, precision=hi).reshape(-1)
     norm = jnp.take(norms, idx)
-    return chosen / jnp.sqrt(jnp.maximum(norm, 1e-30))
+    return out / jnp.sqrt(jnp.maximum(norm, 1e-30))
 
 
 def _count_noise_draws(program: CircuitProgram, channels_for) -> int:

@@ -248,21 +248,29 @@ def _build_noisy_local_body(program: prog.CircuitProgram, noise_model,
             local_targets = ensure_local(op.targets)
             u = program.op_matrix(op, params, dtype)
             block = apply_gate(block, u, tuple(local_targets), n_local)
+            hi = jax.lax.Precision.HIGHEST
             for kraus_np in noise_model.kraus_stacks_for_gate(op.gate_name):
                 kraus = jnp.asarray(kraus_np, dtype=dtype)
                 for q in op.targets:
                     (lq,) = ensure_local((q,))
-                    branches = jnp.stack([
-                        apply_gate(block, kraus[i], (lq,), n_local)
-                        for i in range(kraus.shape[0])
-                    ])
-                    local_norms = jnp.sum(jnp.abs(branches) ** 2, axis=-1)
-                    norms = jax.lax.psum(local_norms, axis)
+                    # Branch probabilities from the GLOBAL 1q reduced
+                    # density matrix (local partial + psum), then apply
+                    # only the drawn operator.
+                    a = 1 << lq
+                    b = 1 << (n_local - lq - 1)
+                    st = block.reshape(a, 2, b)
+                    rho = jax.lax.psum(
+                        jnp.einsum("aib,ajb->ij", st, jnp.conj(st),
+                                   precision=hi), axis)
+                    norms = jnp.real(jnp.einsum(
+                        "mij,jk,mlk->m", kraus, rho, jnp.conj(kraus),
+                        precision=hi))
                     idx = jax.random.categorical(
                         keys[draw], jnp.log(norms + 1e-30))
-                    chosen = jnp.take(branches, idx, axis=0)
-                    norm = jnp.take(norms, idx)
-                    block = chosen / jnp.sqrt(jnp.maximum(norm, 1e-30))
+                    k_sel = jnp.take(kraus, idx, axis=0)
+                    block = apply_gate(block, k_sel, (lq,), n_local)
+                    block = block / jnp.sqrt(jnp.maximum(
+                        jnp.take(norms, idx), 1e-30))
                     draw += 1
 
         # Restore identity layout (same procedure as the noiseless body).
