@@ -527,7 +527,7 @@ def group_trajectory_body(program: prog.CircuitProgram, noise_model,
                     # Kraus operator.
                     rho = _rho_q_grouped(xre, xim, q, layout)
                     norms = jnp.real(jnp.einsum(
-                        "mij,jk,mlk->m", kraus, rho, jnp.conj(kraus),
+                        "mij,jk,mik->m", kraus, rho, jnp.conj(kraus),
                         precision=_HI))
                     idx = jax.random.categorical(
                         keys[draw], jnp.log(norms + 1e-30))

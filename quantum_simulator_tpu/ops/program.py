@@ -170,7 +170,7 @@ def _apply_channel_stochastic(state, kraus_stack, qubit, key, n):
     st = state.reshape(a, 2, b)
     rho = jnp.einsum("aib,ajb->ij", st, jnp.conj(st), precision=hi)
     # norms_m = tr(K_m rho K_m^dag)
-    norms = jnp.real(jnp.einsum("mij,jk,mlk->m", kraus_stack, rho,
+    norms = jnp.real(jnp.einsum("mij,jk,mik->m", kraus_stack, rho,
                                 jnp.conj(kraus_stack), precision=hi))
     idx = jax.random.categorical(key, jnp.log(norms + 1e-30))
     k_sel = jnp.take(kraus_stack, idx, axis=0)

@@ -263,7 +263,7 @@ def _build_noisy_local_body(program: prog.CircuitProgram, noise_model,
                         jnp.einsum("aib,ajb->ij", st, jnp.conj(st),
                                    precision=hi), axis)
                     norms = jnp.real(jnp.einsum(
-                        "mij,jk,mlk->m", kraus, rho, jnp.conj(kraus),
+                        "mij,jk,mik->m", kraus, rho, jnp.conj(kraus),
                         precision=hi))
                     idx = jax.random.categorical(
                         keys[draw], jnp.log(norms + 1e-30))
