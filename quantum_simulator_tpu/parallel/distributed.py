@@ -34,6 +34,17 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..circuit import QuantumCircuit
+from ..config import CONFIG
+from ..ops import program as prog
+from ..ops.apply import apply_gate
+from ..utils.xfer import to_host_complex
+
+AMP_AXIS = "amp"
+
+
 def shard_map_compat(f, mesh, in_specs, out_specs):
     """shard_map across jax API generations (check_vma vs check_rep)."""
     try:
@@ -44,15 +55,6 @@ def shard_map_compat(f, mesh, in_specs, out_specs):
 
         return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_rep=False)
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from ..circuit import QuantumCircuit
-from ..config import CONFIG
-from ..ops import program as prog
-from ..ops.apply import apply_gate
-from ..utils.xfer import to_host_complex
-
-AMP_AXIS = "amp"
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = AMP_AXIS
