@@ -1,0 +1,94 @@
+"""End-to-end tour of the framework (runs headless on CPU or TPU).
+
+    python examples/quickstart.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    from quantum_simulator_tpu import (
+        DepolarizingNoise,
+        GateInstance,
+        NoiseModel,
+        QuantumCircuit,
+        ReadoutError,
+        Simulator,
+    )
+    from quantum_simulator_tpu.analysis import StateAnalysis
+    from quantum_simulator_tpu.debugger import CircuitDebugger
+    from quantum_simulator_tpu.models import (
+        hardware_efficient_ansatz,
+        zz_chain,
+    )
+    from quantum_simulator_tpu.optimizer import (
+        CircuitOptimizer,
+        CostFunction,
+        ParameterizedCircuitConfig,
+    )
+    from quantum_simulator_tpu.qec import QECSimulator, SteaneCode
+    from quantum_simulator_tpu.render import CircuitExporter
+
+    # --- 1. Build and run a GHZ circuit --------------------------------
+    ghz = QuantumCircuit(4)
+    ghz.add_gate(GateInstance("H", [0], [], column=0))
+    for i in range(1, 4):
+        ghz.add_gate(GateInstance("CNOT", [0, i], [], column=i))
+    result = Simulator().run(ghz, shots=1000, seed=42)
+    print("GHZ-4 counts:", result.measurement_counts)
+
+    # --- 2. Analysis -----------------------------------------------------
+    state = result.final_state
+    print(f"bipartite entropy: "
+          f"{StateAnalysis.entanglement_entropy(state, [0, 1]):.3f} bits, "
+          f"I(q0:q3) = {StateAnalysis.mutual_information(state, 0, 3):.3f}")
+
+    # --- 3. Noisy Monte-Carlo (one batched device launch) ----------------
+    nm = NoiseModel()
+    nm.add_global_noise(DepolarizingNoise(0.03))
+    nm.set_readout_error(ReadoutError(p01=0.01, p10=0.02))
+    noisy = Simulator(noise_model=nm).run_with_noise(ghz, shots=5000,
+                                                     seed=7)
+    top = sorted(noisy.measurement_counts.items(), key=lambda kv: -kv[1])[:4]
+    print("noisy top counts:", dict(top))
+
+    # --- 4. Debug where the noise bites ---------------------------------
+    attribution = CircuitDebugger().compute_noise_attribution(
+        ghz, nm, n_trials=50, seed=42)
+    worst = int(np.argmax(attribution.column_attribution_pct))
+    print(f"noisiest column: {worst} "
+          f"({attribution.column_attribution_pct[worst]:.0f}% of loss, "
+          f"gates {attribution.gate_labels[worst]})")
+
+    # --- 5. VQE with autodiff gradients ----------------------------------
+    ansatz = hardware_efficient_ansatz(4, 2)
+    config = ParameterizedCircuitConfig.auto_detect(ansatz)
+    cost = CostFunction.vqe_hamiltonian(zz_chain(4))
+    opt = CircuitOptimizer(config, cost, learning_rate=0.2,
+                           max_iterations=60, gradient_method="autodiff")
+    vqe = opt.run(seed=42)
+    print(f"VQE energy: {vqe.optimal_cost:.4f} "
+          f"({vqe.iterations} iterations, {config.num_params} params)")
+
+    # --- 6. QEC: Steane code corrects a noisy cycle ----------------------
+    qec = QECSimulator(SteaneCode())
+    cycle = qec.run_cycle(0, "depolarizing", 0.05, seed=3)
+    print(f"Steane cycle: syndrome={cycle.syndrome} "
+          f"corrections={cycle.correction_applied} "
+          f"F: {cycle.fidelity_before:.3f} -> {cycle.fidelity_after:.3f}")
+
+    # --- 7. Export the circuit diagram ------------------------------------
+    out = os.path.join(os.path.dirname(__file__), "ghz4.png")
+    CircuitExporter.export_png(ghz, out)
+    print("circuit diagram written to", out)
+
+
+if __name__ == "__main__":
+    main()
