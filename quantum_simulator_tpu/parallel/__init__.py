@@ -4,13 +4,20 @@ its engine is single-thread NumPy hard-capped at 16 qubits)."""
 from .distributed import (
     DistributedSimulator,
     DistributedStateVector,
+    local_forward_body,
     make_mesh,
     sharded_forward_fn,
 )
+from .vqe import ShardedVQEStep, VQEState, make_vqe_mesh, sharded_vqe_step
 
 __all__ = [
     "DistributedSimulator",
     "DistributedStateVector",
+    "ShardedVQEStep",
+    "VQEState",
+    "local_forward_body",
     "make_mesh",
+    "make_vqe_mesh",
     "sharded_forward_fn",
+    "sharded_vqe_step",
 ]

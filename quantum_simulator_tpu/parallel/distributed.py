@@ -197,6 +197,17 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
     return body
 
 
+def local_forward_body(program: prog.CircuitProgram, g: int,
+                       n_devices: int, axis: str, dtype) -> Callable:
+    """Public per-shard forward body: ``params -> local amplitude block``.
+
+    Compose this into larger shard_map programs (cost functions, VQE
+    steps — see ``parallel/vqe.py``). ``g`` = log2(n_devices) device-index
+    bits; the block has the 2^(n-g) least-significant amplitudes.
+    """
+    return _build_local_body(program, g, n_devices, axis, dtype)
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
