@@ -8,8 +8,15 @@ Workload: n=16 (the reference's max qubit count), depth-40 brickwork
 dict fed to both engines. ``value`` is this engine's sustained gate-layers
 per second; ``vs_baseline`` is the wall-clock speedup over the reference's
 pure-NumPy engine (``/root/reference``) running the same circuit on this
-host. Secondary diagnostics (larger-n throughput, noisy trajectories/sec)
-go to stderr.
+host. Secondary diagnostics (larger-n throughput with HBM-roofline
+fractions, noisy trajectories/sec) go to stderr.
+
+Timing method: R full-circuit applications are chained INSIDE one jitted
+program via ``lax.scan`` with a data dependency (each iteration's params
+are perturbed by the previous output amplitude). This defeats both the
+axon runtime's dispatch elision of repeated identical launches AND keeps
+per-dispatch overhead (~1.6 ms on this runtime) out of the steady-state
+number, matching how sweeps/optimizers actually batch work inside jit.
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ sys.path.insert(0, REPO)
 N_QUBITS = 16
 DEPTH = 40
 SEED = 42
+CHAIN_RUNS = 10
 
 
 def build_circuit_dict(n: int, depth: int, seed: int) -> dict:
@@ -48,35 +56,56 @@ def build_circuit_dict(n: int, depth: int, seed: int) -> dict:
     return {"version": "1.0", "num_qubits": n, "gates": gates}
 
 
-def bench_tpu_engine(circuit_dict: dict, repeats: int = 20) -> float:
-    """Seconds per full-circuit application, chained so every iteration's
-    output feeds the next (defeats runtime dedup/elision of repeated
-    identical dispatches — observed on the axon PJRT runtime)."""
+def _chained_forward(circuit_dict: dict):
+    """(jitted chained-runs fn, params, plan) for the group executor."""
+    import jax
     import jax.numpy as jnp
 
     from quantum_simulator_tpu.circuit import QuantumCircuit
     from quantum_simulator_tpu.ops import program as prog
-    from quantum_simulator_tpu.ops.apply import make_basis_state
-    from quantum_simulator_tpu.config import CONFIG
+    from quantum_simulator_tpu.ops.plan import (
+        get_group_plan,
+        group_forward_body,
+    )
 
     circuit = QuantumCircuit.from_dict(circuit_dict)
     program = prog.compile_circuit(circuit)
-    fn = prog.evolve_fn(program)
-    params = jnp.asarray(program.initial_params)
-    state = make_basis_state(circuit.num_qubits, 0, CONFIG.dtype)
+    plan = get_group_plan(program)
 
-    def sync(s):
-        # block_until_ready does not actually block on some remote PJRT
-        # runtimes (axon); a scalar host transfer is the only true sync.
-        return float(np.asarray(jnp.sum(jnp.abs(s) ** 2)))
+    @jax.jit
+    def chained(params):
+        def step(carry, _):
+            out = group_forward_body(program, params + 1e-9 * carry,
+                                     jnp.complex64)
+            return jnp.real(out[0]), out[0]
+        carry, outs = jax.lax.scan(step, jnp.float32(0.0), None,
+                                   length=CHAIN_RUNS)
+        # return a REAL scalar tied to every iteration (complex host
+        # transfers are unimplemented on the axon runtime)
+        return carry + jnp.sum(jnp.abs(outs) ** 2)
 
-    state = fn(state, params)
-    sync(state)  # compile + warm
+    return chained, jnp.asarray(program.initial_params), plan
+
+
+def bench_tpu_engine(circuit_dict: dict) -> tuple[float, int]:
+    """(seconds per full-circuit application, state passes per run)."""
+    from quantum_simulator_tpu.ops.plan import (
+        AxisMatmulStep,
+        CrossStep,
+        DiagPairStep,
+    )
+
+    chained, params, plan = _chained_forward(circuit_dict)
+    passes = sum(1 for s in plan.steps
+                 if isinstance(s, (AxisMatmulStep, CrossStep, DiagPairStep)))
+
+    def run_once():
+        return float(np.asarray(chained(params)))  # blocks: host scalar
+
+    run_once()  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        state = fn(state, params)
-    sync(state)  # chained dependencies force sequential execution
-    return (time.perf_counter() - t0) / repeats
+    run_once()
+    return (time.perf_counter() - t0) / CHAIN_RUNS, passes
 
 
 _REF_BENCH_SNIPPET = r"""
@@ -130,37 +159,21 @@ def bench_secondary():
 
     from quantum_simulator_tpu.circuit import QuantumCircuit
     from quantum_simulator_tpu.noise import DepolarizingNoise, NoiseModel
-    from quantum_simulator_tpu.ops import program as prog
     from quantum_simulator_tpu.simulator import Simulator
+    from quantum_simulator_tpu.utils.profiling import roofline_fraction
 
-    # Large-n forward throughput (beyond the reference's 16-qubit cap),
-    # via the group-matmul executor (the einsum program does not compile
-    # in reasonable time at n >= 20 on this runtime).
-    for n_big in (20, 24):
+    # Large-n forward throughput (beyond the reference's 16-qubit cap and,
+    # at n=28, beyond its own 8-GiB statevector ceiling) via the
+    # group-matmul executor.
+    for n_big in (20, 24, 28):
         try:
-            from quantum_simulator_tpu.ops.plan import group_forward_fn
-
             cdict = build_circuit_dict(n_big, 8, SEED)
-            circuit = QuantumCircuit.from_dict(cdict)
-            program = prog.compile_circuit(circuit)
-            fn = group_forward_fn(program)
-            params = jnp.asarray(program.initial_params)
-
-            def sync(s):
-                return float(np.asarray(jnp.sum(jnp.abs(s) ** 2)))
-
-            sync(fn(params))
-            t0 = time.perf_counter()
-            reps = 5
-            out = fn(params)
-            for _ in range(reps - 1):
-                # chain: perturb params by a value depending on the output
-                out = fn(params + 1e-9 * jnp.real(out[0]))
-            sync(out)
-            per_run = (time.perf_counter() - t0) / reps
+            per_run, passes = bench_tpu_engine(cdict)
+            frac = roofline_fraction(n_big, passes, per_run)
             print(f"[bench] n={n_big} depth-8 brickwork (group plan): "
                   f"{8 / per_run:.1f} gate-layers/s "
-                  f"({per_run * 1000:.1f} ms/run)", file=sys.stderr)
+                  f"({per_run * 1000:.1f} ms/run, {passes} state passes, "
+                  f"{frac * 100:.0f}% of HBM roofline)", file=sys.stderr)
         except Exception as e:
             print(f"[bench] n={n_big} failed: {e}", file=sys.stderr)
 
@@ -170,6 +183,7 @@ def bench_secondary():
         nm = NoiseModel()
         nm.add_global_noise(DepolarizingNoise(0.05))
         sim = Simulator(noise_model=nm)
+
         def sync(s):
             return float(np.asarray(jnp.sum(jnp.abs(s) ** 2)))
 
@@ -186,10 +200,13 @@ def bench_secondary():
 
 def main():
     circuit_dict = build_circuit_dict(N_QUBITS, DEPTH, SEED)
-    per_run = bench_tpu_engine(circuit_dict)
+    per_run, passes = bench_tpu_engine(circuit_dict)
     layers_per_sec = DEPTH / per_run
+    from quantum_simulator_tpu.utils.profiling import roofline_fraction
+    frac = roofline_fraction(N_QUBITS, passes, per_run)
     print(f"[bench] n={N_QUBITS} depth-{DEPTH}: "
-          f"{per_run * 1000:.2f} ms/run, {layers_per_sec:.1f} layers/s",
+          f"{per_run * 1000:.2f} ms/run, {layers_per_sec:.1f} layers/s, "
+          f"{passes} state passes ({frac * 100:.0f}% of HBM roofline)",
           file=sys.stderr)
 
     ref_per_run = bench_reference_engine(circuit_dict)

@@ -118,9 +118,78 @@ class _Layout:
         self.pos_of[q1], self.pos_of[q2] = p2, p1
 
 
+_SWAP_MAT = np.array([[1, 0, 0, 0], [0, 0, 1, 0],
+                      [0, 1, 0, 0], [0, 0, 0, 1]], dtype=np.complex128)
+
+
+def _build_schedule(program: prog.CircuitProgram, g: int) -> list[tuple]:
+    """Host-side schedule: the layout-tracked swap/gate item list shared
+    by the noiseless and noisy shard bodies (previously duplicated).
+
+    Items:
+      ("swap", g_pos, l_pos)    exchange device-index bit with local bit
+      ("gate", op_i, local_ts)  apply program op at these local positions
+      ("lswap", la, lb)         in-shard SWAP (restore phase only)
+    Ends with the restore sequence bringing the layout back to identity so
+    the output sharding is canonical.
+    """
+    n = program.num_qubits
+    layout = _Layout(n)
+    items: list[tuple] = []
+
+    for oi, op in enumerate(program.ops):
+        positions = [layout.pos_of[q] for q in op.targets]
+        for i, p in enumerate(positions):
+            if p < g:
+                # choose a local position not hosting another target
+                taken = set(layout.pos_of[q] for q in op.targets)
+                scratch = next(sp for sp in range(n - 1, g - 1, -1)
+                               if sp not in taken)
+                items.append(("swap", p, scratch))
+                layout.swap_positions(p, scratch)
+                positions[i] = scratch
+        items.append(("gate", oi, tuple(p - g for p in positions)))
+
+    # Restore identity layout.
+    for p_target in range(g):
+        if layout.qubit_at[p_target] == p_target:
+            continue
+        s = layout.pos_of[p_target]
+        if s >= g:
+            items.append(("swap", p_target, s))
+            layout.swap_positions(p_target, s)
+        else:
+            # global<->global: route through a local scratch
+            taken = {s, p_target}
+            scratch = next(sp for sp in range(n - 1, g - 1, -1)
+                           if sp not in taken)
+            items.append(("swap", s, scratch))
+            layout.swap_positions(s, scratch)
+            items.append(("swap", p_target, scratch))
+            layout.swap_positions(p_target, scratch)
+    for p_target in range(g, n):
+        while layout.qubit_at[p_target] != p_target:
+            s = layout.pos_of[p_target]
+            items.append(("lswap", p_target - g, s - g))
+            layout.swap_positions(p_target, s)
+    return items
+
+
+# Shards at least this large run the group-matmul executor on gate runs
+# between collectives instead of per-gate einsums (ROADMAP item 4).
+_GROUPED_SHARD_MIN_QUBITS = 14
+
+
 def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
                       axis: str, dtype) -> Callable:
-    """Per-shard body: (params, noise keys or None) -> local block."""
+    """Per-shard noiseless body: ``params -> local block (2^(n-g),)``.
+
+    Gate runs between ppermute exchanges compose through the group-matmul
+    plan (``ops/plan.py``) when the shard is large, so per-shard work has
+    the same composed-operator efficiency as the single-chip path; XLA's
+    latency-hiding scheduler overlaps the half-block ppermutes with
+    whatever compute is dataflow-independent.
+    """
     n = program.num_qubits
     n_local = n - g
     if n_local < 1:
@@ -128,71 +197,104 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
 
     init_dev = program.initial_index >> n_local
     init_local = program.initial_index & ((1 << n_local) - 1)
+    schedule = _build_schedule(program, g)
+    grouped = n_local >= _GROUPED_SHARD_MIN_QUBITS
+
+    if not grouped:
+        def body(params):
+            my = jax.lax.axis_index(axis)
+            amp0 = jnp.where(my == init_dev,
+                             jnp.ones((), dtype=dtype),
+                             jnp.zeros((), dtype))
+            block = jnp.zeros(1 << n_local,
+                              dtype=dtype).at[init_local].set(amp0)
+            swap_mat = jnp.asarray(_SWAP_MAT, dtype=dtype)
+            for item in schedule:
+                if item[0] == "swap":
+                    block = _swap_global_local(block, item[1], item[2], g,
+                                               n_local, axis, n_devices)
+                elif item[0] == "gate":
+                    op = program.ops[item[1]]
+                    u = program.op_matrix(op, params, dtype)
+                    block = apply_gate(block, u, item[2], n_local)
+                else:  # lswap
+                    block = apply_gate(block, swap_mat,
+                                       (item[1], item[2]), n_local)
+            return block
+
+        return body
+
+    # Grouped mode: planar (2, 2^n_local) float32 block; gate runs between
+    # swaps become mini group plans (composed matmul steps).
+    import dataclasses
+
+    from ..ops.plan import (
+        GroupLayout,
+        build_group_plan,
+        build_group_operands,
+        execute_group_plan,
+    )
+
+    mini_layout = GroupLayout.for_qubits(n_local)
+
+    def _local_op(oi: int, local_ts: tuple[int, ...]) -> prog.ProgramOp:
+        if oi < 0:  # restore-phase in-shard SWAP
+            return prog.ProgramOp(
+                gate_name="SWAP", targets=local_ts, param_offset=0,
+                num_params=0, column_index=0, static_matrix=_SWAP_MAT,
+                jnp_builder=None, gate_index=-1)
+        return dataclasses.replace(program.ops[oi], targets=local_ts)
+
+    def _mini_program(gate_items: list[tuple]) -> prog.CircuitProgram:
+        ops = tuple(_local_op(oi, local_ts)
+                    for _, oi, local_ts in gate_items)
+        return prog.CircuitProgram(
+            num_qubits=n_local, initial_index=0, ops=ops,
+            num_columns=len(ops), num_params=program.num_params,
+            initial_params=program.initial_params, compile_key=())
+
+    # Pre-split the schedule into swap items and gate runs, and pre-build
+    # the mini plans (host-side, once per trace).
+    segments: list[tuple] = []   # ("swap", gp, lp) | ("run", mini_prog, plan)
+    run: list[tuple] = []
+
+    def close_run():
+        if run:
+            mp = _mini_program(run)
+            segments.append(("run", mp, build_group_plan(mp)))
+            run.clear()
+
+    for item in schedule:
+        if item[0] == "swap":
+            close_run()
+            segments.append(item)
+        elif item[0] == "gate":
+            run.append(item)
+        else:  # lswap -> in-shard SWAP gate inside the run
+            run.append(("gate", -1, (item[1], item[2])))
+    close_run()
 
     def body(params):
         my = jax.lax.axis_index(axis)
-        amp0 = jnp.where(my == init_dev,
-                         jnp.ones((), dtype=dtype), jnp.zeros((), dtype))
-        block = jnp.zeros(1 << n_local, dtype=dtype).at[init_local].set(amp0)
-
-        layout = _Layout(n)
-
-        def ensure_local(qubits: tuple[int, ...]) -> list[int]:
-            """Move every target's physical position into the local range,
-            returning local axis indices. Updates layout + block."""
-            nonlocal block
-            positions = [layout.pos_of[q] for q in qubits]
-            for i, p in enumerate(positions):
-                if p < g:
-                    # choose a local position not hosting another target
-                    taken = set(layout.pos_of[q] for q in qubits)
-                    scratch = next(sp for sp in range(n - 1, g - 1, -1)
-                                   if sp not in taken)
-                    block = _swap_global_local(block, p, scratch, g,
-                                               n_local, axis, n_devices)
-                    layout.swap_positions(p, scratch)
-                    positions[i] = scratch
-            return [p - g for p in positions]
-
-        for op in program.ops:
-            local_targets = ensure_local(op.targets)
-            u = program.op_matrix(op, params, dtype)
-            block = apply_gate(block, u, tuple(local_targets), n_local)
-
-        # Restore identity layout so the output sharding is canonical.
-        swap_mat = jnp.asarray(
-            np.array([[1, 0, 0, 0], [0, 0, 1, 0],
-                      [0, 1, 0, 0], [0, 0, 0, 1]], dtype=np.complex128),
-            dtype=dtype)
-        for p_target in range(g):
-            q = layout.qubit_at[p_target]
-            if q == p_target:
-                continue
-            # qubit p_target currently sits at position s
-            s = layout.pos_of[p_target]
-            if s >= g:
-                block = _swap_global_local(block, p_target, s, g,
-                                           n_local, axis, n_devices)
-                layout.swap_positions(p_target, s)
+        amp0 = jnp.where(my == init_dev, jnp.float32(1.0), jnp.float32(0.0))
+        x = jnp.zeros((2, 1 << n_local), jnp.float32)
+        x = x.at[0, init_local].set(amp0)
+        for seg in segments:
+            if seg[0] == "swap":
+                # the complex plane is one extra MSB on the flat planar
+                # block: shift local coordinates by +1
+                flat = x.reshape(-1)
+                flat = _swap_global_local(flat, seg[1], seg[2] + 1, g,
+                                          n_local + 1, axis, n_devices)
+                x = flat.reshape(2, 1 << n_local)
             else:
-                # global<->global: route through a local scratch
-                taken = {s, p_target}
-                scratch = next(sp for sp in range(n - 1, g - 1, -1)
-                               if sp not in taken)
-                block = _swap_global_local(block, s, scratch, g,
-                                           n_local, axis, n_devices)
-                layout.swap_positions(s, scratch)
-                block = _swap_global_local(block, p_target, scratch, g,
-                                           n_local, axis, n_devices)
-                layout.swap_positions(p_target, scratch)
-        # Local positions: fix residual permutation with in-shard SWAPs.
-        for p_target in range(g, n):
-            while layout.qubit_at[p_target] != p_target:
-                s = layout.pos_of[p_target]
-                block = apply_gate(block, swap_mat,
-                                   (p_target - g, s - g), n_local)
-                layout.swap_positions(p_target, s)
-        return block
+                _, mp, plan = seg
+                operands = build_group_operands(mp, plan, params, dtype)
+                xs = x.reshape((2,) + tuple(mini_layout.axis_sizes))
+                xs = execute_group_plan(plan, operands, mp, params, dtype,
+                                        xs)
+                x = xs.reshape(2, 1 << n_local)
+        return (x[0] + 1j * x[1]).astype(dtype)
 
     return body
 
@@ -226,6 +328,7 @@ def _build_noisy_local_body(program: prog.CircuitProgram, noise_model,
     n_local = n - g
     init_dev = program.initial_index >> n_local
     init_local = program.initial_index & ((1 << n_local) - 1)
+    schedule = _build_schedule(program, g)
 
     total_draws = 0
     for op in program.ops:
@@ -240,32 +343,25 @@ def _build_noisy_local_body(program: prog.CircuitProgram, noise_model,
         block = jnp.zeros(1 << n_local, dtype=dtype).at[init_local].set(amp0)
         keys = jax.random.split(key, total_draws)
         draw = 0
+        hi = jax.lax.Precision.HIGHEST
+        swap_mat = jnp.asarray(_SWAP_MAT, dtype=dtype)
 
-        layout = _Layout(n)
-
-        def ensure_local(qubits: tuple[int, ...]) -> list[int]:
-            nonlocal block
-            positions = [layout.pos_of[q] for q in qubits]
-            for i, p in enumerate(positions):
-                if p < g:
-                    taken = set(layout.pos_of[q] for q in qubits)
-                    scratch = next(sp for sp in range(n - 1, g - 1, -1)
-                                   if sp not in taken)
-                    block = _swap_global_local(block, p, scratch, g,
-                                               n_local, axis, n_devices)
-                    layout.swap_positions(p, scratch)
-                    positions[i] = scratch
-            return [p - g for p in positions]
-
-        for op in program.ops:
-            local_targets = ensure_local(op.targets)
+        for item in schedule:
+            if item[0] == "swap":
+                block = _swap_global_local(block, item[1], item[2], g,
+                                           n_local, axis, n_devices)
+                continue
+            if item[0] == "lswap":
+                block = apply_gate(block, swap_mat, (item[1], item[2]),
+                                   n_local)
+                continue
+            op = program.ops[item[1]]
+            local_ts = item[2]
             u = program.op_matrix(op, params, dtype)
-            block = apply_gate(block, u, tuple(local_targets), n_local)
-            hi = jax.lax.Precision.HIGHEST
+            block = apply_gate(block, u, local_ts, n_local)
             for kraus_np in noise_model.kraus_stacks_for_gate(op.gate_name):
                 kraus = jnp.asarray(kraus_np, dtype=dtype)
-                for q in op.targets:
-                    (lq,) = ensure_local((q,))
+                for lq in local_ts:
                     # Branch probabilities from the GLOBAL 1q reduced
                     # density matrix (local partial + psum), then apply
                     # only the drawn operator.
@@ -285,37 +381,6 @@ def _build_noisy_local_body(program: prog.CircuitProgram, noise_model,
                     block = block / jnp.sqrt(jnp.maximum(
                         jnp.take(norms, idx), 1e-30))
                     draw += 1
-
-        # Restore identity layout (same procedure as the noiseless body).
-        swap_mat = jnp.asarray(
-            np.array([[1, 0, 0, 0], [0, 0, 1, 0],
-                      [0, 1, 0, 0], [0, 0, 0, 1]], dtype=np.complex128),
-            dtype=dtype)
-        for p_target in range(g):
-            q = layout.qubit_at[p_target]
-            if q == p_target:
-                continue
-            s = layout.pos_of[p_target]
-            if s >= g:
-                block = _swap_global_local(block, p_target, s, g,
-                                           n_local, axis, n_devices)
-                layout.swap_positions(p_target, s)
-            else:
-                taken = {s, p_target}
-                scratch = next(sp for sp in range(n - 1, g - 1, -1)
-                               if sp not in taken)
-                block = _swap_global_local(block, s, scratch, g,
-                                           n_local, axis, n_devices)
-                layout.swap_positions(s, scratch)
-                block = _swap_global_local(block, p_target, scratch, g,
-                                           n_local, axis, n_devices)
-                layout.swap_positions(p_target, scratch)
-        for p_target in range(g, n):
-            while layout.qubit_at[p_target] != p_target:
-                s = layout.pos_of[p_target]
-                block = apply_gate(block, swap_mat,
-                                   (p_target - g, s - g), n_local)
-                layout.swap_positions(p_target, s)
         return block
 
     return body
@@ -418,12 +483,24 @@ class DistributedSimulator:
 
     def expectation_z(self, state: DistributedStateVector,
                       qubit: int) -> float:
-        """<Z_qubit> on a sharded state without gathering it."""
+        """<Z_qubit> on a sharded state — shard-local Z-parity signs
+        (device-index bit or per-shard iota) + psum; no 2^n iota, no
+        gather, O(2^(n-g)) per-shard work."""
+        from .vqe import shard_local_z_sign
+
         n = state.num_qubits
-        probs = jnp.abs(state.device_data) ** 2
-        idx = jnp.arange(2**n)
-        sign = 1.0 - 2.0 * ((idx >> (n - 1 - qubit)) & 1)
-        return float(jnp.sum(probs * sign))
+        axis = self._mesh.axis_names[0]
+        n_devices = self._mesh.shape[axis]
+        g = int(math.log2(n_devices))
+
+        def body(block):
+            sign = shard_local_z_sign(qubit, n, g, axis)
+            partial = jnp.sum(jnp.abs(block) ** 2 * sign)
+            return jax.lax.psum(partial, axis)
+
+        fn = shard_map_compat(body, mesh=self._mesh,
+                              in_specs=(P(axis),), out_specs=P())
+        return float(jax.jit(fn)(state.device_data))
 
     def fidelity(self, a: DistributedStateVector,
                  b: DistributedStateVector) -> float:
@@ -432,11 +509,51 @@ class DistributedSimulator:
 
     def sample(self, state: DistributedStateVector, shots: int,
                rng: np.random.Generator | None = None) -> dict[str, int]:
-        """Multinomial counts from the sharded distribution."""
-        from ..measurement import counts_from_array
+        """Measurement counts via a fully shard-local inverse-CDF sampler.
 
+        Each shard owns a contiguous slice of the distribution: it builds
+        its local CDF (O(2^(n-g)) memory), claims the uniform draws that
+        land in its interval, and resolves them with a local searchsorted.
+        A psum combines the per-shot (shard id, local index) pairs — the
+        full 2^n distribution is never materialized on any device or on
+        the host (the round-1 version gathered it, which is dead at n>=30).
+        """
         rng = rng or np.random.default_rng()
-        probs = state.probabilities
-        probs = probs / probs.sum()
-        counts = rng.multinomial(shots, probs)
-        return counts_from_array(counts, state.num_qubits)
+        axis = self._mesh.axis_names[0]
+        n_devices = self._mesh.shape[axis]
+        n_local = state.num_qubits - int(math.log2(n_devices))
+        uniforms = jnp.asarray(rng.random(shots, dtype=np.float64)
+                               .astype(np.float32))
+
+        def body(block, u):
+            probs = jnp.abs(block) ** 2
+            local_sum = jnp.sum(probs)
+            sums = jax.lax.all_gather(local_sum, axis)          # (D,)
+            my = jax.lax.axis_index(axis)
+            dev_ids = jax.lax.broadcasted_iota(jnp.int32,
+                                               (n_devices, 1), 0).squeeze(-1)
+            prefix = jnp.sum(jnp.where(dev_ids < my, sums, 0.0))
+            total = jnp.sum(sums)
+            u_scaled = u * total
+            claimed = (u_scaled >= prefix) & (
+                (u_scaled < prefix + local_sum) | (my == n_devices - 1))
+            cdf = prefix + jnp.cumsum(probs)
+            idx_local = jnp.clip(
+                jnp.searchsorted(cdf, u_scaled, side="right"),
+                0, probs.shape[0] - 1).astype(jnp.int32)
+            shard_of = jax.lax.psum(
+                jnp.where(claimed, my.astype(jnp.int32), 0), axis)
+            local_of = jax.lax.psum(jnp.where(claimed, idx_local, 0), axis)
+            return shard_of, local_of
+
+        fn = shard_map_compat(body, mesh=self._mesh,
+                              in_specs=(P(axis), P()),
+                              out_specs=(P(), P()))
+        shard_of, local_of = jax.jit(fn)(state.device_data, uniforms)
+        shard_of = np.asarray(shard_of).astype(np.int64)
+        local_of = np.asarray(local_of).astype(np.int64)
+        global_idx = (shard_of << n_local) | local_of
+        values, freq = np.unique(global_idx, return_counts=True)
+        n = state.num_qubits
+        return {format(int(v), f"0{n}b"): int(c)
+                for v, c in zip(values, freq)}
