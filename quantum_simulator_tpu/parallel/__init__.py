@@ -8,13 +8,23 @@ from .distributed import (
     make_mesh,
     sharded_forward_fn,
 )
+from .multihost import (
+    MultiHostSpec,
+    amp_axis_split,
+    initialize_multihost,
+    make_multihost_mesh,
+)
 from .vqe import ShardedVQEStep, VQEState, make_vqe_mesh, sharded_vqe_step
 
 __all__ = [
     "DistributedSimulator",
     "DistributedStateVector",
+    "MultiHostSpec",
     "ShardedVQEStep",
     "VQEState",
+    "amp_axis_split",
+    "initialize_multihost",
+    "make_multihost_mesh",
     "local_forward_body",
     "make_mesh",
     "make_vqe_mesh",

@@ -38,6 +38,11 @@ def main():
                              "trajectory demo")
     parser.add_argument("--virtual-cpu", action="store_true",
                         help="simulate the mesh with 8 virtual CPU devices")
+    parser.add_argument("--multihost", action="store_true",
+                        help="join a multi-host process group via "
+                             "jax.distributed.initialize (coordinator / "
+                             "process count from COORDINATOR_ADDRESS, "
+                             "NUM_PROCESSES, PROCESS_ID env vars)")
     parser.add_argument("--output", type=str, default=None)
     args = parser.parse_args()
 
@@ -50,6 +55,13 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+    if args.multihost:
+        from quantum_simulator_tpu.parallel import initialize_multihost
+
+        spec = initialize_multihost()
+        print(f"Multi-host: process {spec.process_id}/"
+              f"{spec.num_processes} via {spec.coordinator}")
 
     import numpy as np
 
