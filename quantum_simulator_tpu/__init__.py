@@ -1,10 +1,11 @@
 """quantum_simulator_tpu — TPU-native quantum circuit simulation framework.
 
-A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference
+A ground-up JAX/XLA rebuild of the capabilities of the reference
 Quantum-Simulator (pure-NumPy statevector engine, noise channels,
 measurement, analysis, debugger, optimizer, QEC, algorithms, bridge API),
 re-architected for TPU: compiled circuit programs, vmapped Monte-Carlo
-trajectories, Pallas fused gate kernels, and mesh-sharded statevectors.
+trajectories, a composed group-matmul executor, and mesh-sharded
+statevectors.
 """
 
 from .circuit import GateInstance, QuantumCircuit

@@ -32,11 +32,6 @@ class EngineConfig:
     # Hard cap on single-host qubit count (2**30 complex64 = 8 GiB; a v5e
     # chip has 16 GiB HBM). Sharded states may exceed this per-mesh.
     max_qubits: int = 32
-    # Use the Pallas fused kernel when available (TPU backend, n small
-    # enough for the state to live in VMEM).
-    use_pallas: bool = True
-    # Largest qubit count for the whole-state-in-VMEM fused kernel.
-    pallas_max_qubits: int = 18
     # Compile-cache size (circuit-structure keyed).
     compile_cache_size: int = 128
 

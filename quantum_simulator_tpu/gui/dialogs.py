@@ -299,7 +299,7 @@ class AboutDialog(QDialog):
         layout.addWidget(QLabel(
             "<h3>Quantum Simulator (TPU-native)</h3>"
             "<p>Statevector simulation compiled to XLA with batched "
-            "Monte-Carlo noise trajectories, Pallas fused kernels, and "
+            "Monte-Carlo noise trajectories, a group-matmul executor, and "
             "mesh-sharded states.</p>"))
         buttons = QDialogButtonBox(QDialogButtonBox.StandardButton.Ok)
         buttons.accepted.connect(self.accept)

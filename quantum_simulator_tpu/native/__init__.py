@@ -1,6 +1,6 @@
 """Native (C) host-path accelerators with transparent build + fallback.
 
-The compute path is JAX/XLA/Pallas on the accelerator; this package holds
+The compute path is JAX/XLA on the accelerator; this package holds
 the C extension for host-side result processing (counts dicts, bitstring
 packing). On first import it compiles ``qsim_native.c`` with the system
 toolchain if no up-to-date shared object exists; every consumer falls back

@@ -1,6 +1,6 @@
 /* _qsim_native: C hot paths for host-side result processing.
  *
- * The engine's device work is JAX/XLA/Pallas; this module covers the
+ * The engine's device work is JAX/XLA; this module covers the
  * host-side loops that remain after device results land: turning count
  * histograms into {bitstring: count} dicts (the GUI/bridge/script result
  * format, up to 2^n entries) and packing bit matrices into basis indices.

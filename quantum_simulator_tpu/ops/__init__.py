@@ -1,1 +1,1 @@
-"""Device-side compute primitives (XLA path + Pallas kernels)."""
+"""Device-side compute primitives (XLA einsum + group-matmul paths)."""

@@ -1,15 +1,19 @@
 """Persistent application configuration.
 
-Parity target: ``/root/reference/quantum_sim/core/config.py:10-65``
-(same fields/defaults, ``~/.quantum_sim/config.json`` location, 10 recent
-files, tolerant load).
+Parity contract: ``/root/reference/quantum_sim/core/config.py:10-65`` —
+same field names, defaults, and ``~/.quantum_sim/config.json`` location,
+10-entry recent-file ring, tolerant load of missing/corrupt files — so a
+config written by the reference round-trips unchanged. The implementation
+is field-introspection driven rather than a hand-maintained dict.
 """
 
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 from pathlib import Path
+
+_RECENT_LIMIT = 10
 
 
 @dataclass
@@ -29,42 +33,43 @@ class AppConfig:
     _config_dir: Path = field(
         default_factory=lambda: Path.home() / ".quantum_sim", repr=False)
 
+    @classmethod
+    def _persisted_fields(cls) -> list[str]:
+        return [f.name for f in fields(cls) if not f.name.startswith("_")]
+
     @property
     def config_path(self) -> Path:
         return self._config_dir / "config.json"
 
+    def to_dict(self) -> dict:
+        data = {name: getattr(self, name)
+                for name in self._persisted_fields()}
+        data["recent_files"] = list(data["recent_files"])[-_RECENT_LIMIT:]
+        return data
+
     def save(self) -> None:
         self._config_dir.mkdir(parents=True, exist_ok=True)
-        data = {
-            "theme": self.theme,
-            "default_qubits": self.default_qubits,
-            "default_shots": self.default_shots,
-            "step_delay_ms": self.step_delay_ms,
-            "max_qubits": self.max_qubits,
-            "window_width": self.window_width,
-            "window_height": self.window_height,
-            "recent_files": self.recent_files[-10:],
-            "last_directory": self.last_directory,
-        }
-        with open(self.config_path, "w", encoding="utf-8") as f:
-            json.dump(data, f, indent=2)
+        self.config_path.write_text(
+            json.dumps(self.to_dict(), indent=2), encoding="utf-8")
 
     @classmethod
     def load(cls) -> "AppConfig":
         config = cls()
-        if config.config_path.exists():
-            try:
-                with open(config.config_path, "r", encoding="utf-8") as f:
-                    data = json.load(f)
-                for key, value in data.items():
-                    if hasattr(config, key) and not key.startswith("_"):
-                        setattr(config, key, value)
-            except (json.JSONDecodeError, OSError):
-                pass
+        try:
+            raw = config.config_path.read_text(encoding="utf-8")
+        except OSError:
+            return config
+        try:
+            data = json.loads(raw)
+        except json.JSONDecodeError:
+            return config
+        known = set(cls._persisted_fields())
+        for key in known & set(data):
+            setattr(config, key, data[key])
         return config
 
     def add_recent_file(self, filepath: str) -> None:
-        if filepath in self.recent_files:
-            self.recent_files.remove(filepath)
-        self.recent_files.insert(0, filepath)
-        self.recent_files = self.recent_files[:10]
+        ring = [p for p in self.recent_files if p != filepath]
+        ring.insert(0, filepath)
+        del ring[_RECENT_LIMIT:]
+        self.recent_files = ring

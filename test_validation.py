@@ -244,17 +244,20 @@ def group_performance():
         r = sim.run(c, shots=0)
     r.final_state.device_data.block_until_ready()
     per_run = (time.perf_counter() - t0) / 10
-    _report("10q depth-20 ideal run < 2 s (avg of 10)", per_run < 2.0,
-            f"{per_run*1000:.1f} ms/run")
+    _report("[perf] 10q depth-20 ideal run < 2 s (avg of 10)",
+            per_run < 2.0, f"{per_run*1000:.1f} ms/run")
 
     nm = NoiseModel()
     nm.add_global_noise(DepolarizingNoise(0.05))
     nsim = Simulator(noise_model=nm)
-    nsim.ensemble_density_matrix(bell_circuit(), n_trials=2, seed=0)  # warm
+    # warm with the SAME circuit structure and trial count: a different
+    # vmap batch shape recompiles inside the timed region (the observed
+    # 32/33 flake under concurrent load)
+    nsim.ensemble_density_matrix(_ghz4(), n_trials=50, seed=0)
     t0 = time.perf_counter()
     rho = nsim.ensemble_density_matrix(_ghz4(), n_trials=50, seed=42)
     elapsed = time.perf_counter() - t0
-    _report("4q ensemble rho, 50 trials < 5 s", elapsed < 5.0,
+    _report("[perf] 4q ensemble rho, 50 trials < 5 s", elapsed < 5.0,
             f"{elapsed:.2f} s")
     purity = float(np.real(np.trace(rho @ rho)))
     _report("ensemble purity < 1 under noise", purity < 0.9999,
@@ -278,11 +281,12 @@ def group_scaling():
     probs = rng.random(2**16)
     probs /= probs.sum()
     ro = ReadoutError(p01=0.02, p10=0.02)
+    ro.apply_to_distribution(probs, 16)  # warm (compile outside the bound)
     t0 = time.perf_counter()
     out = ro.apply_to_distribution(probs, 16)
     elapsed = time.perf_counter() - t0
-    _report("16q distribution-transform readout < 1 s", elapsed < 1.0,
-            f"{elapsed*1000:.1f} ms")
+    _report("[perf] 16q distribution-transform readout < 1 s",
+            elapsed < 1.0, f"{elapsed*1000:.1f} ms")
     _report("16q transform normalized", abs(out.sum() - 1.0) < 1e-9)
 
     probs2 = np.array([0.5, 0.25, 0.15, 0.1])
