@@ -10,13 +10,15 @@ from __future__ import annotations
 
 import math
 
-from PyQt6.QtCore import pyqtSignal
+from PyQt6.QtCore import QMimeData, QPoint, QRect, QSize, Qt, pyqtSignal
+from PyQt6.QtGui import QDrag
 from PyQt6.QtWidgets import (
     QDoubleSpinBox,
     QFormLayout,
-    QGridLayout,
     QGroupBox,
+    QHBoxLayout,
     QLabel,
+    QLayout,
     QPushButton,
     QSpinBox,
     QToolBox,
@@ -26,6 +28,104 @@ from PyQt6.QtWidgets import (
 
 from ..gates import GateType
 from ..registry import GateRegistry
+from .editor_model import GATE_MIME_TYPE
+
+
+class FlowLayout(QLayout):
+    """Left-to-right layout that wraps items onto new rows as the dock
+    narrows (the palette stays usable at any width)."""
+
+    def __init__(self, parent=None, margin: int = 4, spacing: int = 4):
+        super().__init__(parent)
+        self._items = []
+        self._spacing = spacing
+        self.setContentsMargins(margin, margin, margin, margin)
+
+    def addItem(self, item):
+        self._items.append(item)
+
+    def count(self):
+        return len(self._items)
+
+    def itemAt(self, index):
+        return self._items[index] if 0 <= index < len(self._items) else None
+
+    def takeAt(self, index):
+        return self._items.pop(index) if 0 <= index < len(self._items) \
+            else None
+
+    def expandingDirections(self):
+        return Qt.Orientation(0)
+
+    def hasHeightForWidth(self):
+        return True
+
+    def heightForWidth(self, width):
+        return self._arrange(QRect(0, 0, width, 0), dry_run=True)
+
+    def setGeometry(self, rect):
+        super().setGeometry(rect)
+        self._arrange(rect, dry_run=False)
+
+    def sizeHint(self):
+        return self.minimumSize()
+
+    def minimumSize(self):
+        size = QSize()
+        for item in self._items:
+            size = size.expandedTo(item.minimumSize())
+        m = self.contentsMargins()
+        return size + QSize(m.left() + m.right(), m.top() + m.bottom())
+
+    def _arrange(self, rect, dry_run: bool) -> int:
+        x, y = rect.x(), rect.y()
+        row_h = 0
+        for item in self._items:
+            hint = item.sizeHint()
+            if x + hint.width() > rect.right() and row_h > 0:
+                x = rect.x()
+                y += row_h + self._spacing
+                row_h = 0
+            if not dry_run:
+                item.setGeometry(QRect(QPoint(x, y), hint))
+            x += hint.width() + self._spacing
+            row_h = max(row_h, hint.height())
+        return y + row_h - rect.y()
+
+
+class GateButton(QPushButton):
+    """Palette button: click chooses the gate, dragging starts a
+    ``application/x-quantum-gate`` drag that the editor scene accepts."""
+
+    def __init__(self, gate_name: str, symbol: str, color: str,
+                 tooltip: str, parent=None):
+        super().__init__(symbol, parent)
+        self.gate_name = gate_name
+        self.setToolTip(tooltip)
+        self.setFixedSize(46, 34)
+        self.setStyleSheet(
+            f"background-color: {color}; color: white; font-weight: bold;")
+        self._press_pos: QPoint | None = None
+
+    def mousePressEvent(self, event):
+        if event.button() == Qt.MouseButton.LeftButton:
+            self._press_pos = event.pos()
+        super().mousePressEvent(event)
+
+    def mouseMoveEvent(self, event):
+        if (self._press_pos is None
+                or not (event.buttons() & Qt.MouseButton.LeftButton)):
+            return super().mouseMoveEvent(event)
+        if ((event.pos() - self._press_pos).manhattanLength() < 8):
+            return super().mouseMoveEvent(event)
+        mime = QMimeData()
+        mime.setData(GATE_MIME_TYPE, self.gate_name.encode())
+        mime.setText(self.gate_name)
+        drag = QDrag(self)
+        drag.setMimeData(mime)
+        drag.setPixmap(self.grab())
+        self._press_pos = None
+        drag.exec(Qt.DropAction.CopyAction)
 
 _SECTIONS = [
     ("Single-Qubit", lambda gd: gd.gate_type == GateType.SINGLE
@@ -60,36 +160,30 @@ class GatePalette(QWidget):
         registry = GateRegistry.instance()
         gates = registry.all_gates()
         used: set[str] = set()
-        for title, predicate in _SECTIONS:
+
+        def add_section(title, members):
             page = QWidget()
-            grid = QGridLayout(page)
-            idx = 0
+            flow = FlowLayout(page)
+            for gd in members:
+                btn = GateButton(gd.name, gd.symbol, gd.color,
+                                 gd.display_name)
+                btn.clicked.connect(
+                    lambda _, name=gd.name: self.gate_chosen.emit(name))
+                flow.addWidget(btn)
+            self._toolbox.addItem(page, title)
+
+        for title, predicate in _SECTIONS:
+            members = []
             for gd in gates:
                 if gd.name in used or not predicate(gd):
                     continue
                 used.add(gd.name)
-                btn = QPushButton(gd.symbol)
-                btn.setToolTip(gd.display_name)
-                btn.setStyleSheet(
-                    f"background-color: {gd.color}; color: white;"
-                    "font-weight: bold;")
-                btn.clicked.connect(
-                    lambda _, name=gd.name: self.gate_chosen.emit(name))
-                grid.addWidget(btn, idx // 4, idx % 4)
-                idx += 1
-            grid.setRowStretch(idx // 4 + 1, 1)
-            self._toolbox.addItem(page, title)
+                members.append(gd)
+            add_section(title, members)
         # Anything uncategorized (custom gates) gets its own section.
         leftovers = [gd for gd in gates if gd.name not in used]
         if leftovers:
-            page = QWidget()
-            grid = QGridLayout(page)
-            for idx, gd in enumerate(leftovers):
-                btn = QPushButton(gd.symbol)
-                btn.clicked.connect(
-                    lambda _, name=gd.name: self.gate_chosen.emit(name))
-                grid.addWidget(btn, idx // 4, idx % 4)
-            self._toolbox.addItem(page, "Custom")
+            add_section("Custom", leftovers)
 
 
 class PropertiesPanel(QWidget):
@@ -137,13 +231,38 @@ class PropertiesPanel(QWidget):
             spin.setValue(q)
             self._target_spins.append(spin)
             self._targets_form.addRow(f"{role} {i}", spin)
+        presets = [("π", math.pi), ("π/2", math.pi / 2),
+                   ("π/4", math.pi / 4), ("-π/2", -math.pi / 2),
+                   ("0", 0.0)]
         for i, name in enumerate(gd.param_names):
             spin = QDoubleSpinBox()
             spin.setRange(-4 * math.pi, 4 * math.pi)
             spin.setDecimals(6)
             spin.setValue(gate.params[i] if i < len(gate.params) else 0.0)
             self._param_spins.append(spin)
-            self._params_form.addRow(name, spin)
+            row = QWidget()
+            hbox = QHBoxLayout(row)
+            hbox.setContentsMargins(0, 0, 0, 0)
+            hbox.addWidget(spin, 1)
+            for label, value in presets:
+                btn = QPushButton(label)
+                btn.setFixedWidth(36)
+                btn.clicked.connect(
+                    lambda _, s=spin, v=value: s.setValue(v))
+                hbox.addWidget(btn)
+            self._params_form.addRow(name, row)
+            ratio = QLabel(self._pi_ratio_text(spin.value()))
+            spin.valueChanged.connect(
+                lambda v, lab=ratio: lab.setText(self._pi_ratio_text(v)))
+            self._params_form.addRow("", ratio)
+
+    @staticmethod
+    def _pi_ratio_text(value: float) -> str:
+        """Human-readable multiple of pi (e.g. '= 0.5 π')."""
+        if abs(value) < 1e-12:
+            return "= 0"
+        ratio = value / math.pi
+        return f"= {ratio:.4g} π"
 
     def _apply(self) -> None:
         if self._gate is None:

@@ -40,11 +40,13 @@ from .advanced_panels import (
     OptimizerPanel,
     QECPanel,
 )
-from .circuit_view import CircuitView
+from .editor_model import CircuitEditorModel
+from .editor_scene import CircuitEditorView, CircuitScene, TargetDialog
 from .dialogs import (
     AboutDialog,
     AlgorithmDialog,
     CustomGateDialog,
+    GateParamDialog,
     NoiseConfigDialog,
 )
 from .panels import (
@@ -90,9 +92,11 @@ class MainWindow(QMainWindow):
 
     def _build_ui(self) -> None:
         splitter = QSplitter(Qt.Orientation.Vertical)
-        self.circuit_view = CircuitView(self.circuit_controller,
-                                        theme=self.config.theme)
+        self.editor_model = CircuitEditorModel(self.circuit_controller)
+        self.circuit_scene = CircuitScene(self.editor_model)
+        self.circuit_view = CircuitEditorView(self.circuit_scene)
         splitter.addWidget(self.circuit_view)
+        self.circuit_scene.gate_activated.connect(self._edit_gate_params)
 
         self.tabs = QTabWidget()
         self.statevector_panel = StateVectorPanel()
@@ -146,19 +150,46 @@ class MainWindow(QMainWindow):
         props_dock.setWidget(self.properties_panel)
         self.addDockWidget(Qt.DockWidgetArea.RightDockWidgetArea,
                            props_dock)
-        self.circuit_view.gate_selected.connect(
-            lambda g: self.properties_panel.set_gate(
-                g, self.circuit_controller.circuit.num_qubits))
+        self.circuit_scene.selection_changed_gates.connect(
+            lambda gates: self.properties_panel.set_gate(
+                gates[0] if gates else None,
+                self.circuit_controller.circuit.num_qubits))
         self.properties_panel.params_changed.connect(
             self.circuit_controller.update_gate_params)
         self.properties_panel.targets_changed.connect(
             lambda g, t: self.circuit_controller.move_gate(g, g.column, t))
 
     def _select_palette_gate(self, name: str) -> None:
-        combo = self.circuit_view.gate_combo
-        idx = combo.findData(name)
-        if idx >= 0:
-            combo.setCurrentIndex(idx)
+        """Palette click: place the gate at the next free column (drag
+        onto a specific wire for precise placement)."""
+        model = self.editor_model
+        column = model.num_columns()
+        plan = model.plan_drop(name, model.column_x(column),
+                               model.qubit_y(0))
+        if not plan.valid:
+            self.statusBar().showMessage(f"Cannot place {name}: "
+                                         f"{plan.reason}")
+            return
+        targets = None
+        if plan.needs_target_dialog:
+            dialog = TargetDialog(name, plan.targets,
+                                  model.circuit.num_qubits, self)
+            if not dialog.exec():
+                return
+            targets = dialog.targets()
+        model.commit_drop(plan, targets)
+
+    def _edit_gate_params(self, gate) -> None:
+        """Double-clicked gate: parameter dialog -> undoable update."""
+        from ..registry import GateRegistry
+
+        gate_def = GateRegistry.instance().get(gate.gate_name)
+        if gate_def.num_params == 0:
+            return
+        dialog = GateParamDialog(gate_def, list(gate.params), self)
+        if dialog.exec():
+            self.circuit_controller.update_gate_params(
+                gate, dialog.values())
 
     def _build_menus(self) -> None:
         def act(menu, text, slot, shortcut=None):
@@ -261,6 +292,8 @@ class MainWindow(QMainWindow):
         self.entropy_panel.record_step(state, col)
         self.bloch_panel.model.record_step(state)
         self.bloch_panel.update_state(state)
+        self.editor_model.set_debug_column(col if col >= 0 else None)
+        self.circuit_scene.rebuild()
         self.statusBar().showMessage(f"Step: column {col}")
 
     def _update_panels(self, state, counts) -> None:
@@ -300,7 +333,7 @@ class MainWindow(QMainWindow):
     def _custom_gate(self) -> None:
         CustomGateDialog(self).exec()
         self.gate_palette.refresh()
-        self.circuit_view.refresh()
+        self.circuit_scene.rebuild()
 
     def _run_benchmarks(self) -> None:
         from ..benchmarks import BenchmarkSuite
@@ -331,7 +364,7 @@ class MainWindow(QMainWindow):
 
         theme = self.theme_manager.toggle(QApplication.instance())
         self.config.theme = theme
-        self.circuit_view.set_theme(theme)
+        self.circuit_scene.rebuild()
 
     # --- files -----------------------------------------------------------------
 

@@ -64,6 +64,7 @@ def mocked_qt(monkeypatch):
 
 GUI_MODULES = [
     "quantum_simulator_tpu.gui.circuit_view",
+    "quantum_simulator_tpu.gui.editor_scene",
     "quantum_simulator_tpu.gui.panels",
     "quantum_simulator_tpu.gui.advanced_panels",
     "quantum_simulator_tpu.gui.dialogs",
