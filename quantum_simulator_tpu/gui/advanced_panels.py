@@ -22,6 +22,7 @@ from PyQt6.QtWidgets import (
     QPushButton,
     QSlider,
     QSpinBox,
+    QTabWidget,
     QTableWidget,
     QTableWidgetItem,
     QTextBrowser,
@@ -58,12 +59,27 @@ class _Canvas(QWidget):
         self.canvas.draw_idle()
 
 
-class DebuggerPanel(_Canvas):
-    """Timeline stepping + noise heatmap + error trace (panel 9)."""
+class DebuggerPanel(QWidget):
+    """Timeline stepping with three sub-tabs — Error Trace (fidelity +
+    entropy curves, breakpoint marks), State Inspector (amplitude table
+    with ideal-vs-actual probability bars), Noise Heatmap (per-qubit
+    fidelity drop with attribution % overlay). The reference's version is
+    ``debugger_panel.py:32-679``; here every number comes from the
+    headless ``CircuitDebugger`` + ``DebuggerInspectorModel``."""
 
     def __init__(self, parent=None):
         super().__init__(parent)
+        from ..viewmodels import DebuggerInspectorModel
+
+        self._inspector = DebuggerInspectorModel
         self.debugger = CircuitDebugger()
+        self._attribution = None
+        self._impacts = []
+        self.breakpoints: set[int] = set()
+
+        layout = QVBoxLayout(self)
+        self.controls = QHBoxLayout()
+        layout.addLayout(self.controls)
         self.trials_spin = QSpinBox()
         self.trials_spin.setRange(10, 500)
         self.trials_spin.setValue(50)
@@ -78,17 +94,47 @@ class DebuggerPanel(_Canvas):
                   self.status):
             self.controls.addWidget(w)
         self.controls.addStretch(1)
+        layout.addWidget(self.slider)
+
+        self.tabs = QTabWidget()
+        layout.addWidget(self.tabs)
+
+        # Tab 1: error trace
+        self._trace_fig = Figure(figsize=(5, 3))
+        self._trace_canvas = FigureCanvasQTAgg(self._trace_fig)
+        self.tabs.addTab(self._trace_canvas, "Error Trace")
+
+        # Tab 2: state inspector (table + bars)
+        inspector = QWidget()
+        ibox = QVBoxLayout(inspector)
+        self.amp_table = QTableWidget(0, 6)
+        self.amp_table.setHorizontalHeaderLabels(
+            ["basis", "re", "im", "P(actual)", "P(ideal)", "Δ"])
+        ibox.addWidget(self.amp_table)
+        self._bars_fig = Figure(figsize=(5, 2))
+        self._bars_canvas = FigureCanvasQTAgg(self._bars_fig)
+        ibox.addWidget(self._bars_canvas)
+        self.tabs.addTab(inspector, "State Inspector")
+
+        # Tab 3: per-qubit noise heatmap
+        self._heat_fig = Figure(figsize=(5, 3))
+        self._heat_canvas = FigureCanvasQTAgg(self._heat_fig)
+        self.tabs.addTab(self._heat_canvas, "Noise Heatmap")
 
     def run_debug(self, circuit, noise_model=None, seed: int = 42) -> None:
         self.debugger.run_full_debug(circuit, noise_model, seed=seed)
         self.slider.setMaximum(max(0, self.debugger.num_steps - 1))
         if noise_model is not None:
+            trials = self.trials_spin.value()
             self._attribution = self.debugger.compute_noise_attribution(
-                circuit, noise_model, n_trials=self.trials_spin.value(),
-                seed=seed)
+                circuit, noise_model, n_trials=trials, seed=seed)
+            self._impacts = self.debugger.compute_noise_impact(
+                circuit, noise_model, n_trials=trials, seed=seed)
         else:
             self._attribution = None
+            self._impacts = []
         self._refresh()
+        self._draw_heatmap()
 
     def _step(self, direction: int) -> None:
         if direction > 0:
@@ -105,21 +151,78 @@ class DebuggerPanel(_Canvas):
         snap = self.debugger.current_snapshot
         if snap is None:
             return
-        ax = self.axes()
+        self._draw_trace(snap)
+        self._fill_inspector(snap)
+        self.status.setText(
+            f"col {snap.column_index}: F={snap.fidelity:.4f} "
+            f"{' '.join(snap.gate_labels)}")
+
+    def _draw_trace(self, snap) -> None:
+        self._trace_fig.clear()
+        ax = self._trace_fig.add_subplot(111)
         fids = [s.fidelity for s in self.debugger.snapshots]
+        ents = [s.entropy for s in self.debugger.snapshots]
         cols = [s.column_index for s in self.debugger.snapshots]
         ax.plot(cols, fids, "-o", color="#89b4fa", label="fidelity")
+        ax.plot(cols, ents, "-s", color="#a6e3a1", ms=3, label="entropy")
         ax.axvline(snap.column_index, color="#f38ba8", alpha=0.6)
+        for bp in sorted(self.breakpoints):
+            ax.axvline(bp, color="#f38ba8", ls="--", alpha=0.4, lw=1)
         if self._attribution is not None:
             pct = self._attribution.column_attribution_pct
             ax.bar(range(len(pct)), [p / 100 for p in pct], alpha=0.3,
                    color="#fab387", label="noise attribution")
         ax.set_xlabel("Column")
         ax.legend(fontsize=8)
-        self.status.setText(
-            f"col {snap.column_index}: F={snap.fidelity:.4f} "
-            f"{' '.join(snap.gate_labels)}")
-        self.redraw()
+        self._trace_canvas.draw_idle()
+
+    def _fill_inspector(self, snap) -> None:
+        rows = self._inspector.amplitude_rows(snap, limit=32)
+        self.amp_table.setRowCount(len(rows))
+        for r, row in enumerate(rows):
+            cells = [f"|{row.bitstring}⟩", f"{row.real:+.4f}",
+                     f"{row.imag:+.4f}", f"{row.probability:.4f}",
+                     "—" if row.ideal_probability is None
+                     else f"{row.ideal_probability:.4f}",
+                     "—" if row.delta is None else f"{row.delta:+.4f}"]
+            for c, text in enumerate(cells):
+                self.amp_table.setItem(r, c, QTableWidgetItem(text))
+        self._bars_fig.clear()
+        ax = self._bars_fig.add_subplot(111)
+        top = rows[:12]
+        xs = range(len(top))
+        ax.bar([x - 0.2 for x in xs], [r.probability for r in top],
+               width=0.4, color="#89b4fa", label="actual")
+        if any(r.ideal_probability is not None for r in top):
+            ax.bar([x + 0.2 for x in xs],
+                   [r.ideal_probability or 0.0 for r in top],
+                   width=0.4, color="#a6e3a1", label="ideal")
+        ax.set_xticks(list(xs))
+        ax.set_xticklabels([r.bitstring for r in top], rotation=60,
+                           fontsize=6)
+        ax.legend(fontsize=7)
+        self._bars_canvas.draw_idle()
+
+    def _draw_heatmap(self) -> None:
+        self._heat_fig.clear()
+        ax = self._heat_fig.add_subplot(111)
+        mat = self._inspector.noise_heatmap(self._impacts)
+        if mat.size == 0:
+            ax.text(0.5, 0.5, "Run with a noise model for the\n"
+                    "per-qubit fidelity-drop heatmap",
+                    ha="center", va="center", fontsize=9)
+        else:
+            im = ax.imshow(mat, aspect="auto", cmap="magma",
+                           interpolation="nearest")
+            self._heat_fig.colorbar(im, ax=ax, label="1 − F(q)")
+            overlay = self._inspector.heatmap_column_overlay(
+                self._attribution)
+            for c, text in enumerate(overlay[:mat.shape[1]]):
+                ax.text(c, -0.7, text, ha="center", fontsize=7,
+                        color="#fab387")
+            ax.set_xlabel("Column")
+            ax.set_ylabel("Qubit")
+        self._heat_canvas.draw_idle()
 
 
 class ComparisonPanel(QWidget):

@@ -219,6 +219,7 @@ class MainWindow(QMainWindow):
         run_menu = self.menuBar().addMenu("&Run")
         act(run_menu, "Run simulation", self._on_run_simulation, "F5")
         act(run_menu, "Step mode", self._on_step_mode, "F6")
+        act(run_menu, "Debug circuit", self._on_debug_circuit, "F7")
         act(run_menu, "Configure noise…", self._configure_noise)
         act(run_menu, "Set seed…", self._set_seed)
         act(run_menu, "Run benchmarks", self._run_benchmarks)
@@ -269,6 +270,23 @@ class MainWindow(QMainWindow):
         self.statusBar().showMessage(
             f"Run complete in {elapsed*1000:.1f} ms "
             f"({shots} shots, n={circuit.num_qubits})")
+
+    def _on_debug_circuit(self) -> None:
+        """Populate the debugger panel (snapshots, attribution, heatmap),
+        sharing the editor's breakpoint set."""
+        circuit = self.circuit_controller.circuit
+        self.debugger_panel.breakpoints = set(self.editor_model.breakpoints)
+        t0 = time.perf_counter()
+        try:
+            self.debugger_panel.run_debug(circuit, self.noise_model,
+                                          seed=self.seed_manager.seed or 42)
+        except Exception as e:  # noqa: BLE001
+            QMessageBox.critical(self, "Debug error", str(e))
+            return
+        self.tabs.setCurrentWidget(self.debugger_panel)
+        self.resource_panel.record_simulation(
+            "debug", circuit.num_qubits, time.perf_counter() - t0)
+        self.statusBar().showMessage("Debug run complete")
 
     def _on_step_mode(self) -> None:
         circuit = self.circuit_controller.circuit

@@ -84,33 +84,84 @@ class StateVectorPanel(QWidget):
 
 
 class BlochSpherePanel(_CanvasPanel):
-    """Per-qubit Bloch projections (panel 2)."""
+    """Per-qubit Bloch spheres: grid view of every qubit or a single-qubit
+    view with the step-mode trajectory drawn as a fading trail + purity
+    and known-state readout (panel 2 — the reference's grid/single toggle
+    and faded trajectory live in ``bloch_sphere.py:55-563``)."""
 
     def __init__(self, parent=None):
         super().__init__(parent)
         self.model = BlochModel()
+        self._last_state = None
+        bar = QHBoxLayout()
+        self.view_combo = QComboBox()
+        self.view_combo.addItems(["Grid", "Single"])
+        self.view_combo.currentIndexChanged.connect(self._replot)
+        self.qubit_spin = QSpinBox()
+        self.qubit_spin.setRange(0, 31)
+        self.qubit_spin.valueChanged.connect(self._replot)
+        self.info = QLabel("")
+        for w in (QLabel("View:"), self.view_combo, QLabel("Qubit:"),
+                  self.qubit_spin, self.info):
+            bar.addWidget(w)
+        bar.addStretch(1)
+        self._layout.insertLayout(0, bar)
+
+    @staticmethod
+    def _wire_sphere(ax):
+        u = np.linspace(0, 2 * np.pi, 24)
+        v = np.linspace(0, np.pi, 12)
+        ax.plot_wireframe(np.outer(np.cos(u), np.sin(v)),
+                          np.outer(np.sin(u), np.sin(v)),
+                          np.outer(np.ones_like(u), np.cos(v)),
+                          color="gray", alpha=0.15, lw=0.5)
 
     def update_state(self, state) -> None:
+        self._last_state = state
+        self._replot()
+
+    def _replot(self, *_args) -> None:
+        state = self._last_state
+        if state is None:
+            return
         snaps = self.model.snapshot(state)
         self.figure.clear()
-        n = len(snaps)
-        cols = min(4, n)
-        rows = -(-n // cols)
-        for i, b in enumerate(snaps):
-            ax = self.figure.add_subplot(rows, cols, i + 1,
-                                         projection="3d")
-            u = np.linspace(0, 2 * np.pi, 24)
-            v = np.linspace(0, np.pi, 12)
-            ax.plot_wireframe(np.outer(np.cos(u), np.sin(v)),
-                              np.outer(np.sin(u), np.sin(v)),
-                              np.outer(np.ones_like(u), np.cos(v)),
-                              color="gray", alpha=0.15, lw=0.5)
-            ax.quiver(0, 0, 0, b.x, b.y, b.z, color="#89b4fa", lw=2)
+        if self.view_combo.currentText() == "Single":
+            q = min(self.qubit_spin.value(), len(snaps) - 1)
+            b = snaps[q]
+            ax = self.figure.add_subplot(111, projection="3d")
+            self._wire_sphere(ax)
+            trail = self.model.faded_trajectory(q)
+            for i in range(1, len(trail)):
+                x0, y0, z0, _ = trail[i - 1]
+                x1, y1, z1, a = trail[i]
+                ax.plot([x0, x1], [y0, y1], [z0, z1],
+                        color="#fab387", alpha=a, lw=1.5)
+            ax.quiver(0, 0, 0, b.x, b.y, b.z, color="#89b4fa", lw=2.5)
             title = f"q{b.qubit}"
             if b.label:
-                title += f" {b.label}"
-            ax.set_title(title, fontsize=8)
+                title += f"  {b.label}"
+            ax.set_title(title, fontsize=10)
             ax.set_axis_off()
+            self.info.setText(
+                f"({b.x:+.3f}, {b.y:+.3f}, {b.z:+.3f})  "
+                f"purity {b.purity:.4f}"
+                + (f"  ≈ {b.label}" if b.label else ""))
+        else:
+            n = len(snaps)
+            cols = min(4, n)
+            rows = -(-n // cols)
+            for i, b in enumerate(snaps):
+                ax = self.figure.add_subplot(rows, cols, i + 1,
+                                             projection="3d")
+                self._wire_sphere(ax)
+                ax.quiver(0, 0, 0, b.x, b.y, b.z, color="#89b4fa", lw=2)
+                title = f"q{b.qubit}"
+                if b.label:
+                    title += f" {b.label}"
+                ax.set_title(title, fontsize=8)
+                ax.set_axis_off()
+            self.info.setText("")
         self.redraw()
 
 

@@ -129,6 +129,20 @@ class BlochModel:
     def trajectory(self, qubit: int) -> list[tuple[float, float, float]]:
         return list(self._trajectories.get(qubit, []))
 
+    def faded_trajectory(self, qubit: int, min_alpha: float = 0.15
+                         ) -> list[tuple[float, float, float, float]]:
+        """Trajectory points with an alpha ramp (old -> faint, latest ->
+        opaque) — the Bloch panel's step-mode trail (the reference fades
+        its trajectory the same way, ``bloch_sphere.py:55-563``)."""
+        pts = self._trajectories.get(qubit, [])
+        k = len(pts)
+        if k == 0:
+            return []
+        if k == 1:
+            return [(pts[0][0], pts[0][1], pts[0][2], 1.0)]
+        return [(x, y, z, min_alpha + (1.0 - min_alpha) * i / (k - 1))
+                for i, (x, y, z) in enumerate(pts)]
+
     def reset(self) -> None:
         self._trajectories.clear()
 
@@ -399,6 +413,83 @@ class AnalysisDashboardModel:
             pairwise_concurrence=concurrence,
             is_separable=separable,
         )
+
+
+# ---------------------------------------------------------------------------
+# 12b. Debugger State Inspector + per-qubit noise heatmap
+# ---------------------------------------------------------------------------
+
+@dataclass
+class InspectorRow:
+    """One basis state in the debugger's State Inspector table."""
+
+    index: int
+    bitstring: str
+    real: float
+    imag: float
+    probability: float
+    ideal_probability: float | None
+    delta: float | None          # actual - ideal probability
+
+
+class DebuggerInspectorModel:
+    """Data behind the debugger's State Inspector sub-tab and the
+    per-qubit noise heatmap (the reference renders these in
+    ``debugger_panel.py:286-520``; here the computation is headless and
+    unit-tested, the panel just draws the rows/matrix)."""
+
+    @staticmethod
+    def amplitude_rows(snapshot, limit: int = 64,
+                       threshold: float = 1e-9) -> list[InspectorRow]:
+        """Top-probability basis states of the snapshot, actual vs ideal."""
+        if snapshot is None:
+            return []
+        amps = snapshot.state.data
+        probs = np.abs(amps) ** 2
+        ideal = None
+        if snapshot.ideal_state is not None:
+            ideal = np.abs(snapshot.ideal_state.data) ** 2
+        n = snapshot.state.num_qubits
+        order = np.argsort(probs)[::-1]
+        rows = []
+        for i in order[:limit]:
+            p = float(probs[i])
+            ip = float(ideal[i]) if ideal is not None else None
+            if p < threshold and (ip is None or ip < threshold):
+                continue
+            rows.append(InspectorRow(
+                index=int(i),
+                bitstring=format(int(i), f"0{n}b"),
+                real=float(amps[i].real),
+                imag=float(amps[i].imag),
+                probability=p,
+                ideal_probability=ip,
+                delta=(p - ip) if ip is not None else None,
+            ))
+        return rows
+
+    @staticmethod
+    def noise_heatmap(impacts) -> np.ndarray:
+        """(num_qubits, num_columns) per-qubit fidelity DROP matrix from
+        ``CircuitDebugger.compute_noise_impact`` results."""
+        if not impacts:
+            return np.zeros((0, 0))
+        mat = np.array([imp.per_qubit_fidelity for imp in impacts],
+                       dtype=np.float64).T        # (n, C)
+        return 1.0 - mat
+
+    @staticmethod
+    def heatmap_column_overlay(attribution) -> list[str]:
+        """Per-column attribution labels ('12%', '—' for recovery) to
+        overlay on the heatmap."""
+        if attribution is None:
+            return []
+        out = []
+        rec = attribution.is_recovery or [False] * len(
+            attribution.column_attribution_pct)
+        for pct, recovery in zip(attribution.column_attribution_pct, rec):
+            out.append("—" if recovery else f"{pct:.0f}%")
+        return out
 
 
 # ---------------------------------------------------------------------------
