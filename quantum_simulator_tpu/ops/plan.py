@@ -151,6 +151,13 @@ class CrossSpec:
     op_index: int
     slice_axis: int
     op_axis: int
+    # Folded predecessors (compose INTO the cross blocks instead of
+    # flushing a separate full-state pass):
+    #  * pre_op_subcolumns: pending ops on op_axis (any bits) — blocks @ M
+    #  * pre_slice_ops: pending ops on slice_axis touching ONLY the sliced
+    #    bit — B'_ik = sum_j B_ij u_jk
+    pre_op_subcolumns: tuple[tuple[int, ...], ...] = ()
+    pre_slice_ops: tuple[int, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -270,16 +277,29 @@ def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
                 if any(ax in pair and pend_diag[pair]["bits"].get(
                         ax, set()) & bits_by_axis[ax] for ax in axes):
                     flush_diag(pair)
-            for ax in (slice_axis, op_axis):
-                if pend_dense[ax]["bits"] & bits_by_axis[ax]:
-                    flush_dense(ax)
             slice_q = next(q for q in op.targets
                            if layout.axis_of(q) == slice_axis)
-            cross_specs.append(CrossSpec(op_index=oi, slice_axis=slice_axis,
-                                         op_axis=op_axis))
+            slice_pos = layout.pos_in_axis(slice_q)
+            # Fold conflicting pendings into the cross instead of flushing
+            # them as separate full-state passes.
+            pre_op_subcols: tuple = ()
+            pre_slice: tuple = ()
+            p_op = pend_dense[op_axis]
+            if p_op["bits"] & bits_by_axis[op_axis]:
+                pre_op_subcols = _subcolumns(p_op["ops"])
+                pend_dense[op_axis] = {"ops": [], "bits": set()}
+            p_sl = pend_dense[slice_axis]
+            if p_sl["bits"] & bits_by_axis[slice_axis]:
+                if p_sl["bits"] <= {slice_pos}:
+                    pre_slice = tuple(o for o, _ in p_sl["ops"])
+                    pend_dense[slice_axis] = {"ops": [], "bits": set()}
+                else:
+                    flush_dense(slice_axis)
+            cross_specs.append(CrossSpec(
+                op_index=oi, slice_axis=slice_axis, op_axis=op_axis,
+                pre_op_subcolumns=pre_op_subcols, pre_slice_ops=pre_slice))
             steps.append(CrossStep(
-                slice_axis=slice_axis,
-                slice_pos=layout.pos_in_axis(slice_q),
+                slice_axis=slice_axis, slice_pos=slice_pos,
                 op_axis=op_axis, index=len(cross_specs) - 1))
             continue
 
@@ -416,6 +436,24 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
         bits = layout.axis_bits[spec.op_axis]
         blocks = [[_embed_in_axis(u4[i, :, kk, :], pos, bits)
                    for kk in (0, 1)] for i in (0, 1)]
+        if spec.pre_slice_ops:
+            # every folded slice op is a 1q gate on the sliced bit:
+            # B'_ik = sum_j B_ij us_jk with us = product (in order)
+            us = None
+            for oi in spec.pre_slice_ops:
+                m = program.op_matrix(program.ops[oi], params, dtype)
+                us = m if us is None else jnp.matmul(m, us, precision=_HI)
+            blocks = [[blocks[i][0] * us[0, kk] + blocks[i][1] * us[1, kk]
+                       for kk in (0, 1)] for i in (0, 1)]
+        if spec.pre_op_subcolumns:
+            # pending op_axis operator applies BEFORE the cross: blocks @ M
+            m = None
+            for sub in spec.pre_op_subcolumns:
+                sc = _subcolumn_operator(program, params, sub, layout,
+                                         spec.op_axis, dtype)
+                m = sc if m is None else jnp.matmul(sc, m, precision=_HI)
+            blocks = [[jnp.matmul(blocks[i][kk], m, precision=_HI)
+                       for kk in (0, 1)] for i in (0, 1)]
         # (i, y, k, x) complex
         C = jnp.stack([jnp.stack(row, axis=0) for row in blocks], axis=0)
         C = C.transpose(0, 2, 1, 3)
