@@ -341,7 +341,113 @@ def _permute_matrix_bits(m: jnp.ndarray, bit_order: list[int]) -> jnp.ndarray:
     return g.reshape(1 << B, 1 << B)
 
 
-def _subcolumn_operator(program: prog.CircuitProgram, params,
+class _GateMatrixPool:
+    """Vectorized per-trace gate-matrix construction.
+
+    The naive prelude builds every parameterized gate's matrix with its
+    own ~6 scalar ops (cos/sin/stack), which at depth 40 x 16 qubits is
+    ~1000 tiny XLA ops. Here all gates sharing a builder are constructed
+    by ONE vmapped call (a gather + a handful of vectorized ops), and
+    single-qubit matrices additionally live in one (P, 2, 2) pool so
+    whole sub-columns can be gathered and kron-chained in batch.
+    """
+
+    def __init__(self, program: prog.CircuitProgram, params, dtype):
+        self.program = program
+        self.dtype = dtype
+        self._per_op: dict[int, jnp.ndarray] = {}
+        self._lazy: dict[int, tuple] = {}
+
+        by_name: dict[str, list[int]] = {}
+        static_cache: dict[bytes, jnp.ndarray] = {}
+        static_1q: dict[bytes, tuple[np.ndarray, int]] = {}
+        for oi, op in enumerate(program.ops):
+            if op.static_matrix is None and op.num_params > 0:
+                by_name.setdefault(op.gate_name, []).append(oi)
+            else:
+                key = op.static_matrix.tobytes()
+                mat = static_cache.get(key)
+                if mat is None:
+                    mat = jnp.asarray(op.static_matrix, dtype=dtype)
+                    static_cache[key] = mat
+                self._per_op[oi] = mat
+                if len(op.targets) == 1 and key not in static_1q:
+                    static_1q[key] = (op.static_matrix, len(static_1q))
+
+        # 1q pool: eye at row 0, one row block per vmapped builder stack,
+        # one row per distinct static 1q matrix — assembled by concat,
+        # never by per-gate slicing.
+        self._pool_index: dict[int, int] = {}
+        pool_parts = [np.eye(2, dtype=np.complex64)[None]]
+        static_rows = 1
+        for key, (mat, k) in static_1q.items():
+            pool_parts.append(mat.astype(np.complex64)[None])
+        pool_parts = [jnp.asarray(np.concatenate(pool_parts), dtype=dtype)]
+        base = 1 + len(static_1q)
+        for oi, op in enumerate(program.ops):
+            if len(op.targets) == 1 and op.static_matrix is not None:
+                self._pool_index[oi] = \
+                    static_rows + static_1q[op.static_matrix.tobytes()][1]
+
+        for name, indices in by_name.items():
+            ops = [program.ops[i] for i in indices]
+            np_count = ops[0].num_params
+            builder = ops[0].jnp_builder
+            if len(indices) == 1:
+                op = ops[0]
+                p = [params[op.param_offset + j] for j in range(np_count)]
+                stack = builder(*p).astype(dtype)[None]
+                self._per_op[indices[0]] = stack[0]
+            else:
+                offs = np.array(
+                    [[op.param_offset + j for j in range(np_count)]
+                     for op in ops])
+                cols = [params[jnp.asarray(offs[:, j])]
+                        for j in range(np_count)]
+                stack = jax.vmap(lambda *p: builder(*p))(*cols).astype(dtype)
+                for row, oi in enumerate(indices):
+                    # lazy slice: only ops used outside the batched paths
+                    # materialize an extraction eqn
+                    self._lazy[oi] = (stack, row)
+            if len(ops[0].targets) == 1:
+                for row, oi in enumerate(indices):
+                    self._pool_index[oi] = base + row
+                pool_parts.append(stack)
+                base += len(indices)
+
+        self.pool_1q = (jnp.concatenate(pool_parts)
+                        if len(self._pool_index) else None)
+
+    def matrix(self, oi: int) -> jnp.ndarray:
+        cached = self._per_op.get(oi)
+        if cached is None:
+            stack, row = self._lazy[oi]
+            cached = stack[row]
+            self._per_op[oi] = cached
+        return cached
+
+    def pool_index(self, oi: int) -> int:
+        return self._pool_index[oi]
+
+
+def _batched_1q_subcolumns(pool: _GateMatrixPool, tables: np.ndarray
+                           ) -> jnp.ndarray:
+    """(B, bits) pool-index tables -> (B, 2^bits, 2^bits) kron products
+    (index 0 = identity) in bits-1 batched einsums."""
+    gathered = jnp.take(pool.pool_1q, jnp.asarray(tables), axis=0)
+    bits = tables.shape[1]
+    acc = gathered[:, 0]
+    size = 2
+    for b in range(1, bits):
+        # out[(r i), (c j)] = acc[r, c] * g[i, j]  (bit b is LESS
+        # significant than everything accumulated so far)
+        acc = jnp.einsum("brc,bij->bricj", acc, gathered[:, b]).reshape(
+            tables.shape[0], size * 2, size * 2)
+        size *= 2
+    return acc
+
+
+def _subcolumn_operator(program: prog.CircuitProgram, pool,
                         op_indices: tuple[int, ...], layout: GroupLayout,
                         axis: int, dtype) -> jnp.ndarray:
     """(S, S) operator = interleaved kron of the sub-column's gates (all
@@ -352,7 +458,7 @@ def _subcolumn_operator(program: prog.CircuitProgram, params,
     for oi in op_indices:
         op = program.ops[oi]
         pos = [layout.pos_in_axis(q) for q in op.targets]
-        u = program.op_matrix(op, params, dtype)
+        u = pool.matrix(oi)
         u = _reorder_gate_matrix(u, pos)
         spos = tuple(sorted(pos))
         items.append((spos[0], spos, u))
@@ -394,13 +500,39 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
     """Trace-time operator construction: per-axis blocked stacks
     (m, 2, 2, S, S) f32, blocked cross ops, blocked pair diagonals."""
     layout = plan.layout
+    pool = _GateMatrixPool(program, params, dtype)
+
+    # Batch every all-1q sub-column of each axis-width class into one
+    # gather + kron chain (the dominant sub-column shape in layered
+    # circuits); anything containing a multi-qubit gate goes per-item.
+    classes: dict[int, list[np.ndarray]] = {}
+    class_ref: dict[tuple[int, int], int] = {}  # (seg#, sub#) -> row
+    for si, seg in enumerate(plan.dense_segments):
+        bits = layout.axis_bits[seg.axis]
+        for bi, sub in enumerate(seg.subcolumns):
+            if not all(len(program.ops[oi].targets) == 1 for oi in sub):
+                continue
+            table = np.zeros(bits, dtype=np.int32)
+            for oi in sub:
+                q = program.ops[oi].targets[0]
+                table[layout.pos_in_axis(q)] = pool.pool_index(oi)
+            class_ref[(si, bi)] = len(classes.setdefault(bits, []))
+            classes[bits].append(table)
+    batched: dict[int, jnp.ndarray] = {
+        bits: _batched_1q_subcolumns(pool, np.stack(tables))
+        for bits, tables in classes.items()}
 
     axis_lists: list[list] = [[] for _ in layout.axis_sizes]
-    for seg in plan.dense_segments:
+    for si, seg in enumerate(plan.dense_segments):
+        bits = layout.axis_bits[seg.axis]
         combined = None
-        for sub in seg.subcolumns:
-            sc = _subcolumn_operator(program, params, sub, layout,
-                                     seg.axis, dtype)
+        for bi, sub in enumerate(seg.subcolumns):
+            row = class_ref.get((si, bi))
+            if row is not None:
+                sc = batched[bits][row]
+            else:
+                sc = _subcolumn_operator(program, pool, sub, layout,
+                                         seg.axis, dtype)
             combined = sc if combined is None else jnp.matmul(
                 sc, combined, precision=_HI)
         axis_lists[seg.axis].append(combined)
@@ -422,7 +554,7 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
         op_qs = sorted((q for q in op.targets
                         if layout.axis_of(q) == spec.op_axis),
                        key=lambda q: layout.pos_in_axis(q))
-        u = program.op_matrix(op, params, dtype)
+        u = pool.matrix(spec.op_index)
         k = len(op.targets)
         order = [op.targets.index(slice_q)] + [op.targets.index(q)
                                                for q in op_qs]
@@ -441,7 +573,7 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
             # B'_ik = sum_j B_ij us_jk with us = product (in order)
             us = None
             for oi in spec.pre_slice_ops:
-                m = program.op_matrix(program.ops[oi], params, dtype)
+                m = pool.matrix(oi)
                 us = m if us is None else jnp.matmul(m, us, precision=_HI)
             blocks = [[blocks[i][0] * us[0, kk] + blocks[i][1] * us[1, kk]
                        for kk in (0, 1)] for i in (0, 1)]
@@ -449,7 +581,7 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
             # pending op_axis operator applies BEFORE the cross: blocks @ M
             m = None
             for sub in spec.pre_op_subcolumns:
-                sc = _subcolumn_operator(program, params, sub, layout,
+                sc = _subcolumn_operator(program, pool, sub, layout,
                                          spec.op_axis, dtype)
                 m = sc if m is None else jnp.matmul(sc, m, precision=_HI)
             blocks = [[jnp.matmul(blocks[i][kk], m, precision=_HI)
@@ -467,7 +599,7 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
         D = jnp.ones((sa, sb), dtype=dtype)
         for oi in seg.op_indices:
             op = program.ops[oi]
-            d = jnp.diagonal(program.op_matrix(op, params, dtype))
+            d = jnp.diagonal(pool.matrix(oi))
             k = len(op.targets)
             code_a = np.zeros(sa, dtype=np.int32)
             code_b = np.zeros(sb, dtype=np.int32)

@@ -237,17 +237,20 @@ def clear_compile_cache():
     _CACHE.clear()
 
 
-# Above this qubit count the per-gate einsum program compiles pathologically
-# on TPU (remote-compile timeouts/OOM observed at n>=20); the plan-based
-# executor (uniform 128-lane dots) takes over when the circuit qualifies.
+# The group-matmul executor is the forward path on TPU at every n: it
+# matches the per-gate einsum program below ~12 qubits and beats it above
+# (n=14 depth-20: 2.0 vs 3.5 ms; n=16 depth-40: 3.9 vs 18.5 ms measured),
+# and the einsum program stops compiling in reasonable time at n >= 20 on
+# remote-compile runtimes. Trajectory/steps bodies still switch at this
+# threshold (noise between gates prevents composition; per-gate einsums
+# batch better under vmap at small n).
 _PLAN_EXECUTOR_MIN_QUBITS = 19
 
 
 def forward_fn(program: CircuitProgram, dtype=None) -> Callable:
     """jitted ``f(params) -> state``."""
     dtype = dtype or CONFIG.dtype
-    if (program.num_qubits >= _PLAN_EXECUTOR_MIN_QUBITS
-            and jax.default_backend() == "tpu"):
+    if jax.default_backend() == "tpu":
         from .plan import group_forward_fn
 
         return group_forward_fn(program, dtype)
