@@ -93,8 +93,28 @@ class SimulatorClient:
             params["seed"] = seed
         return self._send_request("run", params)
 
-    def get_state(self) -> dict:
-        return self._send_request("get_state")
+    def get_state(self, offset: int | None = None,
+                  length: int | None = None) -> dict:
+        """Full state by default; pass offset/length for a window of a
+        large state (see the server's chunked get_state extension)."""
+        params = {}
+        if offset is not None:
+            params["offset"] = offset
+        if length is not None:
+            params["length"] = length
+        return self._send_request("get_state", params or None)
+
+    def iter_state_windows(self, window: int = 65536):
+        """Yield (offset, amplitudes) windows until the state is
+        exhausted — streaming fetch for n > 20 states whose single-line
+        JSON payload would be impractical."""
+        offset = 0
+        while True:
+            data = self.get_state(offset=offset, length=window)
+            yield offset, data["amplitudes"]
+            offset += len(data["amplitudes"])
+            if offset >= data["total"] or not data["amplitudes"]:
+                return
 
     def get_result(self) -> dict:
         return self._send_request("get_result")

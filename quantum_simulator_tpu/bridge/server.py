@@ -132,10 +132,36 @@ class BridgeCommandHandler:
         })
 
     def _cmd_get_state(self, msg: BridgeMessage) -> BridgeMessage:
+        """Full state, or a window of it.
+
+        Optional params ``offset``/``length`` return an amplitude window
+        plus ``total`` (extension beyond the reference's always-full
+        payload, ``/root/reference/quantum_sim/bridge/server.py:145-160``
+        — a full n=24 JSON state is ~1 GiB; windows keep the newline-
+        framed protocol usable at large n). No params = full state,
+        byte-compatible with the reference."""
         if self._last_result is None:
             return BridgeMessage.error_response(msg.id,
                                                 "No simulation result")
         sv = self._last_result.final_state
+        total = 2 ** sv.num_qubits
+        offset = int(msg.params.get("offset", 0))
+        length = msg.params.get("length")
+        if offset or length is not None:
+            if not 0 <= offset < total:
+                return BridgeMessage.error_response(
+                    msg.id, f"offset {offset} out of range [0, {total})")
+            length = total - offset if length is None else int(length)
+            length = max(0, min(length, total - offset))
+            window = sv.data[offset:offset + length]
+            return BridgeMessage.ok_response(msg.id, {
+                "num_qubits": sv.num_qubits,
+                "offset": offset,
+                "total": total,
+                "amplitudes": [{"re": float(a.real), "im": float(a.imag)}
+                               for a in window],
+                "probabilities": (np.abs(window) ** 2).tolist(),
+            })
         data = sv.data
         amplitudes = [{"re": float(a.real), "im": float(a.imag)}
                       for a in data]

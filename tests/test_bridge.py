@@ -128,3 +128,35 @@ class TestOverSocket:
             c1.set_circuit(bell_dict())
             # shared handler state: c2 sees c1's circuit
             assert len(c2.get_circuit()["gates"]) == 2
+
+
+class TestChunkedState:
+    """get_state windows: the streaming extension for large-n states."""
+
+    def test_window_fetch(self, client):
+        client.set_circuit(bell_dict())
+        client.run(shots=0, seed=1)
+        win = client.get_state(offset=2, length=2)
+        assert win["total"] == 4 and win["offset"] == 2
+        assert len(win["amplitudes"]) == 2
+        assert abs(win["amplitudes"][1]["re"] - 1 / np.sqrt(2)) < 1e-5
+        assert win["probabilities"][1] == pytest.approx(0.5, abs=1e-5)
+
+    def test_window_clipping_and_errors(self, client):
+        client.set_circuit(bell_dict())
+        client.run(shots=0, seed=1)
+        win = client.get_state(offset=3, length=100)
+        assert len(win["amplitudes"]) == 1
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError):
+            client.get_state(offset=99)
+
+    def test_iter_state_windows_reassembles(self, client):
+        client.set_circuit(bell_dict())
+        client.run(shots=0, seed=1)
+        full = client.get_state()["amplitudes"]
+        parts = []
+        for off, amps in client.iter_state_windows(window=3):
+            assert off == len(parts)
+            parts.extend(amps)
+        assert parts == full
