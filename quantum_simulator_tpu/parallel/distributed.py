@@ -553,7 +553,12 @@ class DistributedSimulator:
         shard_of = np.asarray(shard_of).astype(np.int64)
         local_of = np.asarray(local_of).astype(np.int64)
         global_idx = (shard_of << n_local) | local_of
-        values, freq = np.unique(global_idx, return_counts=True)
         n = state.num_qubits
+        from ..native import histogram_from_indices_native
+
+        native = histogram_from_indices_native(global_idx, n)
+        if native is not None:
+            return native
+        values, freq = np.unique(global_idx, return_counts=True)
         return {format(int(v), f"0{n}b"): int(c)
                 for v, c in zip(values, freq)}
