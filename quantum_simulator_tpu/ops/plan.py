@@ -139,10 +139,11 @@ class GenericStep:
 @dataclass(frozen=True)
 class DenseSegment:
     """Recipe for one composed per-axis operator: sub-columns (each a
-    set of ops with disjoint bits -> kron) multiplied in order."""
+    set of ops with disjoint bits -> kron) multiplied in order. Segments
+    are stored in flush order, so the i-th segment of an axis IS that
+    axis's operator-stack entry i."""
 
     axis: int
-    slot: int
     subcolumns: tuple[tuple[int, ...], ...]   # program op indices
 
 
@@ -175,7 +176,6 @@ class GroupPlan:
     dense_segments: tuple[DenseSegment, ...]
     cross_specs: tuple[CrossSpec, ...]
     diag_segments: tuple[DiagSegment, ...]
-    ops_per_axis: tuple[int, ...]
 
 
 def _op_is_diagonal(op: prog.ProgramOp) -> bool:
@@ -214,7 +214,7 @@ def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
         if not p["ops"]:
             return
         dense_segments.append(DenseSegment(
-            axis=ax, slot=counts[ax], subcolumns=_subcolumns(p["ops"])))
+            axis=ax, subcolumns=_subcolumns(p["ops"])))
         steps.append(AxisMatmulStep(axis=ax, op_index=counts[ax]))
         counts[ax] += 1
         pend_dense[ax] = {"ops": [], "bits": set()}
@@ -310,8 +310,7 @@ def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
     return GroupPlan(layout=layout, steps=tuple(steps),
                      dense_segments=tuple(dense_segments),
                      cross_specs=tuple(cross_specs),
-                     diag_segments=tuple(diag_segments),
-                     ops_per_axis=tuple(max(1, c) for c in counts))
+                     diag_segments=tuple(diag_segments))
 
 
 # ---------------------------------------------------------------------------

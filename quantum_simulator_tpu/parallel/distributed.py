@@ -134,6 +134,13 @@ def _build_schedule(program: prog.CircuitProgram, g: int) -> list[tuple]:
     the output sharding is canonical.
     """
     n = program.num_qubits
+    n_local = n - g
+    max_arity = max((len(op.targets) for op in program.ops), default=0)
+    if max_arity > n_local:
+        raise ValueError(
+            f"a {max_arity}-qubit gate needs at least {max_arity} local "
+            f"qubits per shard; n={n} over 2^{g} devices leaves only "
+            f"{n_local} — use a smaller mesh")
     layout = _Layout(n)
     items: list[tuple] = []
 
@@ -277,8 +284,13 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
     def body(params):
         my = jax.lax.axis_index(axis)
         amp0 = jnp.where(my == init_dev, jnp.float32(1.0), jnp.float32(0.0))
-        x = jnp.zeros((2, 1 << n_local), jnp.float32)
-        x = x.at[0, init_local].set(amp0)
+        # outer-product one-hot (a scatter into the big planar buffer
+        # blows XLA compile time ~25x at large n — see
+        # ops/plan._planar_basis_state)
+        from ..ops.plan import _planar_basis_state
+
+        x = (_planar_basis_state(mini_layout, init_local)
+             .reshape(2, 1 << n_local) * amp0)
         for seg in segments:
             if seg[0] == "swap":
                 # the complex plane is one extra MSB on the flat planar
@@ -395,6 +407,8 @@ def sharded_trajectory_fn(program: prog.CircuitProgram, noise_model,
     axis = mesh.axis_names[0]
     n_devices = mesh.shape[axis]
     g = int(math.log2(n_devices))
+    if 2**g != n_devices:
+        raise ValueError("mesh size must be a power of 2")
     body = _build_noisy_local_body(program, noise_model, g, n_devices,
                                    axis, dtype)
     fn = shard_map_compat(body, mesh=mesh, in_specs=(P(), P()),
@@ -530,13 +544,17 @@ class DistributedSimulator:
             local_sum = jnp.sum(probs)
             sums = jax.lax.all_gather(local_sum, axis)          # (D,)
             my = jax.lax.axis_index(axis)
-            dev_ids = jax.lax.broadcasted_iota(jnp.int32,
-                                               (n_devices, 1), 0).squeeze(-1)
-            prefix = jnp.sum(jnp.where(dev_ids < my, sums, 0.0))
-            total = jnp.sum(sums)
+            # One shared cumsum defines every shard boundary: shard i owns
+            # [bounds[i-1], bounds[i]). Computing prefixes with per-shard
+            # masked sums instead would reassociate floats, opening 1-ulp
+            # gaps/overlaps between adjacent shards' intervals.
+            bounds = jnp.cumsum(sums)                           # (D,)
+            prefix = jnp.where(my > 0, bounds[jnp.maximum(my - 1, 0)], 0.0)
+            upper = bounds[my]
+            total = bounds[n_devices - 1]
             u_scaled = u * total
             claimed = (u_scaled >= prefix) & (
-                (u_scaled < prefix + local_sum) | (my == n_devices - 1))
+                (u_scaled < upper) | (my == n_devices - 1))
             cdf = prefix + jnp.cumsum(probs)
             idx_local = jnp.clip(
                 jnp.searchsorted(cdf, u_scaled, side="right"),

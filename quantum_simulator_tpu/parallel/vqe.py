@@ -133,9 +133,11 @@ def sharded_vqe_step(circuit, mesh: Mesh, *, qubit: int = 0,
     rows_per_shard = rows_padded // traj
 
     def shard_body(rows_shard):
-        costs = [cost_local(forward_block(rows_shard[r]))
-                 for r in range(rows_per_shard)]
-        return jnp.stack(costs)
+        # vmap traces the circuit ONCE for all rows this shard owns
+        # (ppermute has a batching rule); unrolling would grow the XLA
+        # program by a full circuit copy per parameter-shift row.
+        return jax.vmap(lambda row: cost_local(forward_block(row)))(
+            rows_shard[:rows_per_shard])
 
     sharded_costs = shard_map_compat(
         shard_body, mesh=mesh,
