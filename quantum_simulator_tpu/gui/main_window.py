@@ -85,8 +85,38 @@ class MainWindow(QMainWindow):
 
         self._build_ui()
         self._build_menus()
+        self._build_toolbar()
         self.circuit_controller.on_circuit_changed(self._on_circuit_changed)
         self.statusBar().showMessage("Ready")
+
+    def _build_toolbar(self) -> None:
+        from PyQt6.QtWidgets import QLabel, QSpinBox, QToolBar
+
+        bar = QToolBar("Main")
+        self.addToolBar(bar)
+        bar.addAction("Run", self._on_run_simulation)
+        bar.addAction("Step", self._on_step_mode)
+        bar.addAction("Debug", self._on_debug_circuit)
+        bar.addSeparator()
+        bar.addWidget(QLabel(" Qubits: "))
+        self.qubit_spin = QSpinBox()
+        self.qubit_spin.setRange(1, self.config.max_qubits)
+        self.qubit_spin.setValue(self.circuit_controller.circuit.num_qubits)
+        self.qubit_spin.valueChanged.connect(
+            self.circuit_controller.set_qubit_count)
+        bar.addWidget(self.qubit_spin)
+        bar.addSeparator()
+        self.noise_indicator = QLabel(" noise: off ")
+        bar.addWidget(self.noise_indicator)
+
+    def _refresh_noise_indicator(self) -> None:
+        if self.noise_model is None or not self.noise_model.has_noise():
+            self.noise_indicator.setText(" noise: off ")
+        else:
+            names = [type(ch).__name__.replace("Noise", "")
+                     for ch in self.noise_model.global_channels]
+            self.noise_indicator.setText(
+                " noise: " + (", ".join(names) or "per-gate") + " ")
 
     # --- UI construction ---------------------------------------------------
 
@@ -203,6 +233,8 @@ class MainWindow(QMainWindow):
         file_menu = self.menuBar().addMenu("&File")
         act(file_menu, "Open circuit…", self._open_circuit, "Ctrl+O")
         act(file_menu, "Save circuit…", self._save_circuit, "Ctrl+S")
+        self.recent_menu = file_menu.addMenu("Open recent")
+        self._rebuild_recent_menu()
         act(file_menu, "Export PNG…", lambda: self._export_image("png"))
         act(file_menu, "Export SVG…", lambda: self._export_image("svg"))
         file_menu.addSeparator()
@@ -336,6 +368,7 @@ class MainWindow(QMainWindow):
         dialog = NoiseConfigDialog(self.noise_model, self)
         if dialog.exec():
             self.noise_model = dialog.build_noise_model()
+            self._refresh_noise_indicator()
 
     def _set_seed(self) -> None:
         seed, ok = QInputDialog.getInt(self, "Seed", "Master seed:",
@@ -386,6 +419,24 @@ class MainWindow(QMainWindow):
 
     # --- files -----------------------------------------------------------------
 
+    def _rebuild_recent_menu(self) -> None:
+        self.recent_menu.clear()
+        for path in self.config.recent_files:
+            action = QAction(path, self)
+            action.triggered.connect(
+                lambda _, p=path: self._open_recent(p))
+            self.recent_menu.addAction(action)
+        self.recent_menu.setEnabled(bool(self.config.recent_files))
+
+    def _open_recent(self, path: str) -> None:
+        try:
+            self.circuit_controller.circuit = CircuitSerializer.load(path)
+        except OSError as e:
+            QMessageBox.warning(self, "Open recent", str(e))
+            return
+        self.config.add_recent_file(path)
+        self._rebuild_recent_menu()
+
     def _open_circuit(self) -> None:
         path, _ = QFileDialog.getOpenFileName(
             self, "Open circuit", self.config.last_directory,
@@ -393,6 +444,7 @@ class MainWindow(QMainWindow):
         if path:
             self.circuit_controller.circuit = CircuitSerializer.load(path)
             self.config.add_recent_file(path)
+            self._rebuild_recent_menu()
 
     def _save_circuit(self) -> None:
         path, _ = QFileDialog.getSaveFileName(

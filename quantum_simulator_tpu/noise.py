@@ -243,6 +243,15 @@ class NoiseModel:
     def readout_error(self) -> ReadoutError | None:
         return self._readout_error
 
+    @property
+    def global_channels(self) -> list[NoiseChannel]:
+        """Channels applied after every gate (read-only view)."""
+        return list(self._global_noise)
+
+    def has_noise(self) -> bool:
+        return bool(self._global_noise or self._gate_noise
+                    or self._readout_error is not None)
+
     def set_readout_error(self, error: ReadoutError) -> None:
         self._readout_error = error
 

@@ -208,3 +208,23 @@ class TestNoisySimulation:
         rho = Simulator().ensemble_density_matrix(bell(), n_trials=10, seed=1)
         purity = np.real(np.trace(rho @ rho))
         assert purity == pytest.approx(1.0, abs=1e-4)
+
+
+def test_noise_model_introspection():
+    from quantum_simulator_tpu.noise import (
+        BitFlipNoise,
+        DepolarizingNoise,
+        NoiseModel,
+        ReadoutError,
+    )
+
+    nm = NoiseModel()
+    assert not nm.has_noise()
+    nm.add_global_noise(DepolarizingNoise(0.1))
+    assert nm.has_noise()
+    assert len(nm.global_channels) == 1
+    nm.global_channels.append(BitFlipNoise(0.1))  # view, not the internals
+    assert len(nm.global_channels) == 1
+    nm2 = NoiseModel()
+    nm2.set_readout_error(ReadoutError(0.01, 0.01))
+    assert nm2.has_noise()
