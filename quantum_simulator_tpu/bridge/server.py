@@ -38,6 +38,14 @@ class BridgeCommandHandler:
 
     def set_circuit(self, circuit):
         self._circuit = circuit
+        self._invalidate()
+
+    def _invalidate(self):
+        """A circuit change orphans the last result and the fidelity
+        reference (the circuit_hash-invalidation rule the GUI's
+        ReferenceManager applies; the bridge context must match)."""
+        self._last_result = None
+        self._ideal_state = None
 
     def set_noise_model(self, noise_model):
         self._noise_model = noise_model
@@ -80,6 +88,7 @@ class BridgeCommandHandler:
             return BridgeMessage.error_response(msg.id,
                                                 "Missing 'circuit' param")
         self._circuit = QuantumCircuit.from_dict(circuit_dict)
+        self._invalidate()
         return BridgeMessage.ok_response(msg.id, {
             "num_qubits": self._circuit.num_qubits,
             "gate_count": self._circuit.gate_count(),
@@ -97,6 +106,7 @@ class BridgeCommandHandler:
             params=p.get("params", []),
             column=p.get("column", 0),
         ))
+        self._invalidate()
         return BridgeMessage.ok_response(msg.id, {
             "gate_count": self._circuit.gate_count()})
 
@@ -104,6 +114,7 @@ class BridgeCommandHandler:
         if self._circuit is None:
             return BridgeMessage.error_response(msg.id, "No circuit loaded")
         self._circuit.clear()
+        self._invalidate()
         return BridgeMessage.ok_response(msg.id)
 
     def _cmd_run(self, msg: BridgeMessage) -> BridgeMessage:
@@ -153,7 +164,12 @@ class BridgeCommandHandler:
                     msg.id, f"offset {offset} out of range [0, {total})")
             length = total - offset if length is None else int(length)
             length = max(0, min(length, total - offset))
-            window = sv.data[offset:offset + length]
+            from ..utils.xfer import to_host_complex
+
+            # slice ON DEVICE: converting sv.data would transfer the
+            # whole 2^n state per request, defeating the windowing
+            window = to_host_complex(
+                sv.device_data[offset:offset + length])
             return BridgeMessage.ok_response(msg.id, {
                 "num_qubits": sv.num_qubits,
                 "offset": offset,
@@ -327,9 +343,21 @@ class BridgeServer:
 
     def stop(self) -> None:
         self._running.clear()
-        if self._thread is not None:
-            self._thread.join(timeout=3.0)
-            self._thread = None
+        thread = self._thread
+        self._thread = None
+        if thread is not None:
+            thread.join(timeout=3.0)
+            if thread.is_alive():
+                # A long command is still executing; the loop thread owns
+                # the selector/sockets and will close them in its finally
+                # block when it exits. Nulling them here would crash the
+                # still-running thread.
+                logger.warning("bridge loop still busy; resources will be "
+                               "released when the command finishes")
+                return
+        self._cleanup()
+
+    def _cleanup(self) -> None:
         if self._selector is not None:
             for key in list(self._selector.get_map().values()):
                 try:
@@ -342,13 +370,19 @@ class BridgeServer:
         self._buffers.clear()
 
     def _loop(self) -> None:
-        while self._running.is_set():
-            events = self._selector.select(timeout=0.2)
-            for key, _ in events:
-                if key.data == "accept":
-                    self._accept()
-                else:
-                    self._read_client(key.fileobj)
+        try:
+            while self._running.is_set():
+                events = self._selector.select(timeout=0.2)
+                for key, _ in events:
+                    if key.data == "accept":
+                        self._accept()
+                    else:
+                        self._read_client(key.fileobj)
+        finally:
+            if not self._running.is_set() and self._thread is None:
+                # stop() already returned after a join timeout: this
+                # thread owns the cleanup now.
+                self._cleanup()
 
     def _accept(self) -> None:
         try:

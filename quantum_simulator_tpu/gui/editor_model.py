@@ -185,13 +185,14 @@ class CircuitEditorModel:
     # -- drag-to-move -----------------------------------------------------
     def plan_move(self, gate: GateInstance, x: float, y: float
                   ) -> tuple[int, tuple[int, ...]] | None:
-        """(new_column, new_targets) for dropping ``gate``'s FIRST target
-        at scene point (x, y), preserving the gate's qubit spacing; None
-        when out of range or colliding."""
+        """(new_column, new_targets) for dropping ``gate``'s TOPMOST
+        (minimum) target at scene point (x, y) — the scene draws the
+        item's origin at min(targets), so the anchor must match — with
+        qubit spacing preserved; None when out of range or colliding."""
         pos = self.snap(x, y)
         if pos is None:
             return None
-        dq = pos.qubit - gate.target_qubits[0]
+        dq = pos.qubit - min(gate.target_qubits)
         new_targets = tuple(q + dq for q in gate.target_qubits)
         n = self.circuit.num_qubits
         if not all(0 <= q < n for q in new_targets):

@@ -187,7 +187,7 @@ class MainWindow(QMainWindow):
         self.properties_panel.params_changed.connect(
             self.circuit_controller.update_gate_params)
         self.properties_panel.targets_changed.connect(
-            lambda g, t: self.circuit_controller.move_gate(g, g.column, t))
+            self._on_targets_edited)
 
     def _select_palette_gate(self, name: str) -> None:
         """Palette click: place the gate at the next free column (drag
@@ -208,6 +208,22 @@ class MainWindow(QMainWindow):
                 return
             targets = dialog.targets()
         model.commit_drop(plan, targets)
+
+    def _on_targets_edited(self, gate, targets) -> None:
+        """Properties-panel target edits get the same duplicate/occupancy
+        validation as drops and drags."""
+        if len(set(targets)) != len(targets):
+            self.statusBar().showMessage("Target qubits must be distinct")
+            return
+        n = self.circuit_controller.circuit.num_qubits
+        if not all(0 <= q < n for q in targets):
+            self.statusBar().showMessage("Target qubit out of range")
+            return
+        if not self.editor_model.cell_free(gate.column, targets,
+                                           exclude=gate):
+            self.statusBar().showMessage("Cell already occupied")
+            return
+        self.circuit_controller.move_gate(gate, gate.column, list(targets))
 
     def _edit_gate_params(self, gate) -> None:
         """Double-clicked gate: parameter dialog -> undoable update."""
@@ -310,8 +326,10 @@ class MainWindow(QMainWindow):
         self.debugger_panel.breakpoints = set(self.editor_model.breakpoints)
         t0 = time.perf_counter()
         try:
-            self.debugger_panel.run_debug(circuit, self.noise_model,
-                                          seed=self.seed_manager.seed or 42)
+            seed = self.seed_manager.seed
+            self.debugger_panel.run_debug(
+                circuit, self.noise_model,
+                seed=seed if seed is not None else 42)
         except Exception as e:  # noqa: BLE001
             QMessageBox.critical(self, "Debug error", str(e))
             return
@@ -356,6 +374,10 @@ class MainWindow(QMainWindow):
         self.analysis_panel.update_state(state, self.reference_manager)
 
     def _on_circuit_changed(self) -> None:
+        if self.bridge_server is not None and self.bridge_server.is_running:
+            # the controller may have swapped in a NEW circuit object
+            self.bridge_server.handler.set_circuit(
+                self.circuit_controller.circuit)
         invalidated = self.reference_manager.check_invalidation(
             self.circuit_controller.circuit.circuit_hash())
         if invalidated:
@@ -369,10 +391,15 @@ class MainWindow(QMainWindow):
         if dialog.exec():
             self.noise_model = dialog.build_noise_model()
             self._refresh_noise_indicator()
+            if (self.bridge_server is not None
+                    and self.bridge_server.is_running):
+                self.bridge_server.handler.set_noise_model(self.noise_model)
 
     def _set_seed(self) -> None:
-        seed, ok = QInputDialog.getInt(self, "Seed", "Master seed:",
-                                       self.seed_manager.seed or 42)
+        current = self.seed_manager.seed
+        seed, ok = QInputDialog.getInt(
+            self, "Seed", "Master seed:",
+            current if current is not None else 42)
         if ok:
             self.seed_manager.set_seed(seed)
 
@@ -431,8 +458,8 @@ class MainWindow(QMainWindow):
     def _open_recent(self, path: str) -> None:
         try:
             self.circuit_controller.circuit = CircuitSerializer.load(path)
-        except OSError as e:
-            QMessageBox.warning(self, "Open recent", str(e))
+        except Exception as e:  # corrupt/invalid file must not kill the app
+            QMessageBox.warning(self, "Open circuit", f"{path}:\n{e}")
             return
         self.config.add_recent_file(path)
         self._rebuild_recent_menu()
@@ -442,9 +469,7 @@ class MainWindow(QMainWindow):
             self, "Open circuit", self.config.last_directory,
             "Circuits (*.qsim *.json)")
         if path:
-            self.circuit_controller.circuit = CircuitSerializer.load(path)
-            self.config.add_recent_file(path)
-            self._rebuild_recent_menu()
+            self._open_recent(path)
 
     def _save_circuit(self) -> None:
         path, _ = QFileDialog.getSaveFileName(

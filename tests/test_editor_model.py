@@ -180,3 +180,16 @@ class TestOverlaysAndSelection:
         model.on_changed(lambda: fired.append(1))
         model.commit_drop(model.plan_drop("H", *scene_xy(model, 0, 0)))
         assert fired
+
+
+class TestReviewRegressions:
+    def test_move_anchor_is_min_target(self, model):
+        """A CNOT placed with control BELOW target (target_qubits=[1, 0])
+        must move relative to its topmost qubit — the scene draws the item
+        origin at min(targets)."""
+        plan = model.plan_drop("CNOT", *scene_xy(model, 0, 1))
+        assert model.commit_drop(plan, targets=(1, 0))
+        gate = model.circuit.gates[0]
+        # drop the item's top (qubit 0's row) onto qubit 2's row
+        move = model.plan_move(gate, *scene_xy(model, 0, 2))
+        assert move == (0, (3, 2))
