@@ -22,12 +22,15 @@ from .noise import (
     ReadoutError,
 )
 from .registry import GateRegistry
+from .density import DensityMatrixResult, DensityMatrixSimulator
 from .simulator import SimulationResult, Simulator
 from .state import StateVector
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "DensityMatrixResult",
+    "DensityMatrixSimulator",
     "CONFIG",
     "EngineConfig",
     "GateDefinition",

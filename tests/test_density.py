@@ -1,0 +1,114 @@
+"""Exact density-matrix simulator (density.py) — deterministic noisy
+evolution, validated against the pure-state engine and the Monte-Carlo
+ensemble path."""
+
+import numpy as np
+import pytest
+
+from quantum_simulator_tpu import (
+    DensityMatrixSimulator,
+    GateInstance,
+    QuantumCircuit,
+    Simulator,
+)
+from quantum_simulator_tpu.noise import (
+    AmplitudeDampingNoise,
+    BitFlipNoise,
+    DepolarizingNoise,
+    NoiseModel,
+    ReadoutError,
+)
+
+
+def bell():
+    c = QuantumCircuit(2)
+    c.add_gate(GateInstance("H", [0], [], column=0))
+    c.add_gate(GateInstance("CNOT", [0, 1], [], column=1))
+    return c
+
+
+class TestNoiseless:
+    def test_pure_state_projector(self):
+        res = DensityMatrixSimulator().run(bell())
+        psi = Simulator().run(bell(), shots=0).final_state.data
+        np.testing.assert_allclose(res.rho, np.outer(psi, psi.conj()),
+                                   atol=1e-6)
+        assert res.purity() == pytest.approx(1.0, abs=1e-5)
+        assert res.trace() == pytest.approx(1.0, abs=1e-6)
+
+    def test_expectation_z(self):
+        c = QuantumCircuit(3)
+        c.add_gate(GateInstance("X", [1], [], column=0))
+        res = DensityMatrixSimulator().run(c)
+        assert res.expectation_z(0) == pytest.approx(1.0, abs=1e-6)
+        assert res.expectation_z(1) == pytest.approx(-1.0, abs=1e-6)
+
+
+class TestChannels:
+    def test_full_depolarizing_single_qubit(self):
+        """p=1 depolarizing on one qubit leaves rho_q = I/2 exactly."""
+        c = QuantumCircuit(1)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(1.0))
+        res = DensityMatrixSimulator(noise_model=nm).run(c)
+        # depolarizing p: rho -> (1-2p/3... exact channel algebra) — at
+        # p=1 with Kraus {sqrt(1-p)I, sqrt(p/3)X/Y/Z} the Bloch vector
+        # shrinks by |1-4p/3| = 1/3; probabilities stay 1/2 each.
+        np.testing.assert_allclose(res.probabilities, [0.5, 0.5],
+                                   atol=1e-6)
+        assert res.trace() == pytest.approx(1.0, abs=1e-6)
+        assert res.purity() < 1.0
+
+    def test_amplitude_damping_limits(self):
+        c = QuantumCircuit(1)
+        c.add_gate(GateInstance("X", [0], [], column=0))
+        nm = NoiseModel()
+        nm.add_global_noise(AmplitudeDampingNoise(1.0))
+        res = DensityMatrixSimulator(noise_model=nm).run(c)
+        # gamma=1 decays |1><1| fully back to |0><0|
+        np.testing.assert_allclose(res.probabilities, [1.0, 0.0],
+                                   atol=1e-6)
+
+    def test_bitflip_exact_value(self):
+        """One X gate then bit-flip(p): P(0) = p exactly."""
+        p = 0.17
+        c = QuantumCircuit(1)
+        c.add_gate(GateInstance("X", [0], [], column=0))
+        nm = NoiseModel()
+        nm.add_global_noise(BitFlipNoise(p))
+        res = DensityMatrixSimulator(noise_model=nm).run(c)
+        assert res.probabilities[0] == pytest.approx(p, abs=1e-6)
+
+    def test_matches_monte_carlo_ensemble(self):
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.1))
+        exact = DensityMatrixSimulator(noise_model=nm).run(bell())
+        mc = Simulator(noise_model=nm).ensemble_density_matrix(
+            bell(), n_trials=4000, seed=7)
+        assert np.abs(exact.rho - np.asarray(mc)).max() < 0.03
+        assert exact.trace() == pytest.approx(1.0, abs=1e-5)
+
+    def test_parameterized_no_recompile_and_cap(self):
+        c = QuantumCircuit(1)
+        c.add_gate(GateInstance("Ry", [0], [0.4], column=0))
+        sim = DensityMatrixSimulator()
+        r1 = sim.run(c)
+        c2 = QuantumCircuit(1)
+        c2.add_gate(GateInstance("Ry", [0], [1.3], column=0))
+        r2 = sim.run(c2)
+        assert abs(r1.probabilities[1] - r2.probabilities[1]) > 0.1
+        big = QuantumCircuit(15)
+        with pytest.raises(ValueError):
+            sim.run(big)
+
+
+class TestSampling:
+    def test_counts_and_readout(self):
+        nm = NoiseModel()
+        nm.set_readout_error(ReadoutError(p01=0.0, p10=0.0))
+        sim = DensityMatrixSimulator(noise_model=nm)
+        res = sim.run(bell())
+        counts = sim.sample(res, 2000, np.random.default_rng(0))
+        assert sum(counts.values()) == 2000
+        assert set(counts) == {"00", "11"}
