@@ -302,13 +302,17 @@ class OptimizerPanel(_Canvas):
                                   "finite_difference"])
         self.run_btn = QPushButton("Optimize")
         self.plateau_btn = QPushButton("Barren Plateau")
+        self.view_combo = QComboBox()
+        self.view_combo.addItems(["Convergence", "Parameters"])
+        self.view_combo.currentIndexChanged.connect(lambda _: self._plot())
         for w in (QLabel("Cost:"), self.cost_combo, QLabel("LR:"),
                   self.lr_spin, QLabel("Iters:"), self.iters_spin,
                   QLabel("Grad:"), self.grad_combo, self.run_btn,
-                  self.plateau_btn):
+                  self.plateau_btn, QLabel("View:"), self.view_combo):
             self.controls.addWidget(w)
         self.controls.addStretch(1)
         self._history: list[float] = []
+        self._param_history: list[list[float]] = []
         self.progress.connect(self._on_progress)
         self.finished.connect(self._on_finished)
         self._optimizer: CircuitOptimizer | None = None
@@ -331,16 +335,19 @@ class OptimizerPanel(_Canvas):
             self.redraw()
             return
         self._history = []
+        self._param_history = []
         self._optimizer = CircuitOptimizer(
             config, self._cost_fn(circuit),
             learning_rate=self.lr_spin.value(),
             max_iterations=self.iters_spin.value(),
             gradient_method=self.grad_combo.currentText())
 
+        def on_iter(i, values, cost):
+            self._param_history.append([float(v) for v in values])
+            self.progress.emit(i, cost)
+
         def work():
-            result = self._optimizer.run(
-                callback=lambda i, v, c: self.progress.emit(i, c),
-                seed=seed)
+            result = self._optimizer.run(callback=on_iter, seed=seed)
             self.finished.emit(result)
 
         threading.Thread(target=work, daemon=True).start()
@@ -364,9 +371,19 @@ class OptimizerPanel(_Canvas):
 
     def _plot(self) -> None:
         ax = self.axes()
-        ax.plot(self._history, color="#89b4fa")
+        if (self.view_combo.currentText() == "Parameters"
+                and self._param_history):
+            arr = np.array(self._param_history)
+            for j in range(min(arr.shape[1], 16)):
+                ax.plot(arr[:, j], lw=1, label=f"p{j}"
+                        if arr.shape[1] <= 8 else None)
+            if arr.shape[1] <= 8:
+                ax.legend(fontsize=7)
+            ax.set_ylabel("Parameter value")
+        else:
+            ax.plot(self._history, color="#89b4fa")
+            ax.set_ylabel("Cost")
         ax.set_xlabel("Iteration")
-        ax.set_ylabel("Cost")
         self.redraw()
 
     def show_plateau(self, circuit, seed: int = 42) -> None:
@@ -410,13 +427,44 @@ class QECPanel(_Canvas):
         cycle_btn.clicked.connect(self.run_cycle)
         sweep_btn = QPushButton("Threshold Sweep")
         sweep_btn.clicked.connect(self.run_sweep)
+        layout_btn = QPushButton("Code Layout")
+        layout_btn.clicked.connect(self.show_layout)
         self.status = QLabel("")
         for w in (QLabel("Code:"), self.code_combo, QLabel("Noise:"),
                   self.noise_combo, QLabel("p:"), self.p_spin,
-                  self.logical_combo, cycle_btn, sweep_btn, self.status):
+                  self.logical_combo, cycle_btn, sweep_btn, layout_btn,
+                  self.status):
             self.controls.addWidget(w)
         self.controls.addStretch(1)
         self.sweep_done.connect(self._plot_sweep)
+
+    def show_layout(self) -> None:
+        """Code-layout diagram: data qubits (circles) in a row, one row
+        per parity check below, with edges to the check's members
+        (the reference's Code Layout tab, ``qec_panel.py:32-483``)."""
+        code = AVAILABLE_CODES[self.code_combo.currentText()]()
+        ax = self.axes()
+        nd = code.data_qubits
+        for q in range(nd):
+            ax.scatter(q, 0, s=600, c="#89b4fa", zorder=3)
+            ax.text(q, 0, f"d{q}", ha="center", va="center", zorder=4,
+                    fontsize=9, color="#11111b")
+        checks = ([("Z", c) for c in code.comp_frame_checks()]
+                  + [("X", c) for c in code.h_frame_checks()])
+        for i, (kind, members) in enumerate(checks):
+            y = -1.0 - i * 0.8
+            color = "#a6e3a1" if kind == "Z" else "#fab387"
+            ax.scatter(-1.2, y, s=450, marker="s", c=color, zorder=3)
+            ax.text(-1.2, y, f"{kind}{i}", ha="center", va="center",
+                    zorder=4, fontsize=8, color="#11111b")
+            for q in members:
+                ax.plot([-1.2, q], [y, 0], color=color, lw=1.2,
+                        alpha=0.6, zorder=1)
+        ax.set_title(f"{code.name}: {nd} data + "
+                     f"{code.ancilla_qubits} ancilla, "
+                     f"{len(checks)} stabilizer checks", fontsize=9)
+        ax.set_axis_off()
+        self.redraw()
 
     def _sim(self) -> QECSimulator:
         return QECSimulator(AVAILABLE_CODES[self.code_combo.currentText()]())
