@@ -60,23 +60,45 @@ class _CanvasPanel(QWidget):
 
 
 class StateVectorPanel(QWidget):
-    """Amplitude table (panel 1)."""
+    """Amplitude table with in-row probability bars and a nonzero filter
+    (panel 1 — the reference uses a custom paint delegate for the bars,
+    ``state_vector_panel.py:19-236``; a text bar renders everywhere)."""
+
+    BAR_WIDTH = 12
 
     def __init__(self, parent=None):
         super().__init__(parent)
         layout = QVBoxLayout(self)
-        self.table = QTableWidget(0, 6)
+        controls = QHBoxLayout()
+        self.nonzero_check = QComboBox()
+        self.nonzero_check.addItems(["Nonzero only", "All basis states"])
+        self.nonzero_check.currentIndexChanged.connect(
+            lambda _: self._replot())
+        controls.addWidget(self.nonzero_check)
+        controls.addStretch(1)
+        layout.addLayout(controls)
+        self.table = QTableWidget(0, 7)
         self.table.setHorizontalHeaderLabels(
-            ["Basis", "Re", "Im", "|amp|", "Phase", "Prob"])
+            ["Basis", "Re", "Im", "|amp|", "Phase", "Prob", ""])
         layout.addWidget(self.table)
+        self._last_state = None
 
     def update_state(self, state) -> None:
-        rows = StateVectorModel.rows(state, nonzero_only=True)
+        self._last_state = state
+        self._replot()
+
+    def _replot(self) -> None:
+        if self._last_state is None:
+            return
+        nonzero = self.nonzero_check.currentIndex() == 0
+        rows = StateVectorModel.rows(self._last_state,
+                                     nonzero_only=nonzero)
         self.table.setRowCount(len(rows))
         for r, row in enumerate(rows):
+            bar = "█" * round(row.probability * self.BAR_WIDTH)
             values = [f"|{row.bitstring}⟩", f"{row.real:+.4f}",
                       f"{row.imag:+.4f}", f"{row.magnitude:.4f}",
-                      f"{row.phase:+.3f}", f"{row.probability:.4f}"]
+                      f"{row.phase:+.3f}", f"{row.probability:.4f}", bar]
             for c, v in enumerate(values):
                 item = QTableWidgetItem(v)
                 item.setFlags(Qt.ItemFlag.ItemIsEnabled)
@@ -181,18 +203,32 @@ class HistogramPanel(_CanvasPanel):
             run_btn.clicked.connect(
                 lambda: on_run_requested(self.shots_spin.value(),
                                          self.basis_combo.currentData()))
+        self.display_combo = QComboBox()
+        self.display_combo.addItems(["Probability", "Counts"])
+        self.display_combo.currentIndexChanged.connect(
+            lambda _: self._replot())
         for w in (QLabel("Basis:"), self.basis_combo, QLabel("Shots:"),
-                  self.shots_spin, run_btn):
+                  self.shots_spin, run_btn, self.display_combo):
             self.controls.addWidget(w)
         self.controls.addStretch(1)
+        self._last_counts: dict[str, int] | None = None
 
     def update_counts(self, counts: dict[str, int]) -> None:
-        bars = HistogramModel.from_counts(counts)
+        self._last_counts = counts
+        self._replot()
+
+    def _replot(self) -> None:
+        if not self._last_counts:
+            return
+        bars = HistogramModel.from_counts(self._last_counts)
         ax = self.axes()
         labels = [b for b, _, _ in bars]
-        probs = [p for _, _, p in bars]
-        ax.bar(labels, probs, color="#89b4fa")
-        ax.set_ylabel("Probability")
+        if self.display_combo.currentText() == "Counts":
+            ax.bar(labels, [c for _, c, _ in bars], color="#89b4fa")
+            ax.set_ylabel("Counts")
+        else:
+            ax.bar(labels, [p for _, _, p in bars], color="#89b4fa")
+            ax.set_ylabel("Probability")
         ax.tick_params(axis="x", rotation=60, labelsize=7)
         self.redraw()
 
