@@ -99,10 +99,17 @@ class ShardedVQEStep:
 
 
 def sharded_vqe_step(circuit, mesh: Mesh, *, qubit: int = 0,
+                     observable: list[tuple[float, list[int]]] | None = None,
                      learning_rate: float = 0.1, dtype=None,
                      traj_axis: str = TRAJ_AXIS, amp_axis: str = AMP_AXIS
                      ) -> ShardedVQEStep:
-    """Build the sharded <Z_qubit> VQE training step for ``circuit``.
+    """Build the sharded VQE training step for ``circuit``.
+
+    The cost is a Z-string Hamiltonian ``sum_i c_i <Z_{q...}>`` given as
+    ``observable=[(coeff, [qubits]), ...]`` (default: ``<Z_qubit>``).
+    Every term is diagonal, so each shard evaluates it from its own
+    amplitudes with ±1 parity factors (device-index bits contribute a
+    scalar, local bits a per-amplitude vector) + one psum — no gather.
 
     The returned ``step`` is a single jitted program: a (1+2P)-row batch of
     parameter vectors (base + per-parameter ±pi/2 shifts) is sharded over
@@ -120,13 +127,23 @@ def sharded_vqe_step(circuit, mesh: Mesh, *, qubit: int = 0,
     n_params = program.num_params
     if n_params == 0:
         raise ValueError("circuit has no trainable parameters")
+    if observable is None:
+        observable = [(1.0, [qubit])]
+    for _, qs in observable:
+        if not all(0 <= q < n for q in qs):
+            raise ValueError(f"observable qubits out of range: {qs}")
 
     forward_block = local_forward_body(program, g, amp, amp_axis, dtype)
 
     def cost_local(block):
         probs = jnp.abs(block) ** 2
-        sign = shard_local_z_sign(qubit, n, g, amp_axis)
-        return jax.lax.psum(jnp.sum(probs * sign), amp_axis)
+        total = jnp.float32(0.0)
+        for coeff, qs in observable:
+            sign = jnp.float32(1.0)
+            for q in qs:
+                sign = sign * shard_local_z_sign(q, n, g, amp_axis)
+            total = total + coeff * jnp.sum(probs * sign)
+        return jax.lax.psum(total, amp_axis)
 
     rows_total = 1 + 2 * n_params
     rows_padded = -(-rows_total // traj) * traj

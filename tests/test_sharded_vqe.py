@@ -108,3 +108,28 @@ def test_dryrun_multichip_self_provisions(tmp_path):
 
     n = len(jax.devices()) * 2  # force the subprocess path
     entry_mod.dryrun_multichip(n)
+
+
+def test_zz_chain_observable_matches_single_device():
+    """General Z-string Hamiltonians evaluate shard-locally."""
+    circuit = _ansatz()
+    n = circuit.num_qubits
+    ham = [(-1.0, [i, i + 1]) for i in range(n - 1)] + [(0.5, [0])]
+    mesh = make_vqe_mesh(8)
+    vqe = sharded_vqe_step(circuit, mesh, observable=ham)
+    _, cost = vqe.step(vqe.init)
+
+    program = prog.compile_circuit(circuit)
+    psi = prog.forward_body(program, jnp.asarray(vqe.init.params))
+    probs = np.abs(np.asarray(psi)) ** 2
+    idx = np.arange(2 ** n)
+    expected = 0.0
+    for coeff, qs in ham:
+        sign = np.ones(2 ** n)
+        for q in qs:
+            sign = sign * (1.0 - 2.0 * ((idx >> (n - 1 - q)) & 1))
+        expected += coeff * float(np.sum(probs * sign))
+    assert abs(float(cost) - expected) < 1e-5
+
+    with pytest.raises(ValueError):
+        sharded_vqe_step(circuit, mesh, observable=[(1.0, [99])])
