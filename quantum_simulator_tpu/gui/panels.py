@@ -265,8 +265,17 @@ class DensityMatrixPanel(_CanvasPanel):
     def update_state(self, state) -> None:
         self._show(DensityMatrixModel.from_state(state))
 
-    def update_ensemble(self, circuit, noise_model, trials=50, seed=None):
-        self._show(self.model.ensemble(circuit, noise_model, trials, seed))
+    def update_ensemble(self, circuit, noise_model, trials=50, seed=None,
+                        exact: bool = False):
+        """Noisy rho: Monte-Carlo ensemble, or the deterministic exact
+        channel evolution (density.py) when ``exact`` and n <= 14."""
+        from ..density import MAX_DM_QUBITS
+
+        if exact and circuit.num_qubits <= MAX_DM_QUBITS:
+            self._show(self.model.exact(circuit, noise_model))
+        else:
+            self._show(self.model.ensemble(circuit, noise_model, trials,
+                                           seed))
 
 
 class EntanglementPanel(_CanvasPanel):

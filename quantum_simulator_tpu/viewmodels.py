@@ -222,6 +222,21 @@ class DensityMatrixModel:
         self._cache_key, self._cache_val = key, view
         return view
 
+    def exact(self, circuit: QuantumCircuit, noise_model: NoiseModel
+              ) -> DensityMatrixView:
+        """Deterministic channel evolution (density.py) — no Monte-Carlo
+        sampling error; available to n=14 (beyond the MC path's cache this
+        is keyed without a trial count)."""
+        from .density import DensityMatrixSimulator
+
+        key = (circuit.circuit_hash(), noise_model.spec_key(), "exact")
+        if key == self._cache_key and self._cache_val is not None:
+            return self._cache_val
+        res = DensityMatrixSimulator(noise_model=noise_model).run(circuit)
+        view = self._view(res.rho, circuit.num_qubits)
+        self._cache_key, self._cache_val = key, view
+        return view
+
     @staticmethod
     def _view(rho: np.ndarray, n: int) -> DensityMatrixView:
         return DensityMatrixView(

@@ -112,3 +112,17 @@ class TestSampling:
         counts = sim.sample(res, 2000, np.random.default_rng(0))
         assert sum(counts.values()) == 2000
         assert set(counts) == {"00", "11"}
+
+
+def test_viewmodel_exact_mode():
+    from quantum_simulator_tpu.viewmodels import DensityMatrixModel
+
+    nm = NoiseModel()
+    nm.add_global_noise(DepolarizingNoise(0.1))
+    model = DensityMatrixModel()
+    view = model.exact(bell(), nm)
+    assert view.num_qubits == 2
+    assert 0.0 < view.purity < 1.0
+    assert np.trace(view.real).sum() == pytest.approx(1.0, abs=1e-5)
+    # cache hit returns the same object
+    assert model.exact(bell(), nm) is view
