@@ -76,6 +76,7 @@ class DebuggerPanel(QWidget):
         self._attribution = None
         self._impacts = []
         self.breakpoints: set[int] = set()
+        self.debug_ready.connect(self._on_debug_ready)
 
         layout = QVBoxLayout(self)
         self.controls = QHBoxLayout()
@@ -121,18 +122,34 @@ class DebuggerPanel(QWidget):
         self._heat_canvas = FigureCanvasQTAgg(self._heat_fig)
         self.tabs.addTab(self._heat_canvas, "Noise Heatmap")
 
-    def run_debug(self, circuit, noise_model=None, seed: int = 42) -> None:
-        self.debugger.run_full_debug(circuit, noise_model, seed=seed)
+    debug_ready = pyqtSignal()
+
+    def run_debug(self, circuit, noise_model=None, seed: int = 42,
+                  block: bool = False) -> None:
+        """Snapshot + attribution + impact runs happen on a worker
+        thread (up to 2x500 Monte-Carlo trials would otherwise freeze
+        the event loop); pass block=True for synchronous use in tests
+        or scripts."""
+        def work():
+            self.debugger.run_full_debug(circuit, noise_model, seed=seed)
+            if noise_model is not None:
+                trials = self.trials_spin.value()
+                self._attribution = self.debugger.compute_noise_attribution(
+                    circuit, noise_model, n_trials=trials, seed=seed)
+                self._impacts = self.debugger.compute_noise_impact(
+                    circuit, noise_model, n_trials=trials, seed=seed)
+            else:
+                self._attribution = None
+                self._impacts = []
+            self.debug_ready.emit()
+
+        if block:
+            work()
+            return
+        threading.Thread(target=work, daemon=True).start()
+
+    def _on_debug_ready(self) -> None:
         self.slider.setMaximum(max(0, self.debugger.num_steps - 1))
-        if noise_model is not None:
-            trials = self.trials_spin.value()
-            self._attribution = self.debugger.compute_noise_attribution(
-                circuit, noise_model, n_trials=trials, seed=seed)
-            self._impacts = self.debugger.compute_noise_impact(
-                circuit, noise_model, n_trials=trials, seed=seed)
-        else:
-            self._attribution = None
-            self._impacts = []
         self._refresh()
         self._draw_heatmap()
 
@@ -286,8 +303,10 @@ class OptimizerPanel(_Canvas):
     progress = pyqtSignal(int, float)
     finished = pyqtSignal(object)
 
-    def __init__(self, parent=None):
+    def __init__(self, parent=None, circuit_supplier=None):
         super().__init__(parent)
+        self._circuit_supplier = circuit_supplier
+        self._busy = False
         self.cost_combo = QComboBox()
         self.cost_combo.addItems(["z_expectation", "zz_chain",
                                   "qaoa_maxcut"])
@@ -301,7 +320,9 @@ class OptimizerPanel(_Canvas):
         self.grad_combo.addItems(["autodiff", "parameter_shift",
                                   "finite_difference"])
         self.run_btn = QPushButton("Optimize")
+        self.run_btn.clicked.connect(self._on_run_clicked)
         self.plateau_btn = QPushButton("Barren Plateau")
+        self.plateau_btn.clicked.connect(self._on_plateau_clicked)
         self.view_combo = QComboBox()
         self.view_combo.addItems(["Convergence", "Parameters"])
         self.view_combo.currentIndexChanged.connect(lambda _: self._plot())
@@ -328,12 +349,25 @@ class OptimizerPanel(_Canvas):
                 [(i, i + 1) for i in range(n - 1)])
         return CostFunction.z_expectation(0)
 
+    def _on_run_clicked(self) -> None:
+        if self._circuit_supplier is not None:
+            self.optimize(self._circuit_supplier())
+
+    def _on_plateau_clicked(self) -> None:
+        if self._circuit_supplier is not None:
+            self.show_plateau(self._circuit_supplier())
+
     def optimize(self, circuit, seed: int = 42) -> None:
+        if self._busy:
+            self.stop()   # second click cancels the active run
+            return
         config = ParameterizedCircuitConfig.auto_detect(circuit)
         if config.num_params == 0:
             self.axes().set_title("No parameterized gates in circuit")
             self.redraw()
             return
+        self._busy = True
+        self.run_btn.setText("Stop")
         self._history = []
         self._param_history = []
         self._optimizer = CircuitOptimizer(
@@ -362,6 +396,8 @@ class OptimizerPanel(_Canvas):
             self._plot()
 
     def _on_finished(self, result) -> None:
+        self._busy = False
+        self.run_btn.setText("Optimize")
         self._plot()
         ax = self.figure.gca()
         ax.set_title(f"optimal cost = {result.optimal_cost:.6f} "

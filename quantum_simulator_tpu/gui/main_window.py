@@ -140,7 +140,8 @@ class MainWindow(QMainWindow):
         self.analysis_panel = AnalysisPanel()
         self.debugger_panel = DebuggerPanel()
         self.comparison_panel = ComparisonPanel()
-        self.optimizer_panel = OptimizerPanel()
+        self.optimizer_panel = OptimizerPanel(
+            circuit_supplier=lambda: self.circuit_controller.circuit)
         self.qec_panel = QECPanel()
         self.resource_panel = ResourceMonitorPanel()
         for name, panel in [
@@ -324,7 +325,6 @@ class MainWindow(QMainWindow):
         sharing the editor's breakpoint set."""
         circuit = self.circuit_controller.circuit
         self.debugger_panel.breakpoints = set(self.editor_model.breakpoints)
-        t0 = time.perf_counter()
         try:
             seed = self.seed_manager.seed
             self.debugger_panel.run_debug(
@@ -334,9 +334,7 @@ class MainWindow(QMainWindow):
             QMessageBox.critical(self, "Debug error", str(e))
             return
         self.tabs.setCurrentWidget(self.debugger_panel)
-        self.resource_panel.record_simulation(
-            "debug", circuit.num_qubits, time.perf_counter() - t0)
-        self.statusBar().showMessage("Debug run complete")
+        self.statusBar().showMessage("Debug running…")
 
     def _on_step_mode(self) -> None:
         circuit = self.circuit_controller.circuit

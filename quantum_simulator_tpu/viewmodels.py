@@ -195,46 +195,62 @@ class DensityMatrixModel:
     invalidation policy as the reference (``density_matrix_panel.py:22``).
     """
 
+    _CACHE_SLOTS = 4
+
     def __init__(self):
-        self._cache_key: tuple | None = None
-        self._cache_val: DensityMatrixView | None = None
+        self._cache: dict[tuple, DensityMatrixView] = {}
+
+    @staticmethod
+    def _truncated(n: int) -> DensityMatrixView:
+        return DensityMatrixView(
+            real=np.zeros((0, 0)), imag=np.zeros((0, 0)),
+            magnitude=np.zeros((0, 0)), purity=1.0, entropy=0.0,
+            num_qubits=n, truncated=True)
 
     @staticmethod
     def from_state(state: StateVector) -> DensityMatrixView:
         if state.num_qubits > MAX_DENSITY_DISPLAY_QUBITS:
-            return DensityMatrixView(
-                real=np.zeros((0, 0)), imag=np.zeros((0, 0)),
-                magnitude=np.zeros((0, 0)), purity=1.0, entropy=0.0,
-                num_qubits=state.num_qubits, truncated=True)
+            return DensityMatrixModel._truncated(state.num_qubits)
         rho = state.get_density_matrix()
         return DensityMatrixModel._view(rho, state.num_qubits)
+
+    def _cache_put(self, key: tuple, view: DensityMatrixView):
+        if len(self._cache) >= self._CACHE_SLOTS:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[key] = view
 
     def ensemble(self, circuit: QuantumCircuit, noise_model: NoiseModel,
                  n_trials: int = 50, seed: int | None = None
                  ) -> DensityMatrixView:
+        if circuit.num_qubits > MAX_DENSITY_DISPLAY_QUBITS:
+            return self._truncated(circuit.num_qubits)
         key = (circuit.circuit_hash(), noise_model.spec_key(), n_trials,
                seed)
-        if key == self._cache_key and self._cache_val is not None:
-            return self._cache_val
+        cached = self._cache.get(key)
+        if cached is not None:
+            return cached
         rho = Simulator(noise_model=noise_model).ensemble_density_matrix(
             circuit, n_trials=n_trials, seed=seed)
         view = self._view(rho, circuit.num_qubits)
-        self._cache_key, self._cache_val = key, view
+        self._cache_put(key, view)
         return view
 
     def exact(self, circuit: QuantumCircuit, noise_model: NoiseModel
               ) -> DensityMatrixView:
         """Deterministic channel evolution (density.py) — no Monte-Carlo
-        sampling error; available to n=14 (beyond the MC path's cache this
-        is keyed without a trial count)."""
+        sampling error. Display-capped like every other rho view (an
+        n=14 rho is 3x 2 GiB of host float64 + a 16384^2 imshow)."""
         from .density import DensityMatrixSimulator
 
+        if circuit.num_qubits > MAX_DENSITY_DISPLAY_QUBITS:
+            return self._truncated(circuit.num_qubits)
         key = (circuit.circuit_hash(), noise_model.spec_key(), "exact")
-        if key == self._cache_key and self._cache_val is not None:
-            return self._cache_val
+        cached = self._cache.get(key)
+        if cached is not None:
+            return cached
         res = DensityMatrixSimulator(noise_model=noise_model).run(circuit)
         view = self._view(res.rho, circuit.num_qubits)
-        self._cache_key, self._cache_val = key, view
+        self._cache_put(key, view)
         return view
 
     @staticmethod
@@ -353,16 +369,25 @@ class FidelitySweepModel:
             if float(p) == 0.0:
                 points.append(FidelitySweepPoint(0.0, 1.0, 1.0))
                 continue
+            import jax
+
+            hi = jax.lax.Precision.HIGHEST
             nm = NoiseModel()
             nm.add_global_noise(DepolarizingNoise(float(p)))
             states = Simulator(noise_model=nm).trajectory_states(
                 circuit, trials, seed=int(rng.integers(0, 2**63)))
-            overlaps = jnp.einsum("d,td->t", jnp.conj(ideal_dev), states)
+            overlaps = jnp.einsum("d,td->t", jnp.conj(ideal_dev), states,
+                                  precision=hi)
             fids = np.asarray(jnp.abs(overlaps) ** 2, dtype=np.float64)
-            norms = np.asarray(jnp.sum(jnp.abs(states) ** 2, axis=1),
-                               dtype=np.float64)
+            # ensemble purity tr(rho^2) = mean_{t,t'} |<psi_t|psi_t'>|^2
+            # (each trajectory is renormalized, so per-state norms are
+            # identically 1 and say nothing about mixedness)
+            gram = jnp.einsum("td,sd->ts", jnp.conj(states), states,
+                              precision=hi)
+            purity = float(np.asarray(
+                jnp.mean(jnp.abs(gram) ** 2), dtype=np.float64))
             points.append(FidelitySweepPoint(
-                float(p), float(fids.mean()), float((norms**2).mean())))
+                float(p), float(fids.mean()), purity))
         return points
 
 

@@ -250,3 +250,18 @@ class TestViewModels:
         assert sv_row["max_qubits"] > dm_row["max_qubits"]
         assert ResourceMonitorModel.max_qubits_for_ram(
             16 * 1024**3, "sv") == 30  # complex64 on a 16 GiB chip
+
+
+def test_fidelity_sweep_purity_decreases_under_noise():
+    """Regression: ensemble purity must be tr(rho^2) (cross-trajectory
+    Gram), not mean per-state norm (always 1 after renormalization)."""
+    from quantum_simulator_tpu.circuit import GateInstance, QuantumCircuit
+    from quantum_simulator_tpu.viewmodels import FidelitySweepModel
+
+    c = QuantumCircuit(2)
+    c.add_gate(GateInstance("H", [0], [], column=0))
+    c.add_gate(GateInstance("CNOT", [0, 1], [], column=1))
+    points = FidelitySweepModel.sweep(c, [0.0, 0.3], trials=60, seed=5)
+    assert points[0].purity == 1.0
+    assert points[1].purity < 0.95
+    assert points[1].fidelity < points[0].fidelity
