@@ -243,11 +243,16 @@ class DebuggerPanel(QWidget):
 
 
 class ComparisonPanel(QWidget):
-    """Side-by-side circuit comparison (panel 10)."""
+    """Side-by-side circuit comparison: overlaid measurement histograms,
+    resource bars, metrics table, JSON export (panel 10 — the reference's
+    version is ``comparison_panel.py:64-416``)."""
 
     def __init__(self, parent=None):
         super().__init__(parent)
         layout = QVBoxLayout(self)
+        self._fig = Figure(figsize=(5, 2.4))
+        self._canvas = FigureCanvasQTAgg(self._fig)
+        layout.addWidget(self._canvas)
         self.table = QTableWidget(0, 2)
         self.table.setHorizontalHeaderLabels(["Metric", "Value"])
         layout.addWidget(self.table)
@@ -257,6 +262,39 @@ class ComparisonPanel(QWidget):
         self._last = None
         export_btn.clicked.connect(self._export)
 
+    def _draw_plots(self, result) -> None:
+        self._fig.clear()
+        axh = self._fig.add_subplot(121)
+        ca = result.result_a.measurement_counts or {}
+        cb = result.result_b.measurement_counts or {}
+        keys = sorted(set(ca) | set(cb))[:16]
+        if keys:
+            xs = np.arange(len(keys))
+            na = max(1, sum(ca.values()))
+            nb = max(1, sum(cb.values()))
+            axh.bar(xs - 0.2, [ca.get(k, 0) / na for k in keys],
+                    width=0.4, color="#89b4fa", label="A")
+            axh.bar(xs + 0.2, [cb.get(k, 0) / nb for k in keys],
+                    width=0.4, color="#fab387", label="B")
+            axh.set_xticks(xs)
+            axh.set_xticklabels(keys, rotation=60, fontsize=6)
+            axh.legend(fontsize=7)
+            axh.set_title("Measurement overlay", fontsize=8)
+        axr = self._fig.add_subplot(122)
+        labels = ["gates", "depth", "2q+"]
+        va = [result.metrics_a.gate_count, result.metrics_a.depth,
+              result.metrics_a.multi_qubit_gates]
+        vb = [result.metrics_b.gate_count, result.metrics_b.depth,
+              result.metrics_b.multi_qubit_gates]
+        ys = np.arange(len(labels))
+        axr.barh(ys - 0.2, va, height=0.4, color="#89b4fa", label="A")
+        axr.barh(ys + 0.2, vb, height=0.4, color="#fab387", label="B")
+        axr.set_yticks(ys)
+        axr.set_yticklabels(labels, fontsize=7)
+        axr.legend(fontsize=7)
+        axr.set_title("Resources", fontsize=8)
+        self._canvas.draw_idle()
+
     def compare(self, circuit_a, circuit_b, shots=1024, noise_model=None,
                 seed=None) -> None:
         result = CircuitComparator().compare(circuit_a, circuit_b,
@@ -264,6 +302,7 @@ class ComparisonPanel(QWidget):
                                              noise_model=noise_model,
                                              seed=seed)
         self._last = result
+        self._draw_plots(result)
         rows = [
             ("Output fidelity", f"{result.output_fidelity:.6f}"),
             ("Distribution TVD", f"{result.distribution_tvd:.4f}"),
