@@ -89,6 +89,13 @@ def main():
     CircuitExporter.export_png(ghz, out)
     print("circuit diagram written to", out)
 
+    # --- 7b. Exact density matrix (deterministic channel evolution) -------
+    from quantum_simulator_tpu import DensityMatrixSimulator
+
+    dm = DensityMatrixSimulator(noise_model=nm).run(ghz)
+    print(f"exact noisy rho: trace={dm.trace():.6f} "
+          f"purity={dm.purity():.4f} (no Monte-Carlo error)")
+
     # --- 8. Mesh-sharded run + sharded VQE step ----------------------------
     # (on a multi-chip slice this shards the amplitude vector over ICI; on
     # a single chip it degrades to a 1-device mesh)
@@ -102,8 +109,9 @@ def main():
         dstate = dsim.run(ghz)
         print("sharded GHZ counts:", dsim.sample(dstate, 200))
         vqe_mesh = make_vqe_mesh(2)
-        step = sharded_vqe_step(ansatz, vqe_mesh)
-        _, costs = step.run(5)
+        mesh_ansatz = hardware_efficient_ansatz(4, 2, initial_angle=0.7)
+        step = sharded_vqe_step(mesh_ansatz, vqe_mesh)
+        _, costs = step.run(8)
         print(f"sharded VQE <Z0>: {costs[0]:.4f} -> {costs[-1]:.4f}")
 
 
