@@ -98,21 +98,81 @@ class GateItem(QGraphicsRectItem):
         self.setPos(x, y)
         self.setFlag(QGraphicsItem.GraphicsItemFlag.ItemIsMovable, True)
         self.setFlag(QGraphicsItem.GraphicsItemFlag.ItemIsSelectable, True)
-        self.setBrush(QBrush(QColor(visual.color)))
-        self.setPen(QPen(QColor("#11111b"), 1.5))
+        plain_box = visual.kind in ("single", "measure")
+        self.setBrush(QBrush(QColor(visual.color)) if plain_box
+                      else QBrush(Qt.BrushStyle.NoBrush))
+        self.setPen(QPen(QColor("#11111b"), 1.5) if plain_box
+                    else QPen(Qt.PenStyle.NoPen))
         self._drag_origin = None
 
     @property
     def gate(self):
         return self._v.gate
 
+    def _row_center_y(self, qubit: int) -> float:
+        """Item-local y of a target qubit's wire."""
+        return (qubit - min(self._v.targets)) * ROW_H + GATE_H / 2
+
     def paint(self, painter: QPainter, option, widget=None):
         super().paint(painter, option, widget)
+        v = self._v
+        cx = GATE_W / 2
+        color = QColor(v.color)
+        painter.setRenderHint(QPainter.RenderHint.Antialiasing)
+        if v.kind == "barrier":
+            pen = QPen(QColor("#6c7086"), 2, Qt.PenStyle.DashLine)
+            painter.setPen(pen)
+            painter.drawLine(QPointF(cx, 0),
+                             QPointF(cx, self.rect().height()))
+            return
+        if v.kind == "swap":
+            painter.setPen(QPen(color, 2.5))
+            ys = [self._row_center_y(q) for q in v.targets]
+            painter.drawLine(QPointF(cx, min(ys)), QPointF(cx, max(ys)))
+            for y in ys:
+                painter.drawLine(QPointF(cx - 7, y - 7),
+                                 QPointF(cx + 7, y + 7))
+                painter.drawLine(QPointF(cx - 7, y + 7),
+                                 QPointF(cx + 7, y - 7))
+            return
+        if v.kind == "controlled":
+            painter.setPen(QPen(color, 2.2))
+            ys = [self._row_center_y(q) for q in v.targets]
+            painter.drawLine(QPointF(cx, min(ys)), QPointF(cx, max(ys)))
+            controls = v.targets[:v.num_controls] if v.num_controls \
+                else v.targets[:-1]
+            target_qs = [q for q in v.targets if q not in controls]
+            painter.setBrush(QBrush(color))
+            for q in controls:
+                painter.drawEllipse(QPointF(cx, self._row_center_y(q)),
+                                    5, 5)
+            for q in target_qs:
+                y = self._row_center_y(q)
+                if v.symbol in ("Z", "CZ", "●"):
+                    painter.drawEllipse(QPointF(cx, y), 5, 5)
+                else:
+                    painter.setBrush(QBrush(Qt.BrushStyle.NoBrush))
+                    painter.drawEllipse(QPointF(cx, y), 11, 11)
+                    painter.drawLine(QPointF(cx - 11, y),
+                                     QPointF(cx + 11, y))
+                    painter.drawLine(QPointF(cx, y - 11),
+                                     QPointF(cx, y + 11))
+            return
+        # single-qubit box (and measurement, which draws an arc + arrow)
         painter.setPen(QPen(_TEXT_COLOR))
-        painter.setFont(QFont("monospace", 10,
-                              QFont.Weight.Bold))
-        painter.drawText(self.rect(),
-                         Qt.AlignmentFlag.AlignCenter, self._v.symbol)
+        painter.setFont(QFont("monospace", 10, QFont.Weight.Bold))
+        if v.kind == "measure":
+            r = self.rect()
+            painter.drawArc(
+                QRectF(r.x() + 8, r.y() + 10, r.width() - 16,
+                       r.height() - 10),
+                30 * 16, 120 * 16)
+            painter.drawLine(
+                QPointF(r.center().x(), r.bottom() - 8),
+                QPointF(r.right() - 10, r.y() + 10))
+        else:
+            painter.drawText(self.rect(),
+                             Qt.AlignmentFlag.AlignCenter, v.symbol)
 
     def mousePressEvent(self, event):
         self._drag_origin = self.pos()
