@@ -177,6 +177,20 @@ def bench_secondary():
         except Exception as e:
             print(f"[bench] n={n_big} failed: {e}", file=sys.stderr)
 
+    # QFT: the diag-pair fusion showcase (cross-group CPhases apply as
+    # elementwise passes, never touching the MXU).
+    try:
+        from quantum_simulator_tpu.algorithms import AlgorithmTemplate
+
+        qft = AlgorithmTemplate.quantum_fourier_transform(24)
+        per_run, passes = bench_tpu_engine(qft.to_dict())
+        gates = qft.gate_count()
+        print(f"[bench] QFT-24 ({gates} gates): {per_run * 1000:.1f} "
+              f"ms/run ({passes} state passes — "
+              f"{gates / per_run:.0f} gates/s)", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] QFT-24 failed: {e}", file=sys.stderr)
+
     # Noisy trajectory throughput.
     try:
         c = QuantumCircuit.from_dict(build_circuit_dict(10, 10, SEED))
