@@ -182,6 +182,19 @@ class AlgorithmDialog(QDialog):
         form.addRow("Marked state (Grover):", self.marked_spin)
         form.addRow("Secret (BV):", self.secret_edit)
         layout.addLayout(form)
+        # live circuit preview (the reference previews per-template too,
+        # ``algorithm_dialog.py:16-335``)
+        from matplotlib.backends.backend_qtagg import FigureCanvasQTAgg
+        from matplotlib.figure import Figure
+
+        from ..render import CircuitRenderer
+
+        self._preview_fig = Figure(figsize=(5, 1.8))
+        self._preview_canvas = FigureCanvasQTAgg(self._preview_fig)
+        self._renderer = CircuitRenderer()
+        layout.addWidget(self._preview_canvas)
+        self.stats = QLabel("")
+        layout.addWidget(self.stats)
         buttons = QDialogButtonBox(
             QDialogButtonBox.StandardButton.Ok
             | QDialogButtonBox.StandardButton.Cancel)
@@ -189,11 +202,30 @@ class AlgorithmDialog(QDialog):
         buttons.rejected.connect(self.reject)
         layout.addWidget(buttons)
         self.template_combo.currentIndexChanged.connect(self._describe)
+        for sig in (self.qubits_spin.valueChanged,
+                    self.marked_spin.valueChanged,
+                    self.secret_edit.textChanged):
+            sig.connect(lambda *_: self._preview())
         self._describe()
 
     def _describe(self) -> None:
         t = self._templates[self.template_combo.currentIndex()]
         self.description.setText(t["description"])
+        self._preview()
+
+    def _preview(self) -> None:
+        try:
+            circuit = self.build_circuit()
+        except Exception as e:  # bad params mid-edit: show, don't crash
+            self.stats.setText(str(e))
+            return
+        self._preview_fig.clear()
+        ax = self._preview_fig.add_subplot(111)
+        self._renderer.draw(ax, circuit)
+        self._preview_canvas.draw_idle()
+        self.stats.setText(
+            f"{circuit.num_qubits} qubits, {circuit.gate_count()} gates, "
+            f"depth {circuit.get_column_count()}")
 
     def build_circuit(self):
         name = self.template_combo.currentData()
