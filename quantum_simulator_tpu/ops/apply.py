@@ -52,7 +52,9 @@ def _segmented_view(targets: tuple[int, ...], n: int):
     SORTED targets.
     """
     k = len(targets)
-    letters = iter(string.ascii_lowercase)
+    # 3 letters per target + 1 tail: lowercase alone caps gates at 8
+    # targets (Grover-9's MCZ9 needs 28 subscripts)
+    letters = iter(string.ascii_lowercase + string.ascii_uppercase)
     shape: list[int] = []
     state_sub: list[str] = []
     out_sub: list[str] = []

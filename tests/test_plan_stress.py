@@ -78,3 +78,47 @@ def test_qft_is_diag_heavy():
     got = np.asarray(group_forward_fn(p)(jnp.asarray(p.initial_params)))
     expected = np.asarray(prog.forward_fn(p)(jnp.asarray(p.initial_params)))
     np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+def test_custom_gate_and_nonzero_initial_states():
+    """Custom registered unitaries (host-only matrix_func -> baked static)
+    and nonzero initial states must flow through the group executor."""
+    from quantum_simulator_tpu.gates import GateDefinition, GateType
+    from quantum_simulator_tpu.registry import GateRegistry
+
+    reg = GateRegistry.instance()
+    theta = 0.77
+    mat = np.array([[np.cos(theta), -np.sin(theta)],
+                    [np.sin(theta), np.cos(theta)]], dtype=np.complex128)
+    if "TestRot" not in [g.name for g in reg.all_gates()]:
+        reg.register(GateDefinition(
+            name="TestRot", display_name="Test rotation",
+            gate_type=GateType.SINGLE, num_qubits=1, num_params=0,
+            param_names=(), matrix_func=lambda: mat, symbol="TR",
+            color="#888888"))
+    try:
+        c = QuantumCircuit(9, initial_states=[1, 0, 1, 0, 0, 0, 0, 0, 1])
+        c.add_gate(GateInstance("TestRot", [4], [], column=0))
+        c.add_gate(GateInstance("CNOT", [0, 8], [], column=1))
+        p = prog.compile_circuit(c)
+        params = jnp.asarray(p.initial_params)
+        got = np.asarray(group_forward_fn(p)(params))
+        expected = np.asarray(prog.forward_fn(p)(params))
+        np.testing.assert_allclose(got, expected, atol=2e-6)
+    finally:
+        reg.reset()
+
+
+def test_grover_mcz_through_group_plan():
+    """Grover uses self-registered static MCZ_k gates; the plan's
+    numeric diagonality check must route cross-group ones correctly."""
+    from quantum_simulator_tpu.algorithms import AlgorithmTemplate
+
+    c = AlgorithmTemplate.grover_search(9, marked_state=37)
+    p = prog.compile_circuit(c)
+    params = jnp.asarray(p.initial_params)
+    got = np.asarray(group_forward_fn(p)(params))
+    expected = np.asarray(prog.forward_fn(p)(params))
+    np.testing.assert_allclose(got, expected, atol=5e-5)
+    probs = np.abs(got) ** 2
+    assert probs[37] > 0.5  # Grover amplifies the marked state
