@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .config import CONFIG
 from .gates import X_MATRIX, Y_MATRIX, Z_MATRIX
 from .state import StateVector
 from .ops.apply import apply_gate
@@ -58,6 +59,12 @@ def _ptrace_body(state: jnp.ndarray, keep: tuple[int, ...], n: int):
     materializing the full density matrix. ``keep`` must be sorted."""
     import string
 
+    if not keep:
+        raise ValueError("partial trace needs at least one kept qubit")
+    if len(keep) > 8:
+        raise ValueError(
+            f"partial trace keeps {len(keep)} qubits: the reduced density"
+            f" matrix would be 4^{len(keep)} entries; keep <= 8")
     letters = iter(string.ascii_lowercase)
     shape: list[int] = []
     sub: list[str] = []
@@ -126,9 +133,17 @@ class StateAnalysis:
     def state_fidelity(psi, phi) -> float:
         """|<psi|phi>|^2 for two pure states (NumPy or device arrays)."""
         if isinstance(psi, jax.Array) or isinstance(phi, jax.Array):
-            psi = psi.device_data if isinstance(psi, StateVector) else psi
-            phi = phi.device_data if isinstance(phi, StateVector) else phi
-            return float(_fidelity_device(jnp.asarray(psi), jnp.asarray(phi)))
+            from .utils.xfer import to_device_complex
+
+            def on_device(x):
+                x = x.device_data if isinstance(x, StateVector) else x
+                if isinstance(x, jax.Array):
+                    return x
+                # split-plane upload: complex host->device DMA is
+                # unimplemented on the axon TPU runtime
+                return to_device_complex(np.asarray(x), CONFIG.dtype)
+
+            return float(_fidelity_device(on_device(psi), on_device(phi)))
         a, b = _as_np_state(psi), _as_np_state(phi)
         return float(np.abs(np.vdot(a, b)) ** 2)
 

@@ -437,11 +437,46 @@ def _h_rotate_data(psi, data_qubits: int, n: int):
     return psi
 
 
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _noise_syndrome_correct(code: "QECCode", noise_type: str,
+                            comp_parities, h_parities, p, ideal, key):
+    """Shared traceable pipeline: inject noise, extract the ML parity
+    syndrome, decode, correct. Returns (noisy, corrected, syn_comp,
+    syn_h, xor_corr, z_corr). One implementation serves both the metric
+    cycle and the state-returning path (they previously drifted)."""
+    n = code.total_qubits
+    dim = 2**n
+    dq = code.data_qubits
+    r = jax.random.uniform(key, (dq,))
+    xor_noise, z_noise = _pauli_masks_from_draws(r, p, noise_type, dq, n)
+    noisy = _apply_masks(ideal, xor_noise, z_noise, dim)
+
+    probs_comp = jnp.abs(noisy) ** 2
+    syn_comp = (jnp.matmul(jnp.asarray(comp_parities), probs_comp,
+                           precision=_HI) > 0.5).astype(jnp.int32)
+    if code.h_frame_checks():
+        probs_h = jnp.abs(_h_rotate_data(noisy, dq, n)) ** 2
+    else:
+        probs_h = probs_comp
+    syn_h = (jnp.matmul(jnp.asarray(h_parities), probs_h,
+                        precision=_HI) > 0.5).astype(jnp.int32)
+    xor_corr, z_corr = code.decode_masks(syn_comp, syn_h, n)
+    corrected = _apply_masks(noisy, jnp.int32(xor_corr),
+                             jnp.int32(z_corr), dim)
+    return noisy, corrected, syn_comp, syn_h, xor_corr, z_corr
+
+
 def build_cycle_fn(code: QECCode, noise_type: str):
     """jitted, vmapped ``f(p, ideal_states[T, dim], keys[T]) -> metrics``.
 
     One compile serves a whole threshold sweep (p is a runtime scalar).
     Returns per-trial (fid_before, fid_after, z_exp, syndrome, xor, z).
+    Inner products and parity reductions are elementwise-sum / HIGHEST
+    precision: the TPU default bf16 matmul error (~1e-1) would swamp the
+    ~1e-3 logical error rates the sweep measures.
     """
     n = code.total_qubits
     dim = 2**n
@@ -456,31 +491,17 @@ def build_cycle_fn(code: QECCode, noise_type: str):
     zl_in_h = code.logical_z_in_h_frame()
 
     def cycle(p, ideal, key):
-        r = jax.random.uniform(key, (dq,))
-        xor_noise, z_noise = _pauli_masks_from_draws(r, p, noise_type, dq, n)
-        noisy = _apply_masks(ideal, xor_noise, z_noise, dim)
-
-        probs_comp = jnp.abs(noisy) ** 2
-        syn_comp = (jnp.asarray(comp_parities) @ probs_comp > 0.5
-                    ).astype(jnp.int32)
-        if h_checks or zl_in_h:
-            noisy_h = _h_rotate_data(noisy, dq, n)
-            probs_h = jnp.abs(noisy_h) ** 2
-        else:
-            probs_h = probs_comp
-        syn_h = (jnp.asarray(h_parities) @ probs_h > 0.5).astype(jnp.int32)
-
-        xor_corr, z_corr = code.decode_masks(syn_comp, syn_h, n)
-        corrected = _apply_masks(noisy, jnp.int32(xor_corr),
-                                 jnp.int32(z_corr), dim)
-
-        fid_before = jnp.abs(jnp.vdot(ideal, noisy)) ** 2
-        fid_after = jnp.abs(jnp.vdot(ideal, corrected)) ** 2
+        noisy, corrected, syn_comp, syn_h, xor_corr, z_corr = \
+            _noise_syndrome_correct(code, noise_type, comp_parities,
+                                    h_parities, p, ideal, key)
+        fid_before = jnp.abs(jnp.sum(jnp.conj(ideal) * noisy)) ** 2
+        fid_after = jnp.abs(jnp.sum(jnp.conj(ideal) * corrected)) ** 2
         if zl_in_h:
             corrected_read = _h_rotate_data(corrected, dq, n)
         else:
             corrected_read = corrected
-        z_exp = jnp.abs(corrected_read) ** 2 @ jnp.asarray(zl_parity)
+        z_exp = jnp.sum(jnp.abs(corrected_read) ** 2
+                        * jnp.asarray(zl_parity))
         return (fid_before, fid_after, z_exp,
                 jnp.concatenate([syn_comp, syn_h]), xor_corr, z_corr)
 
@@ -621,32 +642,21 @@ class QECSimulator:
 
 def _build_states_fn(code, noise_type: str):
     """jitted (p, ideal, key) -> (noisy, corrected) state arrays (cached
-    per QECSimulator/noise_type so run_cycle never recompiles)."""
+    per QECSimulator/noise_type so run_cycle never recompiles). Shares
+    the exact pipeline of build_cycle_fn via _noise_syndrome_correct."""
     n = code.total_qubits
     dim = 2**n
+    comp_checks = code.comp_frame_checks()
+    h_checks = code.h_frame_checks()
+    comp_par = np.stack([_parity_vector(c, n) for c in comp_checks]) \
+        if comp_checks else np.zeros((0, dim), np.float32)
+    h_par = np.stack([_parity_vector(c, n) for c in h_checks]) \
+        if h_checks else np.zeros((0, dim), np.float32)
 
     @jax.jit
     def states(p, ideal, k):
-        r = jax.random.uniform(k, (code.data_qubits,))
-        xor_noise, z_noise = _pauli_masks_from_draws(
-            r, p, noise_type, code.data_qubits, n)
-        noisy = _apply_masks(ideal, xor_noise, z_noise, dim)
-        probs_comp = jnp.abs(noisy) ** 2
-        comp_checks = code.comp_frame_checks()
-        h_checks = code.h_frame_checks()
-        comp_par = np.stack([_parity_vector(c, n) for c in comp_checks]) \
-            if comp_checks else np.zeros((0, dim), np.float32)
-        h_par = np.stack([_parity_vector(c, n) for c in h_checks]) \
-            if h_checks else np.zeros((0, dim), np.float32)
-        syn_comp = (jnp.asarray(comp_par) @ probs_comp > 0.5
-                    ).astype(jnp.int32)
-        if h_checks:
-            probs_h = jnp.abs(_h_rotate_data(noisy, code.data_qubits, n))**2
-        else:
-            probs_h = probs_comp
-        syn_h = (jnp.asarray(h_par) @ probs_h > 0.5).astype(jnp.int32)
-        xc, zc = code.decode_masks(syn_comp, syn_h, n)
-        corrected = _apply_masks(noisy, jnp.int32(xc), jnp.int32(zc), dim)
+        noisy, corrected, *_ = _noise_syndrome_correct(
+            code, noise_type, comp_par, h_par, p, ideal, k)
         return noisy, corrected
 
     return states
