@@ -117,7 +117,8 @@ def _all_rdms(state: jnp.ndarray, n: int):
 
 @jax.jit
 def _fidelity_device(psi: jnp.ndarray, phi: jnp.ndarray):
-    return jnp.abs(jnp.vdot(psi, phi)) ** 2
+    # elementwise conj-sum: jnp.vdot lowers to a bf16 dot on TPU
+    return jnp.abs(jnp.sum(jnp.conj(psi) * phi)) ** 2
 
 
 # ---------------------------------------------------------------------------
@@ -319,7 +320,7 @@ def _expectation_apply(psi, obs, targets, n):
 
 @jax.jit
 def _vdot_device(a, b):
-    return jnp.vdot(a, b)
+    return jnp.sum(jnp.conj(a) * b)
 
 
 # ---------------------------------------------------------------------------

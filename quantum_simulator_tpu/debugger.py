@@ -31,6 +31,7 @@ from .ops import program as prog
 from .registry import GateRegistry
 from .simulator import run_batched_trajectories
 from .state import StateVector
+from .utils.seeding import key_from_seed
 from .utils.xfer import to_host_complex
 
 _HI = jax.lax.Precision.HIGHEST
@@ -172,7 +173,7 @@ class CircuitDebugger:
 
         noisy = noise_model is not None and noise_model.has_channels()
         if noisy:
-            key = jax.random.PRNGKey(int(rng.integers(0, 2**63)))
+            key = key_from_seed(int(rng.integers(0, 2**63)))
             noisy_steps = prog.trajectory_fn(
                 program, noise_model, record_columns=True)(params, key)
             fids = np.asarray(
@@ -286,7 +287,7 @@ class CircuitDebugger:
         program = prog.compile_circuit(circuit)
         params = jnp.asarray(program.initial_params)
         ideal_steps = prog.steps_fn(program)(params)
-        base = jax.random.PRNGKey(int(rng.integers(0, 2**63)))
+        base = key_from_seed(int(rng.integers(0, 2**63)))
         keys = jax.random.split(base, n_trials)
         fn = prog.batched_trajectories_fn(program, noise_model,
                                           record_columns=True)

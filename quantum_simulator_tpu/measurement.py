@@ -23,6 +23,7 @@ import numpy as np
 from .gates import H_MATRIX, S_DAG_MATRIX
 from .ops.apply import apply_gate_all_qubits
 from .state import StateVector
+from .utils.seeding import key_from_seed
 
 
 class MeasurementBasis(Enum):
@@ -114,7 +115,7 @@ class MeasurementEngine:
         if dim >= MeasurementEngine.DEVICE_SAMPLING_MIN_DIM:
             from .ops.apply import probabilities as _probs
 
-            key = jax.random.PRNGKey(int(rng.integers(0, 2**63)))
+            key = key_from_seed(int(rng.integers(0, 2**63)))
             counts_dev = sample_counts_device(_probs(state.device_data),
                                               shots, key)
             return counts_from_array(np.asarray(counts_dev),

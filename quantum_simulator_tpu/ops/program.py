@@ -97,6 +97,12 @@ def compile_circuit(circuit) -> CircuitProgram:
             gate_index = gate_ids.get(id(inst), -1)
             builder = gd.jnp_matrix_func
             if gd.num_params > 0 and builder is not None:
+                if len(inst.params) != gd.num_params:
+                    # an under-parameterized gate would silently shift
+                    # every later gate's slot in the parameter vector
+                    raise ValueError(
+                        f"{inst.gate_name} takes {gd.num_params} "
+                        f"parameter(s), got {len(inst.params)}")
                 offset = len(params)
                 params.extend(float(p) for p in inst.params)
                 ops.append(ProgramOp(inst.gate_name, tuple(inst.target_qubits),

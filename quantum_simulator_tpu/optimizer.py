@@ -158,7 +158,8 @@ def _pauli_string_device(psi, pauli_str: str, qubits: list[int], n: int):
             continue
         mat = jnp.asarray(_PAULI_NP[p], dtype=psi.dtype)
         opsi = apply_gate(opsi, mat, (int(q),), n)
-    return jnp.real(jnp.vdot(psi, opsi))
+    # elementwise conj-sum: jnp.vdot lowers to a bf16 dot on TPU
+    return jnp.real(jnp.sum(jnp.conj(psi) * opsi))
 
 
 class CostFunction:
@@ -176,7 +177,8 @@ class CostFunction:
 
         def device(psi, n):
             mat = jnp.asarray(obs_np, dtype=psi.dtype)
-            return jnp.real(jnp.vdot(psi, apply_gate(psi, mat, targets, n)))
+            opsi = apply_gate(psi, mat, targets, n)
+            return jnp.real(jnp.sum(jnp.conj(psi) * opsi))
 
         return DeviceCost(host, device,
                           key=("expval", targets, obs_np.tobytes()))
@@ -191,7 +193,7 @@ class CostFunction:
 
         def device(psi, n):
             target = jnp.asarray(target_np, dtype=psi.dtype)
-            return 1.0 - jnp.abs(jnp.vdot(target, psi)) ** 2
+            return 1.0 - jnp.abs(jnp.sum(jnp.conj(target) * psi)) ** 2
 
         return DeviceCost(host, device, key=("fid", target_np.tobytes()))
 
@@ -290,6 +292,8 @@ def _value_and_grad_fn(program, cost: DeviceCost, offsets: np.ndarray):
             return cost.device_fn(psi, n)
 
         fn = jax.jit(jax.value_and_grad(scalar))
+        if len(_BATCH_COST_CACHE) > 64:
+            _BATCH_COST_CACHE.pop(next(iter(_BATCH_COST_CACHE)))
         _BATCH_COST_CACHE[key] = fn
     return fn
 
@@ -454,10 +458,15 @@ class CircuitOptimizer:
         return float(costs[0])
 
     def step(self, seed: int | None = None) -> tuple[np.ndarray, float]:
-        """One Adam step. Returns (values, cost at the new values)."""
+        """One Adam step. Returns (values, cost at the new values).
+
+        The reference's trace records the cost AFTER each update
+        (``optimizer.py:369-372``), so the autodiff path's
+        value_and_grad cost (at the PRE-update point) cannot replace the
+        post-update evaluation without shifting the trace by one step.
+        """
         self._t += 1
 
-        cost_after_grad = None
         if self._grad_method == "autodiff":
             _, grad = GradientEstimator.autodiff(
                 self._config, self._cost_fn, self._values)

@@ -40,6 +40,7 @@ from ..circuit import QuantumCircuit
 from ..config import CONFIG
 from ..ops import program as prog
 from ..ops.apply import apply_gate
+from ..utils.seeding import key_from_seed
 from ..utils.xfer import to_host_complex
 
 AMP_AXIS = "amp"
@@ -491,7 +492,7 @@ class DistributedSimulator:
         program = prog.compile_circuit(circuit)
         fn = sharded_trajectory_fn(program, noise_model, self._mesh)
         rng = np.random.default_rng(seed)
-        key = jax.random.PRNGKey(int(rng.integers(0, 2**63)))
+        key = key_from_seed(int(rng.integers(0, 2**63)))
         state = fn(jnp.asarray(program.initial_params), key)
         return DistributedStateVector(state, circuit.num_qubits, self._mesh)
 

@@ -36,6 +36,7 @@ from .circuit import GateInstance, QuantumCircuit
 from .gates import H_MATRIX, X_MATRIX, Z_MATRIX
 from .ops.apply import apply_gate
 from .simulator import Simulator
+from .utils.seeding import key_from_seed
 from .state import StateVector
 
 
@@ -545,7 +546,7 @@ class QECSimulator:
         """One encode -> noise -> syndrome -> correct cycle."""
         rng = np.random.default_rng(seed)
         ideal = self._encoded(logical_state)
-        key = jax.random.PRNGKey(int(rng.integers(0, 2**63)))
+        key = key_from_seed(int(rng.integers(0, 2**63)))
 
         fn = self._cycle_fn(noise_type)
         ideal_b = ideal.device_data[None, :]

@@ -33,6 +33,7 @@ from .measurement import (
 )
 from .ops import program as prog
 from .state import StateVector
+from .utils.seeding import key_from_seed
 from .utils.xfer import to_host_complex
 
 
@@ -51,7 +52,7 @@ class SimulationResult:
 def _key_from_rng(rng: np.random.Generator) -> jax.Array:
     """Deterministic JAX key forked from a NumPy generator (SeedManager
     child-stream compatible: same master seed -> same key sequence)."""
-    return jax.random.PRNGKey(int(rng.integers(0, 2**63)))
+    return key_from_seed(int(rng.integers(0, 2**63)))
 
 
 def _traj_chunk_size(dim: int, n_kraus_branches: int = 4) -> int:

@@ -45,8 +45,23 @@ class SeedManager:
 
     def create_child_key(self) -> jax.Array:
         """Fork a JAX PRNG key from the same master stream."""
-        return jax.random.PRNGKey(self.create_child_seed())
+        return key_from_seed(self.create_child_seed())
 
     def reset(self) -> None:
         """Rewind so the next child equals the first child ever created."""
         self._rng = np.random.default_rng(self._master_seed)
+
+
+def key_from_seed(seed: int) -> "jax.Array":
+    """PRNG key carrying ALL bits of a (up to 63-bit) seed.
+
+    ``jax.random.PRNGKey`` silently truncates to the low 32 bits when
+    x64 is disabled (the default) — PRNGKey(2**32 + 5) == PRNGKey(5) —
+    so the high word is folded in explicitly.
+    """
+    lo = int(seed) & 0xFFFFFFFF
+    hi = int(seed) >> 32
+    key = jax.random.PRNGKey(lo)
+    if hi:
+        key = jax.random.fold_in(key, hi)
+    return key

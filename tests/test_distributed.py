@@ -196,9 +196,12 @@ class TestShardedNoise:
 
         dist = DistributedSimulator(n_devices=4)
         ideal = dist.run(c)
+        # 80 samples: per-trajectory fidelity is near-bimodal under
+        # bit-flip noise (std ~0.45), so 25 samples left ~2.3-sigma flake
+        # room against the 0.15 tolerance
         fids_sharded = [
             dist.fidelity(ideal, dist.run_noisy_trajectory(c, nm, seed=s))
-            for s in range(25)
+            for s in range(80)
         ]
 
         sim = Simulator(noise_model=nm)

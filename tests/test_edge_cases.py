@@ -144,3 +144,28 @@ print("OK", err)
                          timeout=240)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK" in out.stdout
+
+
+def test_under_parameterized_gate_rejected():
+    """compile_circuit must reject an Rx with no params: silently padding
+    would shift every later gate's parameter slot."""
+    import pytest
+
+    from quantum_simulator_tpu.circuit import GateInstance, QuantumCircuit
+    from quantum_simulator_tpu.ops import program as prog
+
+    c = QuantumCircuit(2)
+    c.add_gate(GateInstance("Rx", [0], [], column=0))
+    with pytest.raises(ValueError, match="takes 1 parameter"):
+        prog.compile_circuit(c)
+
+
+def test_key_from_seed_uses_high_bits():
+    """jax.random.PRNGKey truncates to 32 bits; key_from_seed must not."""
+    import numpy as np
+
+    from quantum_simulator_tpu.utils.seeding import key_from_seed
+
+    a = key_from_seed(5)
+    b = key_from_seed(2**32 + 5)
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
