@@ -56,8 +56,14 @@ class SimulationController:
         self._stop_event.set()
 
     def join(self, timeout: float = 10.0) -> None:
-        if self._thread is not None:
-            self._thread.join(timeout)
+        thread = self._thread
+        if thread is not None:
+            thread.join(timeout)
+            if thread.is_alive():
+                # join timed out (e.g. a 20-60s first TPU compile in
+                # flight): keep the handle, or is_running would lie and
+                # _start would un-cancel this worker with a second one
+                return
             self._thread = None
 
     # --- internals ----------------------------------------------------------
@@ -92,11 +98,14 @@ class SimulationController:
             self.on_finished(result)
 
     def _run_steps(self, circuit, shots, seed) -> None:
+        import numpy as np
+
         sim = Simulator(noise_model=self._noise_model)
         total = max(1, circuit.depth() + 1)
         done = 0
         final_state = None
-        for state, col in sim.run_step_by_step(circuit):
+        rng = np.random.default_rng(seed) if seed is not None else None
+        for state, col in sim.run_step_by_step(circuit, rng=rng):
             if self._stop_event.is_set():
                 return
             if self.on_step_updated is not None:

@@ -27,6 +27,8 @@ _SO = os.path.join(
 def _needs_build() -> bool:
     if not os.path.exists(_SO):
         return True
+    if not os.path.exists(_SRC):
+        return False   # deployed .so without the .c: use it as-is
     return os.path.getmtime(_SRC) > os.path.getmtime(_SO)
 
 

@@ -1006,6 +1006,21 @@ def group_forward_body(program: prog.CircuitProgram, params, dtype=None):
     return (x[0] + 1j * x[1]).reshape(-1).astype(dtype)
 
 
+def group_evolve_body(program: prog.CircuitProgram, state, params,
+                      dtype=None):
+    """Traceable ``(state, params) -> state`` applying the plan to a
+    PROVIDED complex state (the group-path twin of program.evolve_fn)."""
+    dtype = dtype or CONFIG.dtype
+    plan = get_group_plan(program)
+    shape = tuple(plan.layout.axis_sizes)
+    operands = build_group_operands(program, plan, params, dtype)
+    shaped = state.reshape(shape)
+    x = jnp.stack([jnp.real(shaped).astype(_F32),
+                   jnp.imag(shaped).astype(_F32)])
+    x = execute_group_plan(plan, operands, program, params, dtype, x)
+    return (x[0] + 1j * x[1]).reshape(-1).astype(dtype)
+
+
 def group_forward_fn(program: prog.CircuitProgram, dtype=None) -> Callable:
     """jitted ``f(params) -> complex state (2^n,)`` via the group-matmul
     plan. Handles EVERY circuit (generic per-gate fallback for the rare

@@ -121,6 +121,12 @@ def compile_circuit(circuit) -> CircuitProgram:
                 key_parts.append((inst.gate_name, tuple(inst.target_qubits),
                                   col_idx, mat.tobytes()))
 
+    # Measure/Barrier-only columns contribute no ops but DO change the
+    # snapshot count of steps/trajectory programs — without this, two
+    # such circuits collide in the compile cache and return the wrong
+    # number of per-column states.
+    key_parts.append(("columns", len(columns)))
+
     return CircuitProgram(
         num_qubits=circuit.num_qubits,
         initial_index=basis_state_index(circuit.initial_states),
@@ -274,9 +280,20 @@ def forward_body(program: CircuitProgram, params, dtype=None):
 def evolve_fn(program: CircuitProgram, dtype=None) -> Callable:
     """jitted ``f(state, params) -> state`` applying the program to a
     PROVIDED state (rather than the circuit's initial basis state) — used
-    for chained benchmarking and for composing circuits."""
+    for chained benchmarking and for composing circuits. Routes through
+    the group executor on TPU like forward_fn (the per-gate einsum body
+    stops compiling in reasonable time at n >= 20 on remote-compile
+    runtimes)."""
     dtype = dtype or CONFIG.dtype
-    key = ("evolve", program.compile_key, str(dtype))
+    on_tpu = jax.default_backend() == "tpu"
+    key = ("evolve", program.compile_key, str(dtype), on_tpu)
+
+    if on_tpu:
+        from .plan import group_evolve_body
+
+        return _cache_get(key, lambda: jax.jit(
+            lambda state, params: group_evolve_body(
+                program, state, params, dtype)))
 
     def body(state, params):
         n = program.num_qubits

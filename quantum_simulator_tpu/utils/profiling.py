@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import time
+from typing import Callable
 from dataclasses import dataclass
 
 import jax
@@ -42,13 +43,29 @@ class TimingResult:
         return self.mean_s * 1000
 
 
-def time_compiled(fn, *args, repeats: int = 10) -> TimingResult:
-    """Time a jitted callable excluding compilation; each repeat is
-    synchronized so runtime dispatch elision can't fake the numbers."""
+def time_compiled(fn, *args, repeats: int = 10,
+                  chain: "Callable | None" = None) -> TimingResult:
+    """Time a jitted callable excluding compilation.
+
+    Repeated IDENTICAL dispatches get elided on the axon runtime
+    (CLAUDE.md: "Timing loops must chain outputs into inputs"), so each
+    repeat's output is fed back into the next call: by default the first
+    positional arg is replaced with the output when shapes/dtypes match;
+    pass ``chain(out, args) -> args`` for anything fancier.
+    """
     out = fn(*args)
     jax.block_until_ready(out)
+
+    def default_chain(prev, a):
+        if (a and hasattr(prev, "shape") and hasattr(a[0], "shape")
+                and prev.shape == a[0].shape and prev.dtype == a[0].dtype):
+            return (prev,) + tuple(a[1:])
+        return a
+
+    chain = chain or default_chain
     times = []
     for _ in range(repeats):
+        args = tuple(chain(out, args))
         t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
