@@ -145,3 +145,32 @@ class TestGroupTrajectories:
                                       jax.random.PRNGKey(0),
                                       record_columns=True)
         assert steps.shape == (5, 2**8)
+
+
+def test_group_evolve_body_matches_einsum_evolve():
+    """The group-path evolve (provided initial state) must match the
+    per-gate evolve body — this is the TPU route of program.evolve_fn."""
+    import jax
+
+    from quantum_simulator_tpu.ops.apply import apply_gate
+    from quantum_simulator_tpu.ops.plan import group_evolve_body
+
+    c = brickwork_circuit(10, 4, seed=9)
+    p = prog.compile_circuit(c)
+    params = jnp.asarray(p.initial_params)
+    # arbitrary (non-basis) starting state
+    rng = np.random.default_rng(1)
+    raw = rng.normal(size=2**10) + 1j * rng.normal(size=2**10)
+    raw /= np.linalg.norm(raw)
+    state = jnp.asarray(raw, jnp.complex64)
+
+    got = np.asarray(jax.jit(
+        lambda s, pp: group_evolve_body(p, s, pp, jnp.complex64))(
+            state, params))
+
+    expected = state
+    for op in p.ops:
+        expected = apply_gate(expected, p.op_matrix(op, params,
+                                                    jnp.complex64),
+                              op.targets, 10)
+    np.testing.assert_allclose(got, np.asarray(expected), atol=2e-5)
