@@ -21,25 +21,15 @@ from __future__ import annotations
 import math
 
 from .circuit import GateInstance, QuantumCircuit
-from .gates import GateDefinition, GateType, _const, mcz_matrix
 from .registry import GateRegistry
 
 
 def _ensure_mcz(num_qubits: int) -> str:
-    """Register (idempotently) and return the name of an exact
-    multi-controlled-Z gate on ``num_qubits`` qubits."""
+    """Return the name of the exact multi-controlled-Z gate on
+    ``num_qubits`` qubits (the registry synthesizes MCZ_k on demand, so
+    serialized Grover circuits also load in a fresh process)."""
     name = f"MCZ{num_qubits}"
-    registry = GateRegistry.instance()
-    try:
-        registry.get(name)
-    except KeyError:
-        registry.register(GateDefinition(
-            name=name, display_name=f"Multi-Controlled-Z ({num_qubits})",
-            gate_type=GateType.CONTROLLED, num_qubits=num_qubits,
-            num_params=0, param_names=(),
-            matrix_func=_const(mcz_matrix(num_qubits)),
-            symbol="MCZ", color="#455A64",
-            num_controls=num_qubits - 1, num_targets=1))
+    GateRegistry.instance().get(name)
     return name
 
 

@@ -53,27 +53,23 @@ class ComparisonResult:
 
 def _counts_to_probs(counts: dict[str, int], dim: int,
                      shots: int) -> np.ndarray:
-    probs = np.zeros(dim)
-    for key, count in counts.items():
-        idx = int(key, 2)
-        if idx < dim:
-            probs[idx] = count / shots
-    return probs
+    from .analysis import counts_to_array
+
+    num_qubits = max(1, dim.bit_length() - 1)
+    return counts_to_array(counts, num_qubits) / shots
 
 
 class CircuitComparator:
     """Compare two circuits on resources, output fidelity, distributions."""
 
-    def __init__(self):
-        self._registry = GateRegistry.instance()
-
     def compute_metrics(self, circuit: QuantumCircuit) -> CircuitMetrics:
+        registry = GateRegistry.instance()  # live lookup: reset()-safe
         m = CircuitMetrics(num_qubits=circuit.num_qubits)
         for gate in circuit.gates:
-            try:
-                gate_def = self._registry.get(gate.gate_name)
-            except KeyError:
-                continue
+            # unknown gates raise: silently skipping them used to report
+            # resource metrics missing every unregistered gate while the
+            # simulator crashed on the same circuit
+            gate_def = registry.get(gate.gate_name)
             if gate_def.gate_type == GateType.MEASUREMENT:
                 m.measurement_gates += 1
                 continue

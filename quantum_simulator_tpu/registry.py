@@ -5,8 +5,11 @@ Parity target: ``/root/reference/quantum_sim/engine/gate_registry.py:14-173``
 gates, ``reset()`` for test isolation).
 
 TPU note: custom gates registered at runtime participate in circuit
-compilation — their (static) matrices are baked into the traced program, and
-the ``circuit_hash`` compile cache key makes re-registration safe.
+compilation — their (static) matrices are baked into the traced program,
+and ``compile_circuit`` folds those matrix bytes into its compile key
+(``ops/program.py``), so re-registering a gate with a new matrix never
+hits a stale compiled program. (``circuit_hash`` is the reference-
+invalidation key, ``structure_hash`` the jit cache key — see CLAUDE.md.)
 """
 
 from __future__ import annotations
@@ -146,6 +149,24 @@ class GateRegistry:
 
     def get(self, name: str) -> GateDefinition:
         if name not in self._gates:
+            # MCZ_k gates are synthesized on demand so circuits saved
+            # with them (Grover) deserialize in a fresh process
+            import re as _re
+
+            m = _re.fullmatch(r"MCZ(\d+)", name)
+            if m and 2 <= int(m.group(1)) <= 16:
+                from .gates import _const, mcz_matrix
+
+                k = int(m.group(1))
+                self.register(GateDefinition(
+                    name=name,
+                    display_name=f"Multi-Controlled-Z ({k})",
+                    gate_type=GateType.CONTROLLED, num_qubits=k,
+                    num_params=0, param_names=(),
+                    matrix_func=_const(mcz_matrix(k)),
+                    symbol="MCZ", color="#455A64",
+                    num_controls=k - 1, num_targets=1))
+                return self._gates[name]
             raise KeyError(f"Gate '{name}' not found in registry")
         return self._gates[name]
 

@@ -155,3 +155,23 @@ class TestBenchmarkSuite:
         results = BenchmarkSuite.run_all(noise_model=noisy_model(0.3),
                                          seed=42)
         assert any(r.fidelity < 1.0 for r in results)
+
+
+def test_grover_circuit_roundtrips_in_fresh_registry():
+    """MCZ_k gates synthesize on demand: a serialized Grover circuit must
+    load and run after GateRegistry.reset() (fresh-process equivalent)."""
+    from quantum_simulator_tpu.algorithms import AlgorithmTemplate
+    from quantum_simulator_tpu.comparison import CircuitComparator
+    from quantum_simulator_tpu.circuit import QuantumCircuit
+    from quantum_simulator_tpu.registry import GateRegistry
+    from quantum_simulator_tpu.simulator import Simulator
+
+    d = AlgorithmTemplate.grover_search(3, marked_state=5).to_dict()
+    GateRegistry.reset()
+    circuit = QuantumCircuit.from_dict(d)
+    result = Simulator().run(circuit, shots=0)
+    probs = result.final_state.probabilities
+    assert probs[5] > 0.5
+    metrics = CircuitComparator().compute_metrics(circuit)
+    # the MCZ3 oracle/diffusion gates must be counted as multi-qubit
+    assert metrics.multi_qubit_gates >= 2
