@@ -56,13 +56,18 @@ def build_circuit_dict(n: int, depth: int, seed: int) -> dict:
     return {"version": "1.0", "num_qubits": n, "gates": gates}
 
 
-def _chained_forward(circuit_dict: dict):
+def _chained_forward(circuit_dict: dict, chain_runs: int = CHAIN_RUNS):
     """(jitted chained-runs fn, params, plan) for the group executor."""
     import jax
     import jax.numpy as jnp
 
     from quantum_simulator_tpu.circuit import QuantumCircuit
     from quantum_simulator_tpu.ops import program as prog
+    from quantum_simulator_tpu.ops.bigstate import (
+        auto_chunks,
+        group_forward_planar_body,
+        planar_norm_sq,
+    )
     from quantum_simulator_tpu.ops.plan import (
         get_group_plan,
         group_forward_body,
@@ -72,22 +77,36 @@ def _chained_forward(circuit_dict: dict):
     program = prog.compile_circuit(circuit)
     plan = get_group_plan(program)
 
-    @jax.jit
-    def chained(params):
-        def step(carry, _):
-            out = group_forward_body(program, params + 1e-9 * carry,
-                                     jnp.complex64)
-            return jnp.real(out[0]), out[0]
-        carry, outs = jax.lax.scan(step, jnp.float32(0.0), None,
-                                   length=CHAIN_RUNS)
-        # return a REAL scalar tied to every iteration (complex host
-        # transfers are unimplemented on the axon runtime)
-        return carry + jnp.sum(jnp.abs(outs) ** 2)
+    if auto_chunks(program.num_qubits) > 1:
+        # n >= 30: the chunked in-place executor; the state never takes a
+        # complex form (one whole-state einsum's in+out would exceed HBM).
+        @jax.jit
+        def chained(params):
+            def step(carry, _):
+                x = group_forward_planar_body(program, params + 1e-9 * carry,
+                                              jnp.complex64)
+                return x[0].reshape(-1)[0], planar_norm_sq(x)
+            carry, norms = jax.lax.scan(step, jnp.float32(0.0), None,
+                                        length=chain_runs)
+            return carry + jnp.sum(norms)
+    else:
+        @jax.jit
+        def chained(params):
+            def step(carry, _):
+                out = group_forward_body(program, params + 1e-9 * carry,
+                                         jnp.complex64)
+                return jnp.real(out[0]), out[0]
+            carry, outs = jax.lax.scan(step, jnp.float32(0.0), None,
+                                       length=chain_runs)
+            # return a REAL scalar tied to every iteration (complex host
+            # transfers are unimplemented on the axon runtime)
+            return carry + jnp.sum(jnp.abs(outs) ** 2)
 
     return chained, jnp.asarray(program.initial_params), plan
 
 
-def bench_tpu_engine(circuit_dict: dict) -> tuple[float, int]:
+def bench_tpu_engine(circuit_dict: dict,
+                     chain_runs: int = CHAIN_RUNS) -> tuple[float, int]:
     """(seconds per full-circuit application, state passes per run)."""
     from quantum_simulator_tpu.ops.plan import (
         AxisMatmulStep,
@@ -95,7 +114,7 @@ def bench_tpu_engine(circuit_dict: dict) -> tuple[float, int]:
         DiagPairStep,
     )
 
-    chained, params, plan = _chained_forward(circuit_dict)
+    chained, params, plan = _chained_forward(circuit_dict, chain_runs)
     passes = sum(1 for s in plan.steps
                  if isinstance(s, (AxisMatmulStep, CrossStep, DiagPairStep)))
 
@@ -105,7 +124,7 @@ def bench_tpu_engine(circuit_dict: dict) -> tuple[float, int]:
     run_once()  # compile + warm
     t0 = time.perf_counter()
     run_once()
-    return (time.perf_counter() - t0) / CHAIN_RUNS, passes
+    return (time.perf_counter() - t0) / chain_runs, passes
 
 
 _REF_BENCH_SNIPPET = r"""
@@ -165,10 +184,14 @@ def bench_secondary():
     # Large-n forward throughput (beyond the reference's 16-qubit cap and,
     # at n=28, beyond its own 8-GiB statevector ceiling) via the
     # group-matmul executor.
-    for n_big in (20, 24, 28):
+    # n=30 exceeds the whole-state executor's HBM ceiling and runs on the
+    # chunked in-place schedule (ops/bigstate.py); short chain bounds the
+    # bench's wall clock at 2.5 s/run.
+    for n_big, chain in ((20, CHAIN_RUNS), (24, CHAIN_RUNS),
+                         (28, CHAIN_RUNS), (30, 2)):
         try:
             cdict = build_circuit_dict(n_big, 8, SEED)
-            per_run, passes = bench_tpu_engine(cdict)
+            per_run, passes = bench_tpu_engine(cdict, chain)
             frac = roofline_fraction(n_big, passes, per_run)
             print(f"[bench] n={n_big} depth-8 brickwork (group plan): "
                   f"{8 / per_run:.1f} gate-layers/s "
