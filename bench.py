@@ -106,8 +106,11 @@ def _chained_forward(circuit_dict: dict, chain_runs: int = CHAIN_RUNS):
 
 
 def bench_tpu_engine(circuit_dict: dict,
-                     chain_runs: int = CHAIN_RUNS) -> tuple[float, int]:
-    """(seconds per full-circuit application, state passes per run)."""
+                     chain_runs: int = CHAIN_RUNS
+                     ) -> tuple[float, int, int]:
+    """(seconds per full-circuit application, state passes per run,
+    bytes per amplitude — 4 when the plan's all-real path carries a
+    single f32 plane, 8 for planar complex)."""
     from quantum_simulator_tpu.ops.plan import (
         AxisMatmulStep,
         CrossStep,
@@ -117,6 +120,7 @@ def bench_tpu_engine(circuit_dict: dict,
     chained, params, plan = _chained_forward(circuit_dict, chain_runs)
     passes = sum(1 for s in plan.steps
                  if isinstance(s, (AxisMatmulStep, CrossStep, DiagPairStep)))
+    amp_bytes = 4 if plan.all_real else 8
 
     def run_once():
         return float(np.asarray(chained(params)))  # blocks: host scalar
@@ -124,7 +128,7 @@ def bench_tpu_engine(circuit_dict: dict,
     run_once()  # compile + warm
     t0 = time.perf_counter()
     run_once()
-    return (time.perf_counter() - t0) / chain_runs, passes
+    return (time.perf_counter() - t0) / chain_runs, passes, amp_bytes
 
 
 _REF_BENCH_SNIPPET = r"""
@@ -191,8 +195,9 @@ def bench_secondary():
                          (28, CHAIN_RUNS), (30, 2)):
         try:
             cdict = build_circuit_dict(n_big, 8, SEED)
-            per_run, passes = bench_tpu_engine(cdict, chain)
-            frac = roofline_fraction(n_big, passes, per_run)
+            per_run, passes, ab = bench_tpu_engine(cdict, chain)
+            frac = roofline_fraction(n_big, passes, per_run,
+                                     bytes_per_amp=ab)
             print(f"[bench] n={n_big} depth-8 brickwork (group plan): "
                   f"{8 / per_run:.1f} gate-layers/s "
                   f"({per_run * 1000:.1f} ms/run, {passes} state passes, "
@@ -206,7 +211,7 @@ def bench_secondary():
         from quantum_simulator_tpu.algorithms import AlgorithmTemplate
 
         qft = AlgorithmTemplate.quantum_fourier_transform(24)
-        per_run, passes = bench_tpu_engine(qft.to_dict())
+        per_run, passes, _ = bench_tpu_engine(qft.to_dict())
         gates = qft.gate_count()
         print(f"[bench] QFT-24 ({gates} gates): {per_run * 1000:.1f} "
               f"ms/run ({passes} state passes — "
@@ -237,7 +242,7 @@ def bench_secondary():
 
 def main():
     circuit_dict = build_circuit_dict(N_QUBITS, DEPTH, SEED)
-    per_run, passes = bench_tpu_engine(circuit_dict)
+    per_run, passes, _ = bench_tpu_engine(circuit_dict)
     layers_per_sec = DEPTH / per_run
     from quantum_simulator_tpu.utils.profiling import roofline_fraction
     frac = roofline_fraction(N_QUBITS, passes, per_run)

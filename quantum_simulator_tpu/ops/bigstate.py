@@ -45,6 +45,7 @@ from .plan import (
     _dense_spec,
     _diag_spec,
     _planar_basis_state,
+    _real_basis_state,
     _split_axis_bit,
     build_group_operands,
     get_group_plan,
@@ -76,11 +77,13 @@ def _chunk_axis(shape: tuple[int, ...], involved: set[int]) -> int | None:
 
 
 def _chunked_pass(x: jnp.ndarray, involved: set[int], n_chunks: int,
-                  apply_fn: Callable[[jnp.ndarray], jnp.ndarray]
-                  ) -> jnp.ndarray:
-    """Apply ``apply_fn`` (a full-rank planar-state transform) chunk by
-    chunk along an uninvolved axis, updating the carried state in place."""
-    shape = x.shape[1:]  # drop the leading re/im plane axis
+                  apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+                  lead: int = 1) -> jnp.ndarray:
+    """Apply ``apply_fn`` (a full-rank state transform) chunk by chunk
+    along an uninvolved axis, updating the carried state in place.
+    ``lead`` = number of leading non-data axes (1 for the planar re/im
+    plane, 0 for an all-real state)."""
+    shape = x.shape[lead:]  # drop any leading re/im plane axis
     ax = _chunk_axis(shape, involved)
     if ax is None or n_chunks <= 1:
         return apply_fn(x)
@@ -89,7 +92,7 @@ def _chunked_pass(x: jnp.ndarray, involved: set[int], n_chunks: int,
     while size % chunks:  # axis sizes are powers of two; so are chunks
         chunks -= 1
     width = size // chunks
-    tax = ax + 1  # planar tensor axis (leading re/im plane)
+    tax = ax + lead  # tensor axis (past any leading re/im plane)
     sizes = x.shape[:tax] + (width,) + x.shape[tax + 1:]
 
     # Unrolled straight-line chunks, not a fori_loop: on the axon remote
@@ -108,42 +111,56 @@ def _chunked_pass(x: jnp.ndarray, involved: set[int], n_chunks: int,
 
 
 def execute_group_plan_chunked(plan, operands, program, params, dtype,
-                               x: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
-    """Run every plan step on the planar state ``x`` with each pass chunked
-    along an uninvolved axis (in-place fori_loop carry). Identical math to
+                               x: jnp.ndarray, n_chunks: int,
+                               planar: bool = True) -> jnp.ndarray:
+    """Run every plan step on the state ``x`` (planar, or real with
+    ``planar=False`` for all-real plans) with each pass chunked along an
+    uninvolved axis (in-place fori_loop carry). Identical math to
     ``plan.execute_group_plan``; only the memory schedule differs."""
     rank = len(plan.layout.axis_sizes)
     axis_stacks, cross_ops, diag_ops = operands
+    lead = 1 if planar else 0
 
     for step in plan.steps:
         if isinstance(step, AxisMatmulStep):
+            real = plan.dense_real[step.axis][step.op_index]
             op = axis_stacks[step.axis][step.op_index]
-            spec = _dense_spec(rank, step.axis)
+            op = op[0, 0] if real else op
+            spec = _dense_spec(rank, step.axis, real, planar)
             x = _chunked_pass(
                 x, {step.axis}, n_chunks,
                 lambda blk, op=op, spec=spec: jnp.einsum(
-                    spec, op, blk, precision=_HI))
+                    spec, op, blk, precision=_HI),
+                lead=lead)
         elif isinstance(step, CrossStep):
-            def cross_fn(blk, step=step):
-                bshape = blk.shape[1:]
+            real = plan.cross_real[step.index]
+            cop = cross_ops[step.index]
+            cop = cop[0, 0] if real else cop
+
+            def cross_fn(blk, step=step, cop=cop, real=real):
+                bshape = blk.shape[lead:]
                 new_shape, bit_axis = _split_axis_bit(
                     bshape, step.slice_axis, step.slice_pos)
                 o = step.op_axis + (2 if step.op_axis > step.slice_axis
                                     else 0)
-                xr = blk.reshape((2,) + new_shape)
-                xr = jnp.einsum(_cross_spec(len(new_shape), bit_axis, o),
-                                cross_ops[step.index], xr, precision=_HI)
+                xr = blk.reshape(blk.shape[:lead] + new_shape)
+                xr = jnp.einsum(
+                    _cross_spec(len(new_shape), bit_axis, o, real, planar),
+                    cop, xr, precision=_HI)
                 return xr.reshape(blk.shape)
 
             x = _chunked_pass(x, {step.slice_axis, step.op_axis}, n_chunks,
-                              cross_fn)
+                              cross_fn, lead=lead)
         elif isinstance(step, DiagPairStep):
-            spec = _diag_spec(rank, step.axis_a, step.axis_b)
+            real = plan.diag_real[step.index]
             d = diag_ops[step.index]
+            d = d[0, 0] if real else d
+            spec = _diag_spec(rank, step.axis_a, step.axis_b, real, planar)
             x = _chunked_pass(
                 x, {step.axis_a, step.axis_b}, n_chunks,
                 lambda blk, d=d, spec=spec: jnp.einsum(
-                    spec, d, blk, precision=_HI))
+                    spec, d, blk, precision=_HI),
+                lead=lead)
         else:  # GenericStep: a 3-group gate — whole-state fallback. These
             # cannot appear in brickwork/QFT workloads; at n >= 30 the
             # complex round-trip would exceed HBM, which is acceptable for
@@ -168,9 +185,23 @@ def group_forward_planar_body(program, params, dtype=None,
     dtype = dtype or CONFIG.dtype
     plan = get_group_plan(program)
     operands = build_group_operands(program, plan, params, dtype)
-    x = _planar_basis_state(plan.layout, program.initial_index)
     if n_chunks is None:
         n_chunks = auto_chunks(program.num_qubits)
+    if plan.all_real:
+        # All-real evolution: run on the (*axes,) real tensor (half the
+        # bytes/FLOPs) and stack the zero imaginary plane at the end.
+        xr = _real_basis_state(plan.layout, program.initial_index)
+        if n_chunks > 1:
+            xr = execute_group_plan_chunked(plan, operands, program,
+                                            params, dtype, xr, n_chunks,
+                                            planar=False)
+        else:
+            from .plan import execute_group_plan
+
+            xr = execute_group_plan(plan, operands, program, params,
+                                    dtype, xr, planar=False)
+        return jnp.stack([xr, jnp.zeros_like(xr)])
+    x = _planar_basis_state(plan.layout, program.initial_index)
     if n_chunks > 1:
         return execute_group_plan_chunked(plan, operands, program, params,
                                           dtype, x, n_chunks)
@@ -187,3 +218,189 @@ def planar_probabilities(x: jnp.ndarray) -> jnp.ndarray:
 
 def planar_norm_sq(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x * x)
+
+
+# Jitted twins for host-facing calls on huge states: un-jitted, each
+# elementwise op is its own dispatch whose 8 GiB operand is counted per
+# USE in XLA's argument budget (measured: `jnp.sum(x*x)` on an n=30
+# planar state fails compile with "arguments 16.00G"), and the multiply
+# materializes a whole-state temp. Jitted, the mult fuses into the
+# reduction / the reshape, so peak stays state + output.
+_planar_norm_sq_jit = jax.jit(planar_norm_sq)
+_planar_probabilities_jit = jax.jit(planar_probabilities)
+
+
+# ---------------------------------------------------------------------------
+# Huge-n sampling + host-facing state wrapper
+# ---------------------------------------------------------------------------
+
+_SAMPLE_CACHE: dict[tuple, Callable] = {}
+_FWD_CACHE: dict[tuple, Callable] = {}
+
+
+def huge_forward_planar_fn(program, dtype=None) -> Callable:
+    """Cached jitted ``f(params) -> planar (2, *axis_sizes) f32 state``
+    via the chunked in-place executor."""
+    dtype = dtype or CONFIG.dtype
+    key_t = ("huge-fwd", program.compile_key, str(dtype))
+    cached = _FWD_CACHE.get(key_t)
+    if cached is None:
+        cached = jax.jit(
+            lambda params: group_forward_planar_body(program, params, dtype))
+        if len(_FWD_CACHE) > 32:
+            _FWD_CACHE.pop(next(iter(_FWD_CACHE)))
+        _FWD_CACHE[key_t] = cached
+    return cached
+
+
+_SAMPLE_BATCH = 2048  # draws per tile-gather batch (bounds temp memory)
+
+
+def sample_planar_indices(x: jnp.ndarray, key, shots: int) -> jnp.ndarray:
+    """Traceable two-level inverse-CDF sampler over a planar state:
+    ``shots`` basis indices (int32) without EVER materializing a large
+    CDF — the n=30 requirement.
+
+    Designs that failed on a 16 GiB chip first (all measured at n=30):
+    a flat ``x.reshape(2, -1)`` retiles the whole state (an 8 GiB HLO
+    copy); per-slab 1 GiB CDFs pushed peak HBM to 20 GiB; a fori_loop
+    slab schedule still tripped the runtime's free-memory line; and
+    vmapped ``dynamic_slice`` tile gathers straight off the 6D planar
+    input made XLA relayout the INPUT (another 8 GiB ``copy(x)`` —
+    gathers prefer a different minor dimension than the einsum
+    executor's output). So: hierarchical sampling off a COMPUTED probs
+    matrix, which costs one state/2 temp but zero input copies (the
+    elementwise+reshape fusion writes the gather-friendly layout
+    directly).
+
+      level 1  probs = |amp|^2 as ONE (nblocks, S) fusion (4 GiB at
+               n=30, S = 2^14 = trailing two data axes); per-block sums
+               + tiny block CDF; each draw picks its block by binary
+               search.
+      level 2  row-gather each draw's S-wide block (batches of <=2048
+               draws; batch x S f32 = 128 MiB), in-row CDF, binary
+               search within.
+
+    Peak extra memory: state/2 + O(batch x S). Basis order: the planar
+    data axes are MSB-first groups of the basis index
+    (``plan.GroupLayout``), so C-order flattening = basis order, block
+    ``b`` covers ``[b*S, (b+1)*S)``.
+
+    The in-tile sums re-accumulate in a different order than the block
+    reduction, so a draw can land one float-ulp past its tile's last
+    interval; the final clip pins it to the tile edge (same tolerance as
+    any float inverse-CDF). int32 indices cap this at n <= 31
+    (single-chip HBM caps at n=30 anyway); the sharded engine owns
+    anything larger.
+    """
+    data_shape = x.shape[1:]
+    if len(data_shape) >= 3:
+        tile_shape = data_shape[-2:]
+        lead_shape = data_shape[:-2]
+    else:
+        tile_shape = data_shape[-1:]
+        lead_shape = data_shape[:-1]
+    S = 1
+    for s in tile_shape:
+        S *= s
+    nblocks = 1
+    for s in lead_shape:
+        nblocks *= s
+    # probs stays 3D (nblocks, *tile_shape): merging ONLY the leading
+    # axes is a pure bitcast under TPU tiling (tiles live on the last
+    # two dims), so the |amp|^2 fusion writes it directly — a 2D
+    # (nblocks, S) reshape was measured to cost an extra whole-size
+    # retile copy. The per-draw (B, S) flatten below is 1/nblocks the
+    # size and free to copy.
+    probs = (x[0] * x[0] + x[1] * x[1]).reshape((nblocks,) + tile_shape)
+    sum_axes = tuple(range(1, 1 + len(tile_shape)))
+    bcdf = jnp.cumsum(jnp.sum(probs, axis=sum_axes))
+    total = bcdf[-1]
+    u = jax.random.uniform(key, (shots,), dtype=jnp.float32) * total
+    b = jnp.clip(jnp.searchsorted(bcdf, u, side="right"), 0, nblocks - 1)
+    u_in = u - jnp.where(b > 0, bcdf[jnp.maximum(b - 1, 0)], 0.0)
+
+    def batch_body(args):
+        bb, uu = args
+        tiles = jnp.take(probs, bb, axis=0)          # (B, *tile) gather
+        tcdf = jnp.cumsum(tiles.reshape(len(uu), S), axis=1)
+        j = jax.vmap(lambda row, q: jnp.searchsorted(row, q, side="right")
+                     )(tcdf, uu)
+        return jnp.clip(j, 0, S - 1)
+
+    batch = min(shots, _SAMPLE_BATCH)
+    pad = (-shots) % batch
+    bp = jnp.pad(b, (0, pad)).reshape(-1, batch)
+    up = jnp.pad(u_in, (0, pad)).reshape(-1, batch)
+    j = jax.lax.map(batch_body, (bp, up)).reshape(-1)[:shots]
+    return b * S + j.astype(jnp.int32)
+
+
+def huge_sample_fn(planar_shape: tuple[int, ...], shots: int) -> Callable:
+    """Cached jitted ``f(planar_state, key) -> (shots,) int32 indices``."""
+    key_t = ("huge-sample", planar_shape, shots)
+    cached = _SAMPLE_CACHE.get(key_t)
+    if cached is None:
+        cached = jax.jit(lambda x, k: sample_planar_indices(x, k, shots))
+        if len(_SAMPLE_CACHE) > 32:
+            _SAMPLE_CACHE.pop(next(iter(_SAMPLE_CACHE)))
+        _SAMPLE_CACHE[key_t] = cached
+    return cached
+
+
+class PlanarStateVector:
+    """Host-facing wrapper over a planar (2, *axis_sizes) f32 state — the
+    n >= 30 stand-in for ``StateVector``, where a complex64 copy of the
+    amplitudes would by itself exceed the remaining HBM.
+
+    Supports the cheap queries (norm, per-index amplitude, probability
+    vector on device); anything needing the full complex vector on host
+    raises with guidance instead of OOMing.
+    """
+
+    def __init__(self, planar: jnp.ndarray, num_qubits: int):
+        self._planar = planar
+        self._num_qubits = num_qubits
+
+    @property
+    def num_qubits(self) -> int:
+        return self._num_qubits
+
+    @property
+    def planar_data(self) -> jnp.ndarray:
+        return self._planar
+
+    @property
+    def data(self):
+        raise MemoryError(
+            f"A dense complex host copy of a {self._num_qubits}-qubit state "
+            f"is {(16 << self._num_qubits) / 2**30:.0f} GiB; use "
+            ".amplitude(index), .probabilities_device, or the sharded "
+            "engine (parallel.DistributedSimulator) instead.")
+
+    @property
+    def probabilities_device(self) -> jnp.ndarray:
+        """(2^n,) f32 on device (one fused kernel; 4 GiB output at n=30)."""
+        return _planar_probabilities_jit(self._planar)
+
+    def norm_sq(self) -> float:
+        import numpy as np
+
+        return float(np.asarray(_planar_norm_sq_jit(self._planar)))
+
+    def amplitude(self, index: int) -> complex:
+        """One basis amplitude (device gather, two floats to host)."""
+        import numpy as np
+
+        coords = []
+        rem = index
+        for size in reversed(self._planar.shape[1:]):
+            coords.append(rem % size)
+            rem //= size
+        coords = tuple(reversed(coords))
+        pair = np.asarray(self._planar[(slice(None),) + coords])
+        return complex(pair[0], pair[1])
+
+    def __repr__(self) -> str:
+        return (f"PlanarStateVector(num_qubits={self._num_qubits}, "
+                f"axes={self._planar.shape[1:]})")

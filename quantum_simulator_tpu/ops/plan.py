@@ -176,6 +176,14 @@ class GroupPlan:
     dense_segments: tuple[DenseSegment, ...]
     cross_specs: tuple[CrossSpec, ...]
     diag_segments: tuple[DiagSegment, ...]
+    # Static realness analysis (see _op_is_real): real composed operators
+    # skip the 2x2 plane contraction (half the MXU FLOPs), and an
+    # all-real plan evolves a REAL state from the basis start (half the
+    # state traffic again — 4x total on Ry/CNOT/H-class circuits).
+    dense_real: tuple[tuple[bool, ...], ...] = ()   # [axis][op_index]
+    cross_real: tuple[bool, ...] = ()
+    diag_real: tuple[bool, ...] = ()
+    all_real: bool = False
 
 
 def _op_is_diagonal(op: prog.ProgramOp) -> bool:
@@ -183,6 +191,21 @@ def _op_is_diagonal(op: prog.ProgramOp) -> bool:
         m = op.static_matrix
         return bool(np.allclose(m, np.diag(np.diagonal(m))))
     return op.gate_name in _DIAGONAL_PARAM_GATES
+
+
+# Parameterized gates whose matrix is real for EVERY parameter value
+# (structural property — params are traced, so a numeric probe can't be
+# used). Ry = [[cos, -sin], [sin, cos]]. Rx/Rz/Phase/CPhase/U3 are
+# complex for generic parameters.
+_REAL_PARAM_GATES = frozenset({"Ry"})
+
+
+def _op_is_real(op: prog.ProgramOp) -> bool:
+    """True when the op's matrix is real for all parameter values (static
+    matrices — incl. custom registered gates — are checked numerically)."""
+    if op.static_matrix is not None:
+        return bool(np.allclose(np.imag(op.static_matrix), 0.0))
+    return op.gate_name in _REAL_PARAM_GATES
 
 
 def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
@@ -307,10 +330,32 @@ def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
         steps.append(GenericStep(program_op=oi))
 
     flush_all()
+
+    def _real(oi: int) -> bool:
+        return _op_is_real(program.ops[oi])
+
+    dense_real_by_axis: list[list[bool]] = [[] for _ in range(n_axes)]
+    for seg in dense_segments:  # flush order per axis == stack order
+        dense_real_by_axis[seg.axis].append(
+            all(_real(oi) for sub in seg.subcolumns for oi in sub))
+    cross_real = tuple(
+        _real(s.op_index)
+        and all(_real(oi) for sub in s.pre_op_subcolumns for oi in sub)
+        and all(_real(oi) for oi in s.pre_slice_ops)
+        for s in cross_specs)
+    diag_real = tuple(all(_real(oi) for oi in seg.op_indices)
+                      for seg in diag_segments)
+    all_real = (all(r for ax in dense_real_by_axis for r in ax)
+                and all(cross_real) and all(diag_real)
+                and not any(isinstance(s, GenericStep) for s in steps))
+
     return GroupPlan(layout=layout, steps=tuple(steps),
                      dense_segments=tuple(dense_segments),
                      cross_specs=tuple(cross_specs),
-                     diag_segments=tuple(diag_segments))
+                     diag_segments=tuple(diag_segments),
+                     dense_real=tuple(tuple(ax) for ax in dense_real_by_axis),
+                     cross_real=cross_real, diag_real=diag_real,
+                     all_real=all_real)
 
 
 # ---------------------------------------------------------------------------
@@ -646,25 +691,57 @@ def _planar_basis_state(layout: GroupLayout, index: int) -> jnp.ndarray:
     return jnp.einsum(spec, *facs)
 
 
-def _dense_spec(rank: int, axis: int) -> str:
+def _real_basis_state(layout: GroupLayout, index: int) -> jnp.ndarray:
+    """(*axis_sizes,) one-hot REAL basis state (all-real evolution)."""
+    facs = []
+    rem = index
+    for bits, size in zip(layout.axis_bits[::-1], layout.axis_sizes[::-1]):
+        v = np.zeros(size, np.float32)
+        v[rem & (size - 1)] = 1.0
+        facs.insert(0, jnp.asarray(v))
+        rem >>= bits
+    letters = _AXIS_LETTERS[:len(layout.axis_sizes)]
+    spec = ",".join(letters) + "->" + letters
+    return jnp.einsum(spec, *facs)
+
+
+def _dense_spec(rank: int, axis: int, op_real: bool = False,
+                planar: bool = True) -> str:
+    """``op_real`` drops the complex 2x2 plane contraction (the operator
+    operand is the real plane only — HALF the MXU FLOPs); ``planar=False``
+    additionally drops the state's plane axis (all-real evolution)."""
     subs = list(_AXIS_LETTERS[:rank])
     out = list(subs)
     out[axis] = "y"
+    if op_real and not planar:
+        return f"y{subs[axis]},{''.join(subs)}->{''.join(out)}"
+    if op_real:
+        return f"y{subs[axis]},d{''.join(subs)}->d{''.join(out)}"
     return f"cdy{subs[axis]},d{''.join(subs)}->c{''.join(out)}"
 
 
-def _cross_spec(rank_new: int, bit_axis: int, op_axis_new: int) -> str:
+def _cross_spec(rank_new: int, bit_axis: int, op_axis_new: int,
+                op_real: bool = False, planar: bool = True) -> str:
     subs = list(_AXIS_LETTERS[:rank_new])
     subs[bit_axis] = "k"
     subs[op_axis_new] = "x"
     out = list(subs)
     out[bit_axis] = "i"
     out[op_axis_new] = "y"
+    if op_real and not planar:
+        return f"iykx,{''.join(subs)}->{''.join(out)}"
+    if op_real:
+        return f"iykx,d{''.join(subs)}->d{''.join(out)}"
     return f"cdiykx,d{''.join(subs)}->c{''.join(out)}"
 
 
-def _diag_spec(rank: int, axis_a: int, axis_b: int) -> str:
+def _diag_spec(rank: int, axis_a: int, axis_b: int, op_real: bool = False,
+               planar: bool = True) -> str:
     subs = "".join(_AXIS_LETTERS[:rank])
+    if op_real and not planar:
+        return f"{subs[axis_a]}{subs[axis_b]},{subs}->{subs}"
+    if op_real:
+        return f"{subs[axis_a]}{subs[axis_b]},d{subs}->d{subs}"
     return f"cd{subs[axis_a]}{subs[axis_b]},d{subs}->c{subs}"
 
 
@@ -680,31 +757,42 @@ def _split_axis_bit(shape: tuple[int, ...], axis: int, pos: int):
 
 
 def execute_group_plan(plan: GroupPlan, operands, program, params, dtype,
-                       x: jnp.ndarray) -> jnp.ndarray:
-    """Run all steps on the planar state ``x`` of shape
-    ``(2, *plan.layout.axis_sizes)``."""
+                       x: jnp.ndarray, planar: bool = True) -> jnp.ndarray:
+    """Run all steps on the state ``x``: planar ``(2, *axis_sizes)`` by
+    default, or a REAL ``(*axis_sizes,)`` state with ``planar=False``
+    (valid only for ``plan.all_real`` — every operator real, so a real
+    start stays real; half the bytes and half the FLOPs again)."""
     layout = plan.layout
     shape = tuple(layout.axis_sizes)
     rank = len(shape)
     axis_stacks, cross_ops, diag_ops = operands
+    lead = (2,) if planar else ()
 
     for step in plan.steps:
         if isinstance(step, AxisMatmulStep):
+            real = plan.dense_real[step.axis][step.op_index]
             op = axis_stacks[step.axis][step.op_index]
-            x = jnp.einsum(_dense_spec(rank, step.axis), op, x,
-                           precision=_HI)
+            x = jnp.einsum(_dense_spec(rank, step.axis, real, planar),
+                           op[0, 0] if real else op, x, precision=_HI)
         elif isinstance(step, CrossStep):
+            real = plan.cross_real[step.index]
             new_shape, bit_axis = _split_axis_bit(shape, step.slice_axis,
                                                   step.slice_pos)
             o = step.op_axis + (2 if step.op_axis > step.slice_axis else 0)
-            xr = x.reshape((2,) + new_shape)
-            xr = jnp.einsum(_cross_spec(len(new_shape), bit_axis, o),
-                            cross_ops[step.index], xr, precision=_HI)
-            x = xr.reshape((2,) + shape)
+            blk = cross_ops[step.index]
+            xr = x.reshape(lead + new_shape)
+            xr = jnp.einsum(
+                _cross_spec(len(new_shape), bit_axis, o, real, planar),
+                blk[0, 0] if real else blk, xr, precision=_HI)
+            x = xr.reshape(lead + shape)
         elif isinstance(step, DiagPairStep):
-            x = jnp.einsum(_diag_spec(rank, step.axis_a, step.axis_b),
-                           diag_ops[step.index], x, precision=_HI)
-        else:  # GenericStep
+            real = plan.diag_real[step.index]
+            d = diag_ops[step.index]
+            x = jnp.einsum(
+                _diag_spec(rank, step.axis_a, step.axis_b, real, planar),
+                d[0, 0] if real else d, x, precision=_HI)
+        else:  # GenericStep (never present when planar=False: all_real
+            # plans exclude generic fallbacks)
             op = program.ops[step.program_op]
             u = program.op_matrix(op, params, dtype)
             flat = (x[0] + 1j * x[1]).reshape(-1).astype(dtype)
@@ -1001,6 +1089,14 @@ def group_forward_body(program: prog.CircuitProgram, params, dtype=None):
     dtype = dtype or CONFIG.dtype
     plan = get_group_plan(program)
     operands = build_group_operands(program, plan, params, dtype)
+    if plan.all_real:
+        # Every operator is real, so evolution from the (real) basis
+        # state never leaves the reals: drop the imaginary plane
+        # entirely — half the HBM traffic and half the remaining FLOPs.
+        xr = _real_basis_state(plan.layout, program.initial_index)
+        xr = execute_group_plan(plan, operands, program, params, dtype,
+                                xr, planar=False)
+        return xr.reshape(-1).astype(dtype)
     x = _planar_basis_state(plan.layout, program.initial_index)
     x = execute_group_plan(plan, operands, program, params, dtype, x)
     return (x[0] + 1j * x[1]).reshape(-1).astype(dtype)

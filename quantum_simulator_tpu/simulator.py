@@ -109,6 +109,16 @@ class Simulator:
             rng = np.random.default_rng(seed)
 
         program = prog.compile_circuit(circuit)
+
+        from .ops.bigstate import auto_chunks
+
+        if auto_chunks(circuit.num_qubits) > 1 \
+                and jax.default_backend() == "tpu":
+            # n >= 30: one whole-state complex copy would exceed HBM;
+            # run the chunked planar executor + streaming sampler.
+            return self._run_huge(circuit, program, shots, record_steps,
+                                  seed, rng, measurement_basis)
+
         params = jnp.asarray(program.initial_params)
         noisy = self._noise_model is not None and self._noise_model.has_channels()
 
@@ -154,6 +164,101 @@ class Simulator:
             num_shots=shots,
             seed=seed,
         )
+
+    def _run_huge(self, circuit: QuantumCircuit, program, shots: int,
+                  record_steps: bool, seed: int | None,
+                  rng: np.random.Generator,
+                  measurement_basis: MeasurementBasis) -> SimulationResult:
+        """n >= 30 single-chip path: chunked in-place planar executor
+        (``ops/bigstate.py``), streaming inverse-CDF sampling, and a
+        ``PlanarStateVector`` result (no complex copy of the state is ever
+        built — it alone would exceed the remaining HBM)."""
+        from .ops.bigstate import (
+            PlanarStateVector,
+            huge_forward_planar_fn,
+            huge_sample_fn,
+        )
+
+        noisy = self._noise_model is not None \
+            and self._noise_model.has_channels()
+        if noisy:
+            raise ValueError(
+                f"Noise channels on a {circuit.num_qubits}-qubit state "
+                "exceed single-chip memory (per-gate Kraus passes need "
+                "whole-state temporaries); use the sharded engine "
+                "(parallel.DistributedSimulator) on a device mesh.")
+        if record_steps:
+            raise ValueError(
+                f"record_steps would retain one {circuit.num_qubits}-qubit "
+                "state per column; not supported on the single-chip "
+                "huge-state path.")
+        readout_err = None
+        if self._noise_model is not None and hasattr(
+                self._noise_model, "readout_error"):
+            readout_err = self._noise_model.readout_error
+
+        params = jnp.asarray(program.initial_params)
+        sampling = shots > 0
+        counts: dict[str, int] = {}
+        # Order matters: two planar states cannot coexist in HBM at n=30
+        # (8 GiB each + executor temps). For a rotated basis, run the
+        # rotated forward FIRST, sample, free it, then run the final
+        # state; for Z, one state serves both.
+        if sampling and measurement_basis != MeasurementBasis.Z:
+            # Basis rotation as extra gates on a circuit copy (H for X;
+            # S† then H for Y) — the planar twin of
+            # measurement.rotate_to_basis.
+            from .circuit import GateInstance
+
+            rotated = circuit.copy()
+            col = max((g.column for g in rotated.gates), default=-1) + 1
+            for q in range(rotated.num_qubits):
+                if measurement_basis == MeasurementBasis.Y:
+                    rotated.add_gate(GateInstance("S_DAG", [q], [],
+                                                  column=col))
+                    rotated.add_gate(GateInstance("H", [q], [],
+                                                  column=col + 1))
+                else:
+                    rotated.add_gate(GateInstance("H", [q], [],
+                                                  column=col))
+            rprog = prog.compile_circuit(rotated)
+            xs = huge_forward_planar_fn(rprog)(
+                jnp.asarray(rprog.initial_params))
+            counts = self._sample_huge_counts(xs, shots, rng,
+                                              circuit.num_qubits)
+            xs.delete()
+            x = huge_forward_planar_fn(program)(params)
+        else:
+            x = huge_forward_planar_fn(program)(params)
+            if sampling:
+                counts = self._sample_huge_counts(x, shots, rng,
+                                                  circuit.num_qubits)
+        final = PlanarStateVector(x, circuit.num_qubits)
+        if counts and readout_err is not None:
+            # Shot-mode corruption works on sparse counts; the
+            # distribution transform would need the dense 2^n vector.
+            counts = readout_err.corrupt_counts(counts, rng)
+
+        return SimulationResult(
+            final_state=final,
+            measurement_counts=counts,
+            step_states=None,
+            num_shots=shots,
+            seed=seed,
+        )
+
+    @staticmethod
+    def _sample_huge_counts(xs, shots: int, rng: np.random.Generator,
+                            num_qubits: int) -> dict[str, int]:
+        """Streaming inverse-CDF draw on the device; only ``shots`` int32
+        indices cross to host."""
+        from .ops.bigstate import huge_sample_fn
+
+        key = _key_from_rng(rng)
+        idx = huge_sample_fn(tuple(xs.shape), shots)(xs, key)
+        vals, cnts = np.unique(np.asarray(idx), return_counts=True)
+        return {format(int(v), f"0{num_qubits}b"): int(c)
+                for v, c in zip(vals, cnts)}
 
     def run_step_by_step(self, circuit: QuantumCircuit,
                          rng: np.random.Generator | None = None

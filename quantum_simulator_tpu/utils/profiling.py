@@ -81,8 +81,12 @@ def hbm_traffic_estimate(num_qubits: int, num_passes: int,
 
 
 def roofline_fraction(num_qubits: int, num_passes: int, measured_s: float,
-                      hbm_bytes_per_s: float = 819e9) -> float:
+                      hbm_bytes_per_s: float = 819e9,
+                      bytes_per_amp: int = 8) -> float:
     """Fraction of the HBM-bandwidth roofline achieved (1.0 = at the
-    floor; >1 means the state stayed in VMEM)."""
-    floor_s = hbm_traffic_estimate(num_qubits, num_passes) / hbm_bytes_per_s
+    floor; >1 means the state stayed in VMEM). ``bytes_per_amp`` is 8
+    for planar complex64 evolution, 4 when the executor's all-real path
+    carries a single f32 plane (``GroupPlan.all_real``)."""
+    floor_s = hbm_traffic_estimate(num_qubits, num_passes,
+                                   bytes_per_amp) / hbm_bytes_per_s
     return floor_s / measured_s if measured_s > 0 else float("inf")

@@ -77,3 +77,121 @@ class TestChunkedExecutor:
         assert auto_chunks(29) == 1
         assert auto_chunks(30) == 8
         assert auto_chunks(32) == 8
+
+
+class TestHugeSampling:
+    def _planar(self, circuit):
+        p = prog.compile_circuit(circuit)
+        params = jnp.asarray(p.initial_params)
+        return p, jax.jit(lambda pr: group_forward_planar_body(
+            p, pr, jnp.complex64, n_chunks=2))(params)
+
+    def test_inverse_cdf_matches_distribution(self):
+        from quantum_simulator_tpu.ops.bigstate import sample_planar_indices
+
+        c = brickwork_circuit(10, 4, seed=9)
+        p, x = self._planar(c)
+        shots = 40000
+        idx = np.asarray(sample_planar_indices(
+            x, jax.random.PRNGKey(5), shots))
+        assert idx.shape == (shots,) and idx.min() >= 0 \
+            and idx.max() < 1 << 10
+        emp = np.bincount(idx, minlength=1 << 10) / shots
+        probs = np.asarray(planar_probabilities(x))
+        tvd = 0.5 * np.abs(emp - probs / probs.sum()).sum()
+        assert tvd < 0.05
+
+    def test_sample_chunking_boundaries(self):
+        # Handcrafted planar state with all mass ON slab boundaries
+        # (first/last flat index of each lead-axis slab) — any off-by-one
+        # in the per-slab offset chain or the final-slab catch-all would
+        # misattribute these draws to a neighbouring slab.
+        from quantum_simulator_tpu.ops.bigstate import sample_planar_indices
+
+        lead, rest = 4, 8
+        boundary = [0, rest - 1, rest, 2 * rest, 3 * rest - 1,
+                    lead * rest - 1]
+        amps = np.zeros(lead * rest, np.float32)
+        amps[boundary] = 1.0 / np.sqrt(len(boundary))
+        x = jnp.stack([jnp.asarray(amps.reshape(lead, rest)),
+                       jnp.zeros((lead, rest), jnp.float32)])
+        shots = 30000
+        idx = np.asarray(sample_planar_indices(
+            x, jax.random.PRNGKey(0), shots))
+        assert set(np.unique(idx)) == set(boundary)
+        emp = np.bincount(idx, minlength=lead * rest) / shots
+        expected = amps ** 2
+        assert 0.5 * np.abs(emp - expected).sum() < 0.03
+
+    def test_planar_state_vector_wrapper(self):
+        from quantum_simulator_tpu.ops.bigstate import PlanarStateVector
+
+        c = brickwork_circuit(10, 4, seed=9)
+        p, x = self._planar(c)
+        sv = PlanarStateVector(x, 10)
+        assert sv.num_qubits == 10
+        np.testing.assert_allclose(sv.norm_sq(), 1.0, atol=1e-5)
+        expected = np.asarray(prog.forward_fn(p)(
+            jnp.asarray(p.initial_params)))
+        for i in (0, 5, 1023):
+            got = sv.amplitude(i)
+            np.testing.assert_allclose([got.real, got.imag],
+                                       [expected[i].real, expected[i].imag],
+                                       atol=1e-5)
+        try:
+            sv.data
+            assert False, "expected MemoryError"
+        except MemoryError:
+            pass
+
+    def test_simulator_huge_path(self):
+        # Drive Simulator._run_huge directly at a small n (the public
+        # router gates on qubit count + TPU backend).
+        from quantum_simulator_tpu.measurement import MeasurementBasis
+        from quantum_simulator_tpu.ops.bigstate import PlanarStateVector
+        from quantum_simulator_tpu.simulator import Simulator
+
+        c = brickwork_circuit(10, 4, seed=9)
+        p = prog.compile_circuit(c)
+        sim = Simulator()
+        shots = 40000
+        res = sim._run_huge(c, p, shots, False, 3,
+                            np.random.default_rng(3), MeasurementBasis.Z)
+        assert isinstance(res.final_state, PlanarStateVector)
+        assert sum(res.measurement_counts.values()) == shots
+        # Agreement with the standard path's distribution
+        ref = Simulator().run(c, shots=0)
+        probs = np.abs(np.asarray(ref.final_state.device_data)) ** 2
+        emp = np.zeros(1 << 10)
+        for b, k in res.measurement_counts.items():
+            emp[int(b, 2)] = k / shots
+        assert 0.5 * np.abs(emp - probs / probs.sum()).sum() < 0.08
+
+        # X-basis sampling goes through the rotated-circuit program.
+        res_x = sim._run_huge(c, p, 500, False, 3,
+                              np.random.default_rng(4), MeasurementBasis.X)
+        assert sum(res_x.measurement_counts.values()) == 500
+
+    def test_simulator_huge_path_rejects_noise_and_steps(self):
+        from quantum_simulator_tpu.measurement import MeasurementBasis
+        from quantum_simulator_tpu.noise import DepolarizingNoise, NoiseModel
+        from quantum_simulator_tpu.simulator import Simulator
+
+        c = brickwork_circuit(10, 2, seed=1)
+        p = prog.compile_circuit(c)
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.05))
+        try:
+            Simulator(noise_model=nm)._run_huge(
+                c, p, 10, False, 0, np.random.default_rng(0),
+                MeasurementBasis.Z)
+            assert False
+        except ValueError as e:
+            assert "sharded" in str(e)
+        try:
+            Simulator()._run_huge(c, p, 10, True, 0,
+                                  np.random.default_rng(0),
+                                  MeasurementBasis.Z)
+            assert False
+        except ValueError as e:
+            assert "record_steps" in str(e)

@@ -174,3 +174,68 @@ def test_group_evolve_body_matches_einsum_evolve():
                                                     jnp.complex64),
                               op.targets, 10)
     np.testing.assert_allclose(got, np.asarray(expected), atol=2e-5)
+
+
+class TestRealnessAnalysis:
+    """Static realness flags: real composed operators skip the plane
+    contraction; all-real plans evolve a real state."""
+
+    def test_brickwork_is_all_real(self):
+        # Ry + CNOT: every matrix real -> whole evolution stays real.
+        p = prog.compile_circuit(brickwork_circuit(12, 6, seed=3))
+        plan = build_group_plan(p)
+        assert plan.all_real
+        assert all(r for ax in plan.dense_real for r in ax)
+        assert all(plan.cross_real)
+        both(brickwork_circuit(12, 6, seed=3))
+
+    def test_phase_gate_breaks_all_real(self):
+        c = brickwork_circuit(10, 4, seed=5)
+        col = max(g.column for g in c.gates) + 1
+        c.add_gate(GateInstance("T", [0], [], column=col))
+        p = prog.compile_circuit(c)
+        plan = build_group_plan(p)
+        assert not plan.all_real
+        both(c)
+
+    def test_qft_mixes_real_and_complex_steps(self):
+        from quantum_simulator_tpu.algorithms import AlgorithmTemplate
+
+        c = AlgorithmTemplate.quantum_fourier_transform(10)
+        p = prog.compile_circuit(c)
+        plan = build_group_plan(p)
+        assert not plan.all_real  # CPhase is complex-diagonal
+        both(c)
+
+    def test_real_op_on_complex_state(self):
+        # A complex column (T) flushed by a cross step, then a REAL Ry
+        # column applied to the now-complex state: exercises the real-op
+        # specs on a planar (complex) state.
+        c = QuantumCircuit(10)
+        for q in range(10):
+            c.add_gate(GateInstance("T", [q], [], column=0))
+        c.add_gate(GateInstance("CNOT", [0, 9], [], column=1))
+        for q in range(10):
+            c.add_gate(GateInstance("Ry", [q], [0.3 + 0.1 * q], column=2))
+        p = prog.compile_circuit(c)
+        plan = build_group_plan(p)
+        assert not plan.all_real
+        assert any(r for ax in plan.dense_real for r in ax)
+        both(c)
+
+    def test_ry_only_circuit_matches_reference_numbers(self):
+        # End-to-end numeric sanity on the all-real path against the
+        # per-gate engine (both() uses forward_fn as reference).
+        c = QuantumCircuit(9)
+        for col in range(3):
+            for q in range(9):
+                c.add_gate(GateInstance("Ry", [q],
+                                        [0.2 * (col + 1) + 0.05 * q],
+                                        column=2 * col))
+            for q in range(0, 8, 2):
+                c.add_gate(GateInstance("CNOT", [q, q + 1], [],
+                                        column=2 * col + 1))
+        got = both(c)
+        np.testing.assert_allclose(np.imag(got), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.sum(np.abs(got) ** 2), 1.0,
+                                   atol=1e-5)
