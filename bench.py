@@ -65,7 +65,7 @@ def _chained_forward(circuit_dict: dict, chain_runs: int = CHAIN_RUNS):
     from quantum_simulator_tpu.ops import program as prog
     from quantum_simulator_tpu.ops.bigstate import (
         auto_chunks,
-        group_forward_planar_body,
+        group_forward_state_body,
         planar_norm_sq,
     )
     from quantum_simulator_tpu.ops.plan import (
@@ -83,9 +83,10 @@ def _chained_forward(circuit_dict: dict, chain_runs: int = CHAIN_RUNS):
         @jax.jit
         def chained(params):
             def step(carry, _):
-                x = group_forward_planar_body(program, params + 1e-9 * carry,
-                                              jnp.complex64)
-                return x[0].reshape(-1)[0], planar_norm_sq(x)
+                x, is_planar = group_forward_state_body(
+                    program, params + 1e-9 * carry, jnp.complex64)
+                first = (x[0] if is_planar else x).reshape(-1)[0]
+                return first, planar_norm_sq(x)
             carry, norms = jax.lax.scan(step, jnp.float32(0.0), None,
                                         length=chain_runs)
             return carry + jnp.sum(norms)
@@ -205,6 +206,39 @@ def bench_secondary():
         except Exception as e:
             print(f"[bench] n={n_big} failed: {e}", file=sys.stderr)
 
+    # Complex-workload control: same brickwork with Rz mixed into every
+    # rotation column. Ry+CNOT circuits take the all-real fast path (a
+    # single f32 plane — structurally half the traffic/FLOPs); this line
+    # reports the generic complex planar path so the two regimes are
+    # never conflated in docs.
+    for n_cx, depth_cx in ((16, DEPTH), (24, 8)):
+        try:
+            rng = np.random.default_rng(SEED)
+            gates = []
+            for col in range(depth_cx):
+                if col % 2 == 0:
+                    for q in range(n_cx):
+                        gates.append({
+                            "name": "Ry" if (q + col) % 2 == 0 else "Rz",
+                            "targets": [q],
+                            "params": [float(rng.uniform(0, 2 * np.pi))],
+                            "column": col})
+                else:
+                    offset = (col // 2) % 2
+                    for q in range(offset, n_cx - 1, 2):
+                        gates.append({"name": "CNOT", "targets": [q, q + 1],
+                                      "params": [], "column": col})
+            cxd = {"version": "1.0", "num_qubits": n_cx, "gates": gates}
+            per_run, passes, ab = bench_tpu_engine(cxd)
+            frac = roofline_fraction(n_cx, passes, per_run, bytes_per_amp=ab)
+            print(f"[bench] n={n_cx} depth-{depth_cx} COMPLEX brickwork "
+                  f"(Ry/Rz+CNOT, planar path): {depth_cx / per_run:.1f} "
+                  f"gate-layers/s ({per_run * 1000:.2f} ms/run, {passes} "
+                  f"state passes, {frac * 100:.0f}% of HBM roofline)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] complex n={n_cx} failed: {e}", file=sys.stderr)
+
     # QFT: the diag-pair fusion showcase (cross-group CPhases apply as
     # elementwise passes, never touching the MXU).
     try:
@@ -242,10 +276,10 @@ def bench_secondary():
 
 def main():
     circuit_dict = build_circuit_dict(N_QUBITS, DEPTH, SEED)
-    per_run, passes, _ = bench_tpu_engine(circuit_dict)
+    per_run, passes, ab = bench_tpu_engine(circuit_dict)
     layers_per_sec = DEPTH / per_run
     from quantum_simulator_tpu.utils.profiling import roofline_fraction
-    frac = roofline_fraction(N_QUBITS, passes, per_run)
+    frac = roofline_fraction(N_QUBITS, passes, per_run, bytes_per_amp=ab)
     print(f"[bench] n={N_QUBITS} depth-{DEPTH}: "
           f"{per_run * 1000:.2f} ms/run, {layers_per_sec:.1f} layers/s, "
           f"{passes} state passes ({frac * 100:.0f}% of HBM roofline)",

@@ -177,19 +177,21 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
     return x
 
 
-def group_forward_planar_body(program, params, dtype=None,
-                              n_chunks: int | None = None) -> jnp.ndarray:
-    """Traceable forward pass returning the PLANAR (2, *axis_sizes) f32
-    state — the n >= 30 entry point (no complex copy is ever built).
-    ``n_chunks=None`` picks the memory schedule from the qubit count."""
+def group_forward_state_body(program, params, dtype=None,
+                             n_chunks: int | None = None
+                             ) -> tuple[jnp.ndarray, bool]:
+    """Traceable forward pass returning ``(x, planar)``: the PLANAR
+    (2, *axis_sizes) f32 state, or — for an all-real plan — the bare REAL
+    (*axis_sizes,) tensor with ``planar=False`` (at n=30 even stacking a
+    zero imaginary plane is +4 GiB, so the zero plane is never built).
+    ``planar`` is trace-static (a plan property). ``n_chunks=None`` picks
+    the memory schedule from the qubit count."""
     dtype = dtype or CONFIG.dtype
     plan = get_group_plan(program)
     operands = build_group_operands(program, plan, params, dtype)
     if n_chunks is None:
         n_chunks = auto_chunks(program.num_qubits)
     if plan.all_real:
-        # All-real evolution: run on the (*axes,) real tensor (half the
-        # bytes/FLOPs) and stack the zero imaginary plane at the end.
         xr = _real_basis_state(plan.layout, program.initial_index)
         if n_chunks > 1:
             xr = execute_group_plan_chunked(plan, operands, program,
@@ -200,14 +202,24 @@ def group_forward_planar_body(program, params, dtype=None,
 
             xr = execute_group_plan(plan, operands, program, params,
                                     dtype, xr, planar=False)
-        return jnp.stack([xr, jnp.zeros_like(xr)])
+        return xr, False
     x = _planar_basis_state(plan.layout, program.initial_index)
     if n_chunks > 1:
         return execute_group_plan_chunked(plan, operands, program, params,
-                                          dtype, x, n_chunks)
+                                          dtype, x, n_chunks), True
     from .plan import execute_group_plan
 
-    return execute_group_plan(plan, operands, program, params, dtype, x)
+    return execute_group_plan(plan, operands, program, params, dtype, x), True
+
+
+def group_forward_planar_body(program, params, dtype=None,
+                              n_chunks: int | None = None) -> jnp.ndarray:
+    """Traceable forward pass returning the PLANAR (2, *axis_sizes) f32
+    state (no complex copy is ever built). For all-real plans this stacks
+    a zero imaginary plane — callers that must avoid that extra
+    whole-state write at n >= 30 use ``group_forward_state_body``."""
+    x, planar = group_forward_state_body(program, params, dtype, n_chunks)
+    return x if planar else jnp.stack([x, jnp.zeros_like(x)])
 
 
 def planar_probabilities(x: jnp.ndarray) -> jnp.ndarray:
@@ -228,6 +240,7 @@ def planar_norm_sq(x: jnp.ndarray) -> jnp.ndarray:
 # reduction / the reshape, so peak stays state + output.
 _planar_norm_sq_jit = jax.jit(planar_norm_sq)
 _planar_probabilities_jit = jax.jit(planar_probabilities)
+_real_probabilities_jit = jax.jit(lambda x: (x * x).reshape(-1))
 
 
 # ---------------------------------------------------------------------------
@@ -238,26 +251,69 @@ _SAMPLE_CACHE: dict[tuple, Callable] = {}
 _FWD_CACHE: dict[tuple, Callable] = {}
 
 
-def huge_forward_planar_fn(program, dtype=None) -> Callable:
-    """Cached jitted ``f(params) -> planar (2, *axis_sizes) f32 state``
-    via the chunked in-place executor."""
+def huge_forward_fn(program, dtype=None) -> tuple[Callable, bool]:
+    """Cached jitted ``f(params) -> state`` via the chunked in-place
+    executor, plus the static ``planar`` flag: the state is the planar
+    (2, *axis_sizes) f32 tensor, or the bare real (*axis_sizes,) tensor
+    when the plan is all-real (``planar=False``)."""
     dtype = dtype or CONFIG.dtype
+    planar = not get_group_plan(program).all_real
     key_t = ("huge-fwd", program.compile_key, str(dtype))
     cached = _FWD_CACHE.get(key_t)
     if cached is None:
         cached = jax.jit(
-            lambda params: group_forward_planar_body(program, params, dtype))
+            lambda params: group_forward_state_body(program, params,
+                                                    dtype)[0])
         if len(_FWD_CACHE) > 32:
             _FWD_CACHE.pop(next(iter(_FWD_CACHE)))
         _FWD_CACHE[key_t] = cached
-    return cached
+    return cached, planar
+
+
+def huge_forward_sample_fn(program, shots: int, dtype=None
+                           ) -> tuple[Callable, bool]:
+    """Cached jitted ``f(params, key) -> (state, (shots,) int32 indices)``
+    — forward pass AND sampling fused into ONE XLA program, plus the
+    static ``planar`` flag for the returned state.
+
+    The fusion is a memory requirement, not a convenience: on this
+    runtime a SECOND jit call consuming an ~8 GiB forward output as an
+    argument reproducibly RESOURCE_EXHAUSTs even with enough HBM
+    nominally free (measured at n=30 — argument staging of the big
+    operand collides with the runtime's deferred deallocation of the
+    forward's internal temporaries). Inside one program the state never
+    crosses a dispatch boundary, so no staging copy exists and XLA
+    schedules the sampler's probs temp after the executor's temps die.
+    """
+    dtype = dtype or CONFIG.dtype
+    planar = not get_group_plan(program).all_real
+    key_t = ("huge-fwd-sample", program.compile_key, str(dtype), shots)
+    cached = _SAMPLE_CACHE.get(key_t)
+    if cached is None:
+        def body(params, key):
+            x, is_planar = group_forward_state_body(program, params, dtype)
+            idx = sample_state_indices(x, key, shots, planar=is_planar)
+            return x, idx
+
+        cached = jax.jit(body)
+        if len(_SAMPLE_CACHE) > 32:
+            _SAMPLE_CACHE.pop(next(iter(_SAMPLE_CACHE)))
+        _SAMPLE_CACHE[key_t] = cached
+    return cached, planar
 
 
 _SAMPLE_BATCH = 2048  # draws per tile-gather batch (bounds temp memory)
 
 
 def sample_planar_indices(x: jnp.ndarray, key, shots: int) -> jnp.ndarray:
-    """Traceable two-level inverse-CDF sampler over a planar state:
+    """Two-level inverse-CDF sampler over a PLANAR (2, *axes) state."""
+    return sample_state_indices(x, key, shots, planar=True)
+
+
+def sample_state_indices(x: jnp.ndarray, key, shots: int,
+                         planar: bool = True) -> jnp.ndarray:
+    """Traceable two-level inverse-CDF sampler over a planar (2, *axes)
+    state — or, with ``planar=False``, a bare real (*axes,) state:
     ``shots`` basis indices (int32) without EVER materializing a large
     CDF — the n=30 requirement.
 
@@ -293,7 +349,7 @@ def sample_planar_indices(x: jnp.ndarray, key, shots: int) -> jnp.ndarray:
     (single-chip HBM caps at n=30 anyway); the sharded engine owns
     anything larger.
     """
-    data_shape = x.shape[1:]
+    data_shape = x.shape[1:] if planar else x.shape
     if len(data_shape) >= 3:
         tile_shape = data_shape[-2:]
         lead_shape = data_shape[:-2]
@@ -312,7 +368,8 @@ def sample_planar_indices(x: jnp.ndarray, key, shots: int) -> jnp.ndarray:
     # (nblocks, S) reshape was measured to cost an extra whole-size
     # retile copy. The per-draw (B, S) flatten below is 1/nblocks the
     # size and free to copy.
-    probs = (x[0] * x[0] + x[1] * x[1]).reshape((nblocks,) + tile_shape)
+    sq = x[0] * x[0] + x[1] * x[1] if planar else x * x
+    probs = sq.reshape((nblocks,) + tile_shape)
     sum_axes = tuple(range(1, 1 + len(tile_shape)))
     bcdf = jnp.cumsum(jnp.sum(probs, axis=sum_axes))
     total = bcdf[-1]
@@ -336,12 +393,17 @@ def sample_planar_indices(x: jnp.ndarray, key, shots: int) -> jnp.ndarray:
     return b * S + j.astype(jnp.int32)
 
 
-def huge_sample_fn(planar_shape: tuple[int, ...], shots: int) -> Callable:
-    """Cached jitted ``f(planar_state, key) -> (shots,) int32 indices``."""
-    key_t = ("huge-sample", planar_shape, shots)
+def huge_sample_fn(state_shape: tuple[int, ...], shots: int,
+                   planar: bool = True) -> Callable:
+    """Cached jitted ``f(state, key) -> (shots,) int32 indices``. Note:
+    at n >= 30 prefer ``huge_forward_sample_fn`` — feeding an existing
+    ~8 GiB state back through a jit boundary OOMs on this runtime (see
+    that function's docstring)."""
+    key_t = ("huge-sample", state_shape, shots, planar)
     cached = _SAMPLE_CACHE.get(key_t)
     if cached is None:
-        cached = jax.jit(lambda x, k: sample_planar_indices(x, k, shots))
+        cached = jax.jit(
+            lambda x, k: sample_state_indices(x, k, shots, planar=planar))
         if len(_SAMPLE_CACHE) > 32:
             _SAMPLE_CACHE.pop(next(iter(_SAMPLE_CACHE)))
         _SAMPLE_CACHE[key_t] = cached
@@ -349,16 +411,21 @@ def huge_sample_fn(planar_shape: tuple[int, ...], shots: int) -> Callable:
 
 
 class PlanarStateVector:
-    """Host-facing wrapper over a planar (2, *axis_sizes) f32 state — the
+    """Host-facing wrapper over the huge-state executor's output — the
     n >= 30 stand-in for ``StateVector``, where a complex64 copy of the
-    amplitudes would by itself exceed the remaining HBM.
+    amplitudes would by itself exceed the remaining HBM. The underlying
+    tensor is either planar (2, *axis_sizes) f32, or — for all-real
+    circuits — the bare real (*axis_sizes,) f32 tensor (``planar=False``;
+    half the memory, the n=30 brickwork case).
 
     Supports the cheap queries (norm, per-index amplitude, probability
     vector on device); anything needing the full complex vector on host
     raises with guidance instead of OOMing.
     """
 
-    def __init__(self, planar: jnp.ndarray, num_qubits: int):
+    def __init__(self, state: jnp.ndarray, num_qubits: int,
+                 planar: bool = True):
+        self._state = state
         self._planar = planar
         self._num_qubits = num_qubits
 
@@ -367,8 +434,22 @@ class PlanarStateVector:
         return self._num_qubits
 
     @property
-    def planar_data(self) -> jnp.ndarray:
+    def is_planar(self) -> bool:
         return self._planar
+
+    @property
+    def state_data(self) -> jnp.ndarray:
+        """The raw on-device tensor: (2, *axes) planar, or (*axes,) real."""
+        return self._state
+
+    @property
+    def planar_data(self) -> jnp.ndarray:
+        """(2, *axes) planar view. For a real state this STACKS a zero
+        imaginary plane (a whole-state device write — fine below n=30,
+        +8 GiB at n=30; prefer ``state_data`` there)."""
+        if self._planar:
+            return self._state
+        return jnp.stack([self._state, jnp.zeros_like(self._state)])
 
     @property
     def data(self):
@@ -381,26 +462,34 @@ class PlanarStateVector:
     @property
     def probabilities_device(self) -> jnp.ndarray:
         """(2^n,) f32 on device (one fused kernel; 4 GiB output at n=30)."""
-        return _planar_probabilities_jit(self._planar)
+        if self._planar:
+            return _planar_probabilities_jit(self._state)
+        return _real_probabilities_jit(self._state)
 
     def norm_sq(self) -> float:
         import numpy as np
 
-        return float(np.asarray(_planar_norm_sq_jit(self._planar)))
+        return float(np.asarray(_planar_norm_sq_jit(self._state)))
 
     def amplitude(self, index: int) -> complex:
         """One basis amplitude (device gather, two floats to host)."""
         import numpy as np
 
+        data_shape = self._state.shape[1:] if self._planar \
+            else self._state.shape
         coords = []
         rem = index
-        for size in reversed(self._planar.shape[1:]):
+        for size in reversed(data_shape):
             coords.append(rem % size)
             rem //= size
         coords = tuple(reversed(coords))
-        pair = np.asarray(self._planar[(slice(None),) + coords])
+        if not self._planar:
+            return complex(float(np.asarray(self._state[coords])), 0.0)
+        pair = np.asarray(self._state[(slice(None),) + coords])
         return complex(pair[0], pair[1])
 
     def __repr__(self) -> str:
+        data_shape = self._state.shape[1:] if self._planar \
+            else self._state.shape
         return (f"PlanarStateVector(num_qubits={self._num_qubits}, "
-                f"axes={self._planar.shape[1:]})")
+                f"axes={data_shape}, planar={self._planar})")

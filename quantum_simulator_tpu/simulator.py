@@ -175,8 +175,8 @@ class Simulator:
         built — it alone would exceed the remaining HBM)."""
         from .ops.bigstate import (
             PlanarStateVector,
-            huge_forward_planar_fn,
-            huge_sample_fn,
+            huge_forward_fn,
+            huge_forward_sample_fn,
         )
 
         noisy = self._noise_model is not None \
@@ -200,10 +200,12 @@ class Simulator:
         params = jnp.asarray(program.initial_params)
         sampling = shots > 0
         counts: dict[str, int] = {}
-        # Order matters: two planar states cannot coexist in HBM at n=30
-        # (8 GiB each + executor temps). For a rotated basis, run the
-        # rotated forward FIRST, sample, free it, then run the final
-        # state; for Z, one state serves both.
+        # Sampling is FUSED into the forward jit (huge_forward_sample_fn):
+        # at n=30 a second dispatch consuming the ~8 GiB state as an
+        # argument OOMs on this runtime, so the state must never cross a
+        # jit boundary. Order also matters for rotated bases: two huge
+        # states cannot coexist in HBM, so run the rotated
+        # forward+sample FIRST, free it, then the final state.
         if sampling and measurement_basis != MeasurementBasis.Z:
             # Basis rotation as extra gates on a circuit copy (H for X;
             # S† then H for Y) — the planar twin of
@@ -222,18 +224,21 @@ class Simulator:
                     rotated.add_gate(GateInstance("H", [q], [],
                                                   column=col))
             rprog = prog.compile_circuit(rotated)
-            xs = huge_forward_planar_fn(rprog)(
-                jnp.asarray(rprog.initial_params))
-            counts = self._sample_huge_counts(xs, shots, rng,
-                                              circuit.num_qubits)
+            rfn, _ = huge_forward_sample_fn(rprog, shots)
+            xs, idx = rfn(jnp.asarray(rprog.initial_params),
+                          _key_from_rng(rng))
+            counts = self._indices_to_counts(idx, circuit.num_qubits)
             xs.delete()
-            x = huge_forward_planar_fn(program)(params)
+            fwd, planar = huge_forward_fn(program)
+            x = fwd(params)
+        elif sampling:
+            fn, planar = huge_forward_sample_fn(program, shots)
+            x, idx = fn(params, _key_from_rng(rng))
+            counts = self._indices_to_counts(idx, circuit.num_qubits)
         else:
-            x = huge_forward_planar_fn(program)(params)
-            if sampling:
-                counts = self._sample_huge_counts(x, shots, rng,
-                                                  circuit.num_qubits)
-        final = PlanarStateVector(x, circuit.num_qubits)
+            fwd, planar = huge_forward_fn(program)
+            x = fwd(params)
+        final = PlanarStateVector(x, circuit.num_qubits, planar=planar)
         if counts and readout_err is not None:
             # Shot-mode corruption works on sparse counts; the
             # distribution transform would need the dense 2^n vector.
@@ -248,14 +253,8 @@ class Simulator:
         )
 
     @staticmethod
-    def _sample_huge_counts(xs, shots: int, rng: np.random.Generator,
-                            num_qubits: int) -> dict[str, int]:
-        """Streaming inverse-CDF draw on the device; only ``shots`` int32
-        indices cross to host."""
-        from .ops.bigstate import huge_sample_fn
-
-        key = _key_from_rng(rng)
-        idx = huge_sample_fn(tuple(xs.shape), shots)(xs, key)
+    def _indices_to_counts(idx, num_qubits: int) -> dict[str, int]:
+        """Only ``shots`` int32 indices cross to host."""
         vals, cnts = np.unique(np.asarray(idx), return_counts=True)
         return {format(int(v), f"0{num_qubits}b"): int(c)
                 for v, c in zip(vals, cnts)}
