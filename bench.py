@@ -193,7 +193,7 @@ def bench_secondary():
     # chunked in-place schedule (ops/bigstate.py); short chain bounds the
     # bench's wall clock at 2.5 s/run.
     for n_big, chain in ((20, CHAIN_RUNS), (24, CHAIN_RUNS),
-                         (28, CHAIN_RUNS), (30, 2)):
+                         (28, CHAIN_RUNS), (30, 2), (31, 2)):
         try:
             cdict = build_circuit_dict(n_big, 8, SEED)
             per_run, passes, ab = bench_tpu_engine(cdict, chain)

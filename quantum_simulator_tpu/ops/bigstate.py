@@ -232,6 +232,22 @@ def planar_norm_sq(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x * x)
 
 
+def state_axis_marginals(x: jnp.ndarray, planar: bool
+                         ) -> tuple[jnp.ndarray, ...]:
+    """Per-data-axis probability marginals: for each tensor axis, the
+    (axis_size,) f32 vector of |amp|^2 summed over every other axis (and
+    the re/im plane when planar). Each marginal is a fused
+    square+reduction — no whole-state temp — so the set costs a few
+    bandwidth passes and O(sum axis_sizes) output. Per-qubit P(1) falls
+    out on host by summing entries whose bit is set."""
+    lead = 1 if planar else 0
+    outs = []
+    for ax in range(x.ndim - lead):
+        axes = tuple(a for a in range(x.ndim) if a != ax + lead)
+        outs.append(jnp.sum(x * x, axis=axes))
+    return tuple(outs)
+
+
 # Jitted twins for host-facing calls on huge states: un-jitted, each
 # elementwise op is its own dispatch whose 8 GiB operand is counted per
 # USE in XLA's argument budget (measured: `jnp.sum(x*x)` on an n=30
@@ -241,65 +257,203 @@ def planar_norm_sq(x: jnp.ndarray) -> jnp.ndarray:
 _planar_norm_sq_jit = jax.jit(planar_norm_sq)
 _planar_probabilities_jit = jax.jit(planar_probabilities)
 _real_probabilities_jit = jax.jit(lambda x: (x * x).reshape(-1))
+_axis_marginals_jit = jax.jit(state_axis_marginals, static_argnums=(1,))
 
 
 # ---------------------------------------------------------------------------
 # Huge-n sampling + host-facing state wrapper
 # ---------------------------------------------------------------------------
+#
+# The huge path is a DONATION CHAIN of three dispatches:
+#
+#   init()               -> basis state           (the only big alloc)
+#   apply(params, x)     -> evolved x             (x donated: output
+#                                                  aliases input)
+#   stats(x, key?)       -> (x, marginals, idx?)  (x donated and passed
+#                                                  back through)
+#
+# Rationale (all measured at n=30 planar, 16 GiB HBM): a single fused
+# program that RETURNS the state keeps the executor's whole-state carry
+# alive as a temp next to a separate 8 GiB output buffer
+# (memory_analysis: temp 10.0 GiB + output 8 GiB = 18 GiB -> OOM), and a
+# non-donated second dispatch consuming the state OOMs on argument
+# staging. With donation both problems vanish: alias_size == state,
+# temp == chunk buffers only, and peak stays state + probs + chunks
+# (~12.5 GiB planar, ~8.5 GiB all-real).
 
 _SAMPLE_CACHE: dict[tuple, Callable] = {}
 _FWD_CACHE: dict[tuple, Callable] = {}
 
 
-def huge_forward_fn(program, dtype=None) -> tuple[Callable, bool]:
-    """Cached jitted ``f(params) -> state`` via the chunked in-place
-    executor, plus the static ``planar`` flag: the state is the planar
-    (2, *axis_sizes) f32 tensor, or the bare real (*axis_sizes,) tensor
-    when the plan is all-real (``planar=False``)."""
-    dtype = dtype or CONFIG.dtype
-    planar = not get_group_plan(program).all_real
-    key_t = ("huge-fwd", program.compile_key, str(dtype))
+def _cache_put(cache: dict, key, value):
+    if len(cache) > 32:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+    return value
+
+
+def _huge_state_formats(program, dtype):
+    """(state_format, state_format) = entry/exit layout of the apply
+    program, compiled once with AUTO layouts (TPU only; None on other
+    backends). Without this, XLA's preferred internal layout for the
+    chunked executor differs from the default entry layout and it
+    inserts a whole-state relayout ``copy`` of the donated input —
+    measured +8 GiB at n=30 planar, the difference between fitting and
+    RESOURCE_EXHAUSTED. AUTO entry layouts drop apply's temp to just the
+    chunk buffers (2.0 GiB at n=30/8 chunks)."""
+    if jax.default_backend() != "tpu":
+        return None, None
+    compiled = _huge_apply_raw(program, dtype)
+    (fmt_params, fmt_x), _ = compiled.input_formats
+    return fmt_x, compiled.output_formats
+
+
+def _apply_body(program, plan, dtype, params, x):
+    operands = build_group_operands(program, plan, params, dtype)
+    return execute_group_plan_chunked(
+        plan, operands, program, params, dtype, x,
+        auto_chunks(program.num_qubits), planar=not plan.all_real)
+
+
+def _huge_apply_raw(program, dtype):
+    """Cached AOT-compiled apply with AUTO layouts + donated state."""
+    from jax.experimental.layout import Format, Layout
+
+    plan = get_group_plan(program)
+    key_t = ("huge-apply", program.compile_key, str(dtype))
     cached = _FWD_CACHE.get(key_t)
     if cached is None:
-        cached = jax.jit(
-            lambda params: group_forward_state_body(program, params,
-                                                    dtype)[0])
-        if len(_FWD_CACHE) > 32:
-            _FWD_CACHE.pop(next(iter(_FWD_CACHE)))
-        _FWD_CACHE[key_t] = cached
-    return cached, planar
+        shape = tuple(plan.layout.axis_sizes)
+        if not plan.all_real:
+            shape = (2,) + shape
+        auto = Format(Layout.AUTO)
+        jitted = jax.jit(
+            lambda params, x: _apply_body(program, plan, dtype, params, x),
+            in_shardings=(Format(), auto), out_shardings=auto,
+            donate_argnums=(1,))
+        cached = jitted.lower(
+            jax.ShapeDtypeStruct((len(program.initial_params),),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.float32)).compile()
+        _cache_put(_FWD_CACHE, key_t, cached)
+    return cached
+
+
+def _huge_init_fn(program, dtype) -> Callable:
+    """Cached jitted ``f() -> basis state`` (real for all-real plans),
+    produced directly in the layout the apply program expects."""
+    plan = get_group_plan(program)
+    key_t = ("huge-init", program.compile_key, str(dtype))
+    cached = _FWD_CACHE.get(key_t)
+    if cached is None:
+        if plan.all_real:
+            body = lambda: _real_basis_state(plan.layout,  # noqa: E731
+                                             program.initial_index)
+        else:
+            body = lambda: _planar_basis_state(plan.layout,  # noqa: E731
+                                               program.initial_index)
+        fmt_in, _ = _huge_state_formats(program, dtype)
+        kw = {"out_shardings": fmt_in} if fmt_in is not None else {}
+        cached = _cache_put(_FWD_CACHE, key_t, jax.jit(body, **kw))
+    return cached
+
+
+def _huge_apply_fn(program, dtype) -> Callable:
+    """``f(params, x) -> x`` running every plan step with the state
+    DONATED (in-place at the buffer level; see _huge_state_formats)."""
+    if jax.default_backend() == "tpu":
+        compiled = _huge_apply_raw(program, dtype)
+
+        def run(params, x):
+            return compiled(jnp.asarray(params, jnp.float32), x)
+
+        return run
+    plan = get_group_plan(program)
+    key_t = ("huge-apply-cpu", program.compile_key, str(dtype))
+    cached = _FWD_CACHE.get(key_t)
+    if cached is None:
+        cached = _cache_put(_FWD_CACHE, key_t, jax.jit(
+            lambda params, x: _apply_body(program, plan, dtype, params, x),
+            donate_argnums=(1,)))
+    return cached
+
+
+def _huge_stats_fn(program, shots: int, dtype) -> Callable:
+    """Cached jitted ``f(x, key?) -> (x, marginals[, idx])`` with the
+    state donated and threaded back out (aliased, not copied) in the
+    apply program's layout."""
+    plan = get_group_plan(program)
+    planar = not plan.all_real
+    key_t = ("huge-stats", program.compile_key, str(dtype), shots)
+    cached = _SAMPLE_CACHE.get(key_t)
+    if cached is None:
+        # bf16 probs tier: when the state + an f32 probs buffer cannot
+        # coexist in HBM (real n=31: 8 GiB + 8 GiB), quantize only the
+        # within-tile sampling buffer (see sample_state_indices).
+        amps = 1 << program.num_qubits
+        state_bytes = 4 * (2 if planar else 1) * amps
+        probs_dtype = (jnp.bfloat16
+                       if state_bytes + 4 * amps > 13 * (1 << 30)
+                       else jnp.float32)
+        if shots > 0:
+            def body(x, key):
+                marg = state_axis_marginals(x, planar)
+                idx = sample_state_indices(x, key, shots, planar=planar,
+                                           probs_dtype=probs_dtype)
+                return x, marg, idx
+        else:
+            def body(x):
+                return x, state_axis_marginals(x, planar)
+        _, fmt_out = _huge_state_formats(program, dtype)
+        kw = {}
+        if fmt_out is not None:
+            from jax.experimental.layout import Format
+
+            n_marg = len(plan.layout.axis_sizes)
+            outs = (fmt_out, tuple(Format() for _ in range(n_marg)))
+            if shots > 0:
+                kw = {"in_shardings": (fmt_out, Format()),
+                      "out_shardings": outs + (Format(),)}
+            else:
+                kw = {"in_shardings": (fmt_out,),
+                      "out_shardings": outs}
+        cached = _cache_put(_SAMPLE_CACHE, key_t,
+                            jax.jit(body, donate_argnums=(0,), **kw))
+    return cached
+
+
+def huge_forward_fn(program, dtype=None) -> tuple[Callable, bool]:
+    """``(f, planar)`` where ``f(params) -> (state, axis_marginals)``
+    runs the donation chain (init -> apply -> stats; see the section
+    comment above for the measured memory rationale). The state is the
+    planar (2, *axis_sizes) f32 tensor, or the bare real (*axis_sizes,)
+    tensor when the plan is all-real (``planar=False``)."""
+    dtype = dtype or CONFIG.dtype
+    planar = not get_group_plan(program).all_real
+
+    def run(params):
+        x = _huge_init_fn(program, dtype)()
+        x = _huge_apply_fn(program, dtype)(params, x)
+        return _huge_stats_fn(program, 0, dtype)(x)
+
+    return run, planar
 
 
 def huge_forward_sample_fn(program, shots: int, dtype=None
                            ) -> tuple[Callable, bool]:
-    """Cached jitted ``f(params, key) -> (state, (shots,) int32 indices)``
-    — forward pass AND sampling fused into ONE XLA program, plus the
-    static ``planar`` flag for the returned state.
-
-    The fusion is a memory requirement, not a convenience: on this
-    runtime a SECOND jit call consuming an ~8 GiB forward output as an
-    argument reproducibly RESOURCE_EXHAUSTs even with enough HBM
-    nominally free (measured at n=30 — argument staging of the big
-    operand collides with the runtime's deferred deallocation of the
-    forward's internal temporaries). Inside one program the state never
-    crosses a dispatch boundary, so no staging copy exists and XLA
-    schedules the sampler's probs temp after the executor's temps die.
-    """
+    """``(f, planar)`` where ``f(params, key) -> (state, axis_marginals,
+    (shots,) int32 indices)`` runs the donation chain with the two-level
+    inverse-CDF sampler in the stats dispatch. Only the shot indices and
+    the tiny marginals cross to host."""
     dtype = dtype or CONFIG.dtype
     planar = not get_group_plan(program).all_real
-    key_t = ("huge-fwd-sample", program.compile_key, str(dtype), shots)
-    cached = _SAMPLE_CACHE.get(key_t)
-    if cached is None:
-        def body(params, key):
-            x, is_planar = group_forward_state_body(program, params, dtype)
-            idx = sample_state_indices(x, key, shots, planar=is_planar)
-            return x, idx
 
-        cached = jax.jit(body)
-        if len(_SAMPLE_CACHE) > 32:
-            _SAMPLE_CACHE.pop(next(iter(_SAMPLE_CACHE)))
-        _SAMPLE_CACHE[key_t] = cached
-    return cached, planar
+    def run(params, key):
+        x = _huge_init_fn(program, dtype)()
+        x = _huge_apply_fn(program, dtype)(params, x)
+        return _huge_stats_fn(program, shots, dtype)(x, key)
+
+    return run, planar
 
 
 _SAMPLE_BATCH = 2048  # draws per tile-gather batch (bounds temp memory)
@@ -311,7 +465,8 @@ def sample_planar_indices(x: jnp.ndarray, key, shots: int) -> jnp.ndarray:
 
 
 def sample_state_indices(x: jnp.ndarray, key, shots: int,
-                         planar: bool = True) -> jnp.ndarray:
+                         planar: bool = True,
+                         probs_dtype=jnp.float32) -> jnp.ndarray:
     """Traceable two-level inverse-CDF sampler over a planar (2, *axes)
     state — or, with ``planar=False``, a bare real (*axes,) state:
     ``shots`` basis indices (int32) without EVER materializing a large
@@ -345,9 +500,14 @@ def sample_state_indices(x: jnp.ndarray, key, shots: int,
     The in-tile sums re-accumulate in a different order than the block
     reduction, so a draw can land one float-ulp past its tile's last
     interval; the final clip pins it to the tile edge (same tolerance as
-    any float inverse-CDF). int32 indices cap this at n <= 31
-    (single-chip HBM caps at n=30 anyway); the sharded engine owns
-    anything larger.
+    any float inverse-CDF). int32 indices cap this at n <= 31; the
+    sharded engine owns anything larger.
+
+    ``probs_dtype=bfloat16`` halves the probs buffer — the n=31 enabler
+    (8 GiB real state + 4 GiB bf16 probs). Block selection stays
+    f32-exact (block sums accumulate in f32 straight off the state);
+    only the within-tile placement quantizes each interval to bf16
+    (~0.4% relative), far below shot noise at any realistic shot count.
     """
     data_shape = x.shape[1:] if planar else x.shape
     if len(data_shape) >= 3:
@@ -362,16 +522,68 @@ def sample_state_indices(x: jnp.ndarray, key, shots: int,
     nblocks = 1
     for s in lead_shape:
         nblocks *= s
-    # probs stays 3D (nblocks, *tile_shape): merging ONLY the leading
-    # axes is a pure bitcast under TPU tiling (tiles live on the last
-    # two dims), so the |amp|^2 fusion writes it directly — a 2D
-    # (nblocks, S) reshape was measured to cost an extra whole-size
-    # retile copy. The per-draw (B, S) flatten below is 1/nblocks the
-    # size and free to copy.
-    sq = x[0] * x[0] + x[1] * x[1] if planar else x * x
-    probs = sq.reshape((nblocks,) + tile_shape)
+    # Build the flattened probs CHUNKED along the leading data axis with
+    # in-place row updates, accumulating the per-block sums in f32 along
+    # the way. The state arrives in the apply program's AUTO layout
+    # (interleaved minor order), where a whole-state square+flatten
+    # materializes BOTH the squared tensor in the state's layout AND a
+    # relayouted flatten copy — 2x state/2 temps, measured 258 MB past
+    # HBM at n=30 planar. Chunked, each chunk's square+transpose is a
+    # transient 1/n_chunks-size temp and the only whole-size buffer is
+    # probs itself. Chunks of the leading axis are CONTIGUOUS flat block
+    # rows (C-order), so each chunk is one dynamic_update_slice on
+    # axis 0. probs stays 3D (nblocks, *tile_shape): the per-draw (B, S)
+    # flatten below is 1/nblocks the size and free to copy.
     sum_axes = tuple(range(1, 1 + len(tile_shape)))
-    bcdf = jnp.cumsum(jnp.sum(probs, axis=sum_axes))
+    C = lead_shape[0] if lead_shape else 1
+    if C > 1:
+        n_chunks = min(C, 16)
+        span = C // n_chunks
+        rows_per = span * (nblocks // C)
+        sl_axis = 1 if planar else 0
+
+        def chunk_rows(start):
+            xc = jax.lax.dynamic_slice_in_dim(x, start, span, axis=sl_axis)
+            sqc = xc[0] * xc[0] + xc[1] * xc[1] if planar else xc * xc
+            return sqc.reshape((rows_per,) + tile_shape)
+
+        if probs_dtype == jnp.float32:
+            # Unrolled straight-line chunks compile fast on the remote
+            # compiler and XLA performs the f32 row updates in place.
+            probs = jnp.zeros((nblocks,) + tile_shape, jnp.float32)
+            bs_parts = []
+            for c in range(n_chunks):
+                rows = chunk_rows(c * span)
+                bs_parts.append(jnp.sum(rows, axis=sum_axes))
+                probs = jax.lax.dynamic_update_slice_in_dim(
+                    probs, rows, c * rows_per, axis=0)
+            bsums = jnp.concatenate(bs_parts)
+        else:
+            # Quantized tier (n=31): unrolled, XLA hoists every chunk's
+            # convert_element_type copy so all n_chunks temps are live
+            # at once (measured +4 GiB -> OOM). A fori_loop keeps exactly
+            # one chunk temp live at ~1 min extra remote-compile cost,
+            # which only this memory-bound tier pays.
+            def build(c, carry):
+                probs, bsums = carry
+                rows = chunk_rows(c * span)
+                bsums = jax.lax.dynamic_update_slice_in_dim(
+                    bsums, jnp.sum(rows, axis=sum_axes),
+                    c * rows_per, axis=0)
+                probs = jax.lax.dynamic_update_slice_in_dim(
+                    probs, rows.astype(probs_dtype), c * rows_per, axis=0)
+                return probs, bsums
+
+            probs, bsums = jax.lax.fori_loop(
+                0, n_chunks, build,
+                (jnp.zeros((nblocks,) + tile_shape, probs_dtype),
+                 jnp.zeros((nblocks,), jnp.float32)))
+    else:
+        sq = x[0] * x[0] + x[1] * x[1] if planar else x * x
+        rows = sq.reshape((nblocks,) + tile_shape)
+        bsums = jnp.sum(rows, axis=sum_axes)
+        probs = rows.astype(probs_dtype)
+    bcdf = jnp.cumsum(bsums)
     total = bcdf[-1]
     u = jax.random.uniform(key, (shots,), dtype=jnp.float32) * total
     b = jnp.clip(jnp.searchsorted(bcdf, u, side="right"), 0, nblocks - 1)
@@ -380,7 +592,8 @@ def sample_state_indices(x: jnp.ndarray, key, shots: int,
     def batch_body(args):
         bb, uu = args
         tiles = jnp.take(probs, bb, axis=0)          # (B, *tile) gather
-        tcdf = jnp.cumsum(tiles.reshape(len(uu), S), axis=1)
+        tcdf = jnp.cumsum(tiles.reshape(len(uu), S).astype(jnp.float32),
+                          axis=1)
         j = jax.vmap(lambda row, q: jnp.searchsorted(row, q, side="right")
                      )(tcdf, uu)
         return jnp.clip(j, 0, S - 1)
@@ -424,10 +637,11 @@ class PlanarStateVector:
     """
 
     def __init__(self, state: jnp.ndarray, num_qubits: int,
-                 planar: bool = True):
+                 planar: bool = True, axis_marginals=None):
         self._state = state
         self._planar = planar
         self._num_qubits = num_qubits
+        self._axis_marginals = axis_marginals
 
     @property
     def num_qubits(self) -> int:
@@ -461,7 +675,13 @@ class PlanarStateVector:
 
     @property
     def probabilities_device(self) -> jnp.ndarray:
-        """(2^n,) f32 on device (one fused kernel; 4 GiB output at n=30)."""
+        """(2^n,) f32 on device (one fused kernel; 4 GiB output at n=30).
+
+        Note: for a PLANAR n >= 30 state this is a non-donated dispatch
+        consuming the ~8 GiB tensor — it can RESOURCE_EXHAUST on a
+        16 GiB chip (see the donation-chain comment above). Prefer
+        ``qubit_probabilities()`` (tiny, precomputed) or sampling there;
+        all-real n=30 states (brickwork-class) are fine."""
         if self._planar:
             return _planar_probabilities_jit(self._state)
         return _real_probabilities_jit(self._state)
@@ -470,6 +690,31 @@ class PlanarStateVector:
         import numpy as np
 
         return float(np.asarray(_planar_norm_sq_jit(self._state)))
+
+    def qubit_probabilities(self):
+        """(n,) float array of per-qubit P(|1>) — the panel-level summary
+        that stays cheap at any n. Uses the axis marginals captured in
+        the forward program when available (required for planar n >= 30
+        states — see ``huge_forward_fn``); otherwise computes them with
+        one fused-reduction dispatch."""
+        import numpy as np
+
+        from .plan import GroupLayout
+
+        marg = self._axis_marginals
+        if marg is None:
+            marg = _axis_marginals_jit(self._state, self._planar)
+        marg = [np.asarray(m) for m in marg]
+        layout = GroupLayout.for_qubits(self._num_qubits)
+        p1 = np.empty(self._num_qubits)
+        for q in range(self._num_qubits):
+            ax = layout.axis_of(q)
+            pos = layout.pos_in_axis(q)
+            bit = layout.axis_bits[ax] - 1 - pos  # from LSB of axis index
+            idx = (np.arange(layout.axis_sizes[ax]) >> bit) & 1
+            p1[q] = marg[ax][idx == 1].sum()
+        total = marg[0].sum()
+        return p1 / total if total > 0 else p1
 
     def amplitude(self, index: int) -> complex:
         """One basis amplitude (device gather, two floats to host)."""

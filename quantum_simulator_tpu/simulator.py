@@ -225,20 +225,21 @@ class Simulator:
                                                   column=col))
             rprog = prog.compile_circuit(rotated)
             rfn, _ = huge_forward_sample_fn(rprog, shots)
-            xs, idx = rfn(jnp.asarray(rprog.initial_params),
-                          _key_from_rng(rng))
+            xs, _rm, idx = rfn(jnp.asarray(rprog.initial_params),
+                               _key_from_rng(rng))
             counts = self._indices_to_counts(idx, circuit.num_qubits)
             xs.delete()
             fwd, planar = huge_forward_fn(program)
-            x = fwd(params)
+            x, marg = fwd(params)
         elif sampling:
             fn, planar = huge_forward_sample_fn(program, shots)
-            x, idx = fn(params, _key_from_rng(rng))
+            x, marg, idx = fn(params, _key_from_rng(rng))
             counts = self._indices_to_counts(idx, circuit.num_qubits)
         else:
             fwd, planar = huge_forward_fn(program)
-            x = fwd(params)
-        final = PlanarStateVector(x, circuit.num_qubits, planar=planar)
+            x, marg = fwd(params)
+        final = PlanarStateVector(x, circuit.num_qubits, planar=planar,
+                                  axis_marginals=marg)
         if counts and readout_err is not None:
             # Shot-mode corruption works on sparse counts; the
             # distribution transform would need the dense 2^n vector.

@@ -101,6 +101,22 @@ class TestHugeSampling:
         tvd = 0.5 * np.abs(emp - probs / probs.sum()).sum()
         assert tvd < 0.05
 
+    def test_bf16_probs_tier_matches_distribution(self):
+        # The n=31 memory tier: bf16 within-tile probs, f32 block sums.
+        from quantum_simulator_tpu.ops.bigstate import sample_state_indices
+
+        c = brickwork_circuit(10, 4, seed=9)
+        p, x = self._planar(c)
+        shots = 40000
+        idx = np.asarray(jax.jit(
+            lambda xx, kk: sample_state_indices(
+                xx, kk, shots, planar=True, probs_dtype=jnp.bfloat16)
+        )(x, jax.random.PRNGKey(5)))
+        emp = np.bincount(idx, minlength=1 << 10) / shots
+        probs = np.asarray(planar_probabilities(x))
+        tvd = 0.5 * np.abs(emp - probs / probs.sum()).sum()
+        assert tvd < 0.05
+
     def test_sample_chunking_boundaries(self):
         # Handcrafted planar state with all mass ON slab boundaries
         # (first/last flat index of each lead-axis slab) — any off-by-one
@@ -144,6 +160,37 @@ class TestHugeSampling:
         except MemoryError:
             pass
 
+    def test_qubit_probabilities_match_dense(self):
+        # Marginals from the fused forward vs per-qubit P(1) computed
+        # densely; covers both the all-real and the planar (T-gate) case.
+        from quantum_simulator_tpu.ops.bigstate import (
+            PlanarStateVector,
+            huge_forward_fn,
+        )
+
+        for add_t in (False, True):
+            c = brickwork_circuit(10, 4, seed=9)
+            if add_t:
+                col = max(g.column for g in c.gates) + 1
+                for q in range(10):
+                    c.add_gate(GateInstance("T", [q], [], column=col))
+            p = prog.compile_circuit(c)
+            fn, planar = huge_forward_fn(p)
+            x, marg = fn(jnp.asarray(p.initial_params))
+            assert planar == add_t  # T makes the plan complex
+            sv = PlanarStateVector(x, 10, planar=planar,
+                                   axis_marginals=marg)
+            got = sv.qubit_probabilities()
+            dense = np.abs(np.asarray(prog.forward_fn(p)(
+                jnp.asarray(p.initial_params)))) ** 2
+            want = [dense[((np.arange(1 << 10) >> (10 - 1 - q)) & 1) == 1]
+                    .sum() for q in range(10)]
+            np.testing.assert_allclose(got, want, atol=1e-5)
+            # the lazy (no-marginals) path agrees
+            sv2 = PlanarStateVector(x, 10, planar=planar)
+            np.testing.assert_allclose(sv2.qubit_probabilities(), want,
+                                       atol=1e-5)
+
     def test_simulator_huge_path(self):
         # Drive Simulator._run_huge directly at a small n (the public
         # router gates on qubit count + TPU backend).
@@ -167,10 +214,30 @@ class TestHugeSampling:
             emp[int(b, 2)] = k / shots
         assert 0.5 * np.abs(emp - probs / probs.sum()).sum() < 0.08
 
-        # X-basis sampling goes through the rotated-circuit program.
+        # X-basis sampling goes through the rotated-circuit program
+        # (H appended: still all-real, so the rotated forward is real).
         res_x = sim._run_huge(c, p, 500, False, 3,
                               np.random.default_rng(4), MeasurementBasis.X)
         assert sum(res_x.measurement_counts.values()) == 500
+
+        # Y-basis rotation appends S_DAG (complex): the rotated
+        # forward+sample runs the PLANAR fused program while the final
+        # state stays on the all-real path. Validate the Y distribution
+        # against the standard engine's rotated probabilities.
+        shots_y = 60000
+        res_y = sim._run_huge(c, p, shots_y, False, 3,
+                              np.random.default_rng(5), MeasurementBasis.Y)
+        assert sum(res_y.measurement_counts.values()) == shots_y
+        assert not res_y.final_state.is_planar  # final state is all-real
+        from quantum_simulator_tpu.measurement import rotate_to_basis
+
+        rot = rotate_to_basis(ref.final_state, MeasurementBasis.Y)
+        ref_probs = np.abs(np.asarray(rot.device_data)) ** 2
+        emp_y = np.zeros(1 << 10)
+        for b, k in res_y.measurement_counts.items():
+            emp_y[int(b, 2)] = k / shots_y
+        tvd = 0.5 * np.abs(emp_y - ref_probs / ref_probs.sum()).sum()
+        assert tvd < 0.08
 
     def test_simulator_huge_path_rejects_noise_and_steps(self):
         from quantum_simulator_tpu.measurement import MeasurementBasis
