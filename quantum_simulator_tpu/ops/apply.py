@@ -112,6 +112,20 @@ def apply_gate(state: jnp.ndarray, matrix: jnp.ndarray,
     return out.reshape(state.shape)
 
 
+def apply_cphase(state: jnp.ndarray, targets: tuple[int, ...],
+                 value: complex, num_qubits: int) -> jnp.ndarray:
+    """Controlled-phase-form diagonal of ANY width on a flat 2^n state:
+    multiply the amplitudes whose targets are all |1> by ``value``. One
+    elementwise pass with a bit-mask indicator — the dense 2^k matrix
+    (impossible for k > 16, e.g. Grover's wide MCZ) is never built."""
+    mask = 0
+    for q in targets:
+        mask |= 1 << (num_qubits - 1 - q)  # qubit 0 = MSB
+    idx = jnp.arange(state.shape[0], dtype=jnp.uint32)
+    hit = (idx & jnp.uint32(mask)) == jnp.uint32(mask)
+    return jnp.where(hit, state * jnp.asarray(value, state.dtype), state)
+
+
 def apply_gate_all_qubits(state: jnp.ndarray, matrix: jnp.ndarray,
                           num_qubits: int) -> jnp.ndarray:
     """Apply the same single-qubit gate to every qubit (basis rotations:

@@ -41,12 +41,14 @@ from .plan import (
     AxisMatmulStep,
     CrossStep,
     DiagPairStep,
+    DiagProductStep,
     _cross_spec,
     _dense_spec,
     _diag_spec,
     _planar_basis_state,
     _real_basis_state,
     _split_axis_bit,
+    apply_prod_diag,
     build_group_operands,
     get_group_plan,
 )
@@ -118,7 +120,7 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
     uninvolved axis (in-place fori_loop carry). Identical math to
     ``plan.execute_group_plan``; only the memory schedule differs."""
     rank = len(plan.layout.axis_sizes)
-    axis_stacks, cross_ops, diag_ops = operands
+    axis_stacks, cross_ops, diag_ops, prod_ops = operands
     lead = 1 if planar else 0
 
     for step in plan.steps:
@@ -161,6 +163,41 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
                 lambda blk, d=d, spec=spec: jnp.einsum(
                     spec, d, blk, precision=_HI),
                 lead=lead)
+        elif isinstance(step, DiagProductStep):
+            facs, cre, cim = prod_ops[step.index]
+            shape_d = x.shape[lead:]
+            free_ax = _chunk_axis(shape_d, set(step.axes))
+            if free_ax is not None or n_chunks <= 1:
+                x = _chunked_pass(
+                    x, set(step.axes), n_chunks,
+                    lambda blk, facs=facs, cre=cre, cim=cim, step=step:
+                        apply_prod_diag(blk, facs, cre, cim, rank,
+                                        step.axes, planar),
+                    lead=lead)
+            else:
+                # Every axis involved (an MCZ wide enough to touch all
+                # groups). The pass is elementwise, so chunk the largest
+                # involved axis and slice its indicator factor alongside
+                # the state chunk.
+                ax = max(range(len(shape_d)), key=lambda i: shape_d[i])
+                size = shape_d[ax]
+                chunks = min(n_chunks, size)
+                while size % chunks:
+                    chunks -= 1
+                width = size // chunks
+                tax = ax + lead
+                sizes = x.shape[:tax] + (width,) + x.shape[tax + 1:]
+                fpos = step.axes.index(ax)
+                for i in range(chunks):
+                    starts = [jnp.int32(0)] * x.ndim
+                    starts[tax] = i * width
+                    blk = jax.lax.dynamic_slice(x, starts, sizes)
+                    fsl = list(facs)
+                    fsl[fpos] = jax.lax.dynamic_slice_in_dim(
+                        facs[fpos], i * width, width)
+                    blk = apply_prod_diag(blk, tuple(fsl), cre, cim,
+                                          rank, step.axes, planar)
+                    x = jax.lax.dynamic_update_slice(x, blk, starts)
         else:  # GenericStep: a 3-group gate — whole-state fallback. These
             # cannot appear in brickwork/QFT workloads; at n >= 30 the
             # complex round-trip would exceed HBM, which is acceptable for
@@ -715,6 +752,10 @@ class PlanarStateVector:
             p1[q] = marg[ax][idx == 1].sum()
         total = marg[0].sum()
         return p1 / total if total > 0 else p1
+
+    def expectation_z(self, qubit: int) -> float:
+        """<Z_qubit> = 1 - 2 P(1) — free from the captured marginals."""
+        return float(1.0 - 2.0 * self.qubit_probabilities()[qubit])
 
     def amplitude(self, index: int) -> complex:
         """One basis amplitude (device gather, two floats to host)."""

@@ -132,6 +132,20 @@ class DiagPairStep:
 
 
 @dataclass(frozen=True)
+class DiagProductStep:
+    """Controlled-phase-form diagonal spanning ANY number of axes
+    (MCZ_k / wide CZ: diag = ones except the all-targets-set entry = v).
+    Applies as ONE fused broadcast-elementwise pass
+    ``x += (v-1) * x * prod_ax mask_ax`` — no table, no MXU, bandwidth
+    only. This is what keeps Grover's exact MCZ off the GenericStep
+    whole-state-complex fallback once its targets span >= 3 groups
+    (n >= 21), which at n >= 30 would OOM."""
+
+    axes: tuple[int, ...]   # involved axes, sorted
+    index: int              # into the plan's prod-diag segment list
+
+
+@dataclass(frozen=True)
 class GenericStep:
     program_op: int         # fall back to segmented-einsum apply
 
@@ -170,12 +184,20 @@ class DiagSegment:
 
 
 @dataclass(frozen=True)
+class DiagProductSegment:
+    axes: tuple[int, ...]
+    index: int
+    op_index: int           # the program op (one per step; these are rare)
+
+
+@dataclass(frozen=True)
 class GroupPlan:
     layout: GroupLayout
     steps: tuple
     dense_segments: tuple[DenseSegment, ...]
     cross_specs: tuple[CrossSpec, ...]
     diag_segments: tuple[DiagSegment, ...]
+    prod_segments: tuple[DiagProductSegment, ...] = ()
     # Static realness analysis (see _op_is_real): real composed operators
     # skip the 2x2 plane contraction (half the MXU FLOPs), and an
     # all-real plan evolves a REAL state from the basis start (half the
@@ -183,14 +205,31 @@ class GroupPlan:
     dense_real: tuple[tuple[bool, ...], ...] = ()   # [axis][op_index]
     cross_real: tuple[bool, ...] = ()
     diag_real: tuple[bool, ...] = ()
+    prod_real: tuple[bool, ...] = ()
     all_real: bool = False
 
 
 def _op_is_diagonal(op: prog.ProgramOp) -> bool:
+    if op.cphase_value is not None:
+        return True
     if op.static_matrix is not None:
         m = op.static_matrix
         return bool(np.allclose(m, np.diag(np.diagonal(m))))
     return op.gate_name in _DIAGONAL_PARAM_GATES
+
+
+def _diag_product_value(op: prog.ProgramOp) -> complex | None:
+    """v for controlled-phase-form diagonals: diag = ones except the
+    all-ones entry = v (MCZ_k: v=-1; wide CZ; custom controlled
+    phases). None when the op is not of this form."""
+    if op.cphase_value is not None:
+        return complex(op.cphase_value)
+    if op.static_matrix is None or not _op_is_diagonal(op):
+        return None
+    d = np.diagonal(op.static_matrix)
+    if np.allclose(d[:-1], 1.0) and not np.isclose(d[-1], 1.0):
+        return complex(d[-1])
+    return None
 
 
 # Parameterized gates whose matrix is real for EVERY parameter value
@@ -203,6 +242,8 @@ _REAL_PARAM_GATES = frozenset({"Ry"})
 def _op_is_real(op: prog.ProgramOp) -> bool:
     """True when the op's matrix is real for all parameter values (static
     matrices — incl. custom registered gates — are checked numerically)."""
+    if op.cphase_value is not None:
+        return bool(np.isclose(np.imag(op.cphase_value), 0.0))
     if op.static_matrix is not None:
         return bool(np.allclose(np.imag(op.static_matrix), 0.0))
     return op.gate_name in _REAL_PARAM_GATES
@@ -215,6 +256,7 @@ def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
     dense_segments: list[DenseSegment] = []
     cross_specs: list[CrossSpec] = []
     diag_segments: list[DiagSegment] = []
+    prod_segments: list[DiagProductSegment] = []
     counts = [0] * n_axes
 
     # pending composable work, with the bits it touches (for commutation)
@@ -287,6 +329,20 @@ def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
                 p["bits"].setdefault(ax, set()).update(bits_by_axis[ax])
             continue
 
+        if len(axes) >= 3 and _diag_product_value(op) is not None:
+            # Controlled-phase-form diagonal across many axes: one fused
+            # broadcast pass. Diagonals commute with pending diagonals
+            # and with pending dense ops on DISJOINT bits; only dense
+            # pendings overlapping this op's bits must flush first.
+            for ax in axes:
+                if pend_dense[ax]["bits"] & bits_by_axis[ax]:
+                    flush_dense(ax)
+            idx = len(prod_segments)
+            prod_segments.append(DiagProductSegment(
+                axes=tuple(axes), index=idx, op_index=oi))
+            steps.append(DiagProductStep(axes=tuple(axes), index=idx))
+            continue
+
         lone = [ax for ax in axes if len(bits_by_axis[ax]) == 1]
         if len(axes) == 2 and lone:
             # slice the lone-bit axis; when both qualify, put the operator
@@ -345,17 +401,19 @@ def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
         for s in cross_specs)
     diag_real = tuple(all(_real(oi) for oi in seg.op_indices)
                       for seg in diag_segments)
+    prod_real = tuple(_real(seg.op_index) for seg in prod_segments)
     all_real = (all(r for ax in dense_real_by_axis for r in ax)
-                and all(cross_real) and all(diag_real)
+                and all(cross_real) and all(diag_real) and all(prod_real)
                 and not any(isinstance(s, GenericStep) for s in steps))
 
     return GroupPlan(layout=layout, steps=tuple(steps),
                      dense_segments=tuple(dense_segments),
                      cross_specs=tuple(cross_specs),
                      diag_segments=tuple(diag_segments),
+                     prod_segments=tuple(prod_segments),
                      dense_real=tuple(tuple(ax) for ax in dense_real_by_axis),
                      cross_real=cross_real, diag_real=diag_real,
-                     all_real=all_real)
+                     prod_real=prod_real, all_real=all_real)
 
 
 # ---------------------------------------------------------------------------
@@ -406,6 +464,8 @@ class _GateMatrixPool:
         static_cache: dict[bytes, jnp.ndarray] = {}
         static_1q: dict[bytes, tuple[np.ndarray, int]] = {}
         for oi, op in enumerate(program.ops):
+            if op.cphase_value is not None:
+                continue  # matrix-less wide diagonal: DiagProductStep only
             if op.static_matrix is None and op.num_params > 0:
                 by_name.setdefault(op.gate_name, []).append(oi)
             else:
@@ -636,6 +696,24 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
         cross_ops.append(_blocked(jnp.real(C).astype(_F32),
                                   jnp.imag(C).astype(_F32), axis=0))
 
+    prod_ops = []
+    for seg in plan.prod_segments:
+        op = program.ops[seg.op_index]
+        v = _diag_product_value(op)
+        facs = []
+        for ax in seg.axes:
+            bits = layout.axis_bits[ax]
+            size = layout.axis_sizes[ax]
+            mask = np.ones(size, np.float32)
+            for q in op.targets:
+                if layout.axis_of(q) != ax:
+                    continue
+                bit = bits - 1 - layout.pos_in_axis(q)  # from LSB
+                mask *= ((np.arange(size) >> bit) & 1).astype(np.float32)
+            facs.append(jnp.asarray(mask))
+        prod_ops.append((tuple(facs), float(np.real(v - 1)),
+                         float(np.imag(v - 1))))
+
     diag_ops = []
     for seg in plan.diag_segments:
         sa = layout.axis_sizes[seg.axis_a]
@@ -664,7 +742,7 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
         diag_ops.append(_blocked(jnp.real(D).astype(_F32),
                                  jnp.imag(D).astype(_F32), axis=0))
 
-    return axis_stacks, cross_ops, diag_ops
+    return axis_stacks, cross_ops, diag_ops, prod_ops
 
 
 # ---------------------------------------------------------------------------
@@ -756,6 +834,28 @@ def _split_axis_bit(shape: tuple[int, ...], axis: int, pos: int):
     return new_shape, axis + 1
 
 
+def apply_prod_diag(x, facs, cre: float, cim: float, rank: int,
+                    axes: tuple[int, ...], planar: bool) -> jnp.ndarray:
+    """``x += (v-1) * x * prod mask_ax`` as one fused broadcast pass.
+    ``facs`` are the per-involved-axis (S,) indicator vectors; they
+    broadcast with 1-sized dims elsewhere, so this also works on CHUNKS
+    whose uninvolved axes are sliced (the factor there is a 1-dim)."""
+    ind = None
+    for ax, m in zip(axes, facs):
+        shape = [1] * rank
+        shape[ax] = m.shape[0]
+        f = m.reshape(shape)
+        ind = f if ind is None else ind * f
+    if not planar:
+        # real state => plan guaranteed v real (cim == 0)
+        return x + cre * (x * ind)
+    xr, xi = x[0], x[1]
+    tr = xr * ind
+    ti = xi * ind
+    return jnp.stack([xr + cre * tr - cim * ti,
+                      xi + cre * ti + cim * tr])
+
+
 def execute_group_plan(plan: GroupPlan, operands, program, params, dtype,
                        x: jnp.ndarray, planar: bool = True) -> jnp.ndarray:
     """Run all steps on the state ``x``: planar ``(2, *axis_sizes)`` by
@@ -765,7 +865,7 @@ def execute_group_plan(plan: GroupPlan, operands, program, params, dtype,
     layout = plan.layout
     shape = tuple(layout.axis_sizes)
     rank = len(shape)
-    axis_stacks, cross_ops, diag_ops = operands
+    axis_stacks, cross_ops, diag_ops, prod_ops = operands
     lead = (2,) if planar else ()
 
     for step in plan.steps:
@@ -791,6 +891,9 @@ def execute_group_plan(plan: GroupPlan, operands, program, params, dtype,
             x = jnp.einsum(
                 _diag_spec(rank, step.axis_a, step.axis_b, real, planar),
                 d[0, 0] if real else d, x, precision=_HI)
+        elif isinstance(step, DiagProductStep):
+            facs, cre, cim = prod_ops[step.index]
+            x = apply_prod_diag(x, facs, cre, cim, rank, step.axes, planar)
         else:  # GenericStep (never present when planar=False: all_real
             # plans exclude generic fallbacks)
             op = program.ops[step.program_op]

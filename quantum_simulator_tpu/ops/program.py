@@ -34,7 +34,8 @@ import numpy as np
 from ..config import CONFIG
 from ..gates import GateType
 from ..registry import GateRegistry
-from .apply import apply_gate, basis_state_index, make_basis_state
+from .apply import (apply_cphase, apply_gate, basis_state_index,
+                    make_basis_state)
 
 
 @dataclass(frozen=True)
@@ -49,6 +50,11 @@ class ProgramOp:
     static_matrix: np.ndarray | None  # baked matrix when not traceable
     jnp_builder: Callable | None
     gate_index: int = -1  # index into circuit.gates (for param remapping)
+    # Controlled-phase-form diagonal too wide to materialize densely
+    # (MCZ_k, k > 16): diag = ones except the all-targets-set entry = v.
+    # Such ops carry NO matrix; executors apply them via bit-mask
+    # elementwise passes (apply.apply_cphase / plan.DiagProductStep).
+    cphase_value: complex | None = None
 
 
 @dataclass(frozen=True)
@@ -74,6 +80,12 @@ class CircuitProgram:
         return None
 
     def op_matrix(self, op: ProgramOp, params, dtype):
+        if op.cphase_value is not None:
+            raise NotImplementedError(
+                f"{op.gate_name} on {len(op.targets)} qubits has no dense "
+                f"matrix (2^{len(op.targets)} x 2^{len(op.targets)}); "
+                "executors must route it through apply_cphase / the group "
+                "plan's DiagProductStep instead of op_matrix")
         if op.static_matrix is not None:
             return jnp.asarray(op.static_matrix, dtype=dtype)
         p = [params[op.param_offset + j] for j in range(op.num_params)]
@@ -110,6 +122,14 @@ def compile_circuit(circuit) -> CircuitProgram:
                                      builder, gate_index))
                 key_parts.append((inst.gate_name, tuple(inst.target_qubits),
                                   col_idx))
+            elif getattr(gd, "cphase_value", None) is not None:
+                # Wide controlled-phase diagonal (MCZ_k, k > 16): no
+                # dense matrix exists; the op carries only the phase.
+                ops.append(ProgramOp(inst.gate_name, tuple(inst.target_qubits),
+                                     0, 0, col_idx, None, None, gate_index,
+                                     cphase_value=gd.cphase_value))
+                key_parts.append((inst.gate_name, tuple(inst.target_qubits),
+                                  col_idx, complex(gd.cphase_value)))
             else:
                 # Fixed gate, or a custom parameterized gate with a
                 # host-only matrix_func: bake the matrix statically and
@@ -142,12 +162,21 @@ def compile_circuit(circuit) -> CircuitProgram:
 # Pure program bodies (traced once per structure)
 # ---------------------------------------------------------------------------
 
+def _apply_op(program: CircuitProgram, state, op: ProgramOp, params, dtype):
+    """Apply one program op to a flat state: dense matrix contraction, or
+    a bit-mask phase pass for matrix-less wide controlled-phase ops."""
+    if op.cphase_value is not None:
+        return apply_cphase(state, op.targets, op.cphase_value,
+                            program.num_qubits)
+    return apply_gate(state, program.op_matrix(op, params, dtype),
+                      op.targets, program.num_qubits)
+
+
 def _forward_body(program: CircuitProgram, params, dtype):
     n = program.num_qubits
     state = make_basis_state(n, program.initial_index, dtype)
     for op in program.ops:
-        state = apply_gate(state, program.op_matrix(op, params, dtype),
-                           op.targets, n)
+        state = _apply_op(program, state, op, params, dtype)
     return state
 
 
@@ -161,8 +190,7 @@ def _steps_body(program: CircuitProgram, params, dtype):
     for col in range(program.num_columns):
         while op_i < len(program.ops) and program.ops[op_i].column_index == col:
             op = program.ops[op_i]
-            state = apply_gate(state, program.op_matrix(op, params, dtype),
-                               op.targets, n)
+            state = _apply_op(program, state, op, params, dtype)
             op_i += 1
         snapshots.append(state)
     return jnp.stack(snapshots)
@@ -210,8 +238,7 @@ def _trajectory_body(program: CircuitProgram, channels_for, params, key,
     for col in range(program.num_columns):
         while op_i < len(program.ops) and program.ops[op_i].column_index == col:
             op = program.ops[op_i]
-            state = apply_gate(state, program.op_matrix(op, params, dtype),
-                               op.targets, n)
+            state = _apply_op(program, state, op, params, dtype)
             for kraus_np in channels_for(op.gate_name):
                 kraus = jnp.asarray(kraus_np, dtype=dtype)
                 for q in op.targets:
@@ -298,8 +325,7 @@ def evolve_fn(program: CircuitProgram, dtype=None) -> Callable:
     def body(state, params):
         n = program.num_qubits
         for op in program.ops:
-            state = apply_gate(state, program.op_matrix(op, params, dtype),
-                               op.targets, n)
+            state = _apply_op(program, state, op, params, dtype)
         return state
 
     return _cache_get(key, lambda: jax.jit(body))

@@ -167,6 +167,28 @@ class GateRegistry:
                     symbol="MCZ", color="#455A64",
                     num_controls=k - 1, num_targets=1))
                 return self._gates[name]
+            if m and 16 < int(m.group(1)) <= 32:
+                # Wide MCZ (Grover at n > 16): the dense 2^k x 2^k matrix
+                # is unrepresentable; register a matrix-less definition
+                # carrying only the controlled phase. Executors apply it
+                # as a bit-mask elementwise pass.
+                k = int(m.group(1))
+
+                def _no_matrix(*_a, _k=k):
+                    raise MemoryError(
+                        f"MCZ{_k} has no dense matrix (2^{_k} x 2^{_k}); "
+                        "it is applied as an elementwise phase pass")
+
+                self.register(GateDefinition(
+                    name=name,
+                    display_name=f"Multi-Controlled-Z ({k})",
+                    gate_type=GateType.CONTROLLED, num_qubits=k,
+                    num_params=0, param_names=(),
+                    matrix_func=_no_matrix,
+                    symbol="MCZ", color="#455A64",
+                    num_controls=k - 1, num_targets=1,
+                    cphase_value=-1.0 + 0.0j))
+                return self._gates[name]
             raise KeyError(f"Gate '{name}' not found in registry")
         return self._gates[name]
 

