@@ -39,13 +39,18 @@ SEED = 42
 CHAIN_RUNS = 10
 
 
-def build_circuit_dict(n: int, depth: int, seed: int) -> dict:
+def build_circuit_dict(n: int, depth: int, seed: int,
+                       mix_rz: bool = False) -> dict:
+    """Brickwork circuit dict. ``mix_rz`` alternates Ry/Rz within every
+    rotation column — same structure, but the Rz phases keep the state
+    complex (the control workload for the all-real fast path)."""
     rng = np.random.default_rng(seed)
     gates = []
     for col in range(depth):
         if col % 2 == 0:
             for q in range(n):
-                gates.append({"name": "Ry", "targets": [q],
+                name = "Rz" if mix_rz and (q + col) % 2 else "Ry"
+                gates.append({"name": name, "targets": [q],
                               "params": [float(rng.uniform(0, 2 * np.pi))],
                               "column": col})
         else:
@@ -213,22 +218,7 @@ def bench_secondary():
     # never conflated in docs.
     for n_cx, depth_cx in ((16, DEPTH), (24, 8)):
         try:
-            rng = np.random.default_rng(SEED)
-            gates = []
-            for col in range(depth_cx):
-                if col % 2 == 0:
-                    for q in range(n_cx):
-                        gates.append({
-                            "name": "Ry" if (q + col) % 2 == 0 else "Rz",
-                            "targets": [q],
-                            "params": [float(rng.uniform(0, 2 * np.pi))],
-                            "column": col})
-                else:
-                    offset = (col // 2) % 2
-                    for q in range(offset, n_cx - 1, 2):
-                        gates.append({"name": "CNOT", "targets": [q, q + 1],
-                                      "params": [], "column": col})
-            cxd = {"version": "1.0", "num_qubits": n_cx, "gates": gates}
+            cxd = build_circuit_dict(n_cx, depth_cx, SEED, mix_rz=True)
             per_run, passes, ab = bench_tpu_engine(cxd)
             frac = roofline_fraction(n_cx, passes, per_run, bytes_per_amp=ab)
             print(f"[bench] n={n_cx} depth-{depth_cx} COMPLEX brickwork "

@@ -49,7 +49,7 @@ class GateDefinition:
     num_controls: int = 0
     num_targets: int = 1
     jnp_matrix_func: Callable[..., jnp.ndarray] | None = None
-    # Wide controlled-phase diagonals (MCZ_k, k > 16): the dense matrix
+    # Wide controlled-phase diagonals (MCZ_k, k > 10): the dense matrix
     # is unrepresentable, so the definition carries only the phase the
     # all-targets-set amplitude picks up; matrix_func raises.
     cphase_value: complex | None = None

@@ -79,16 +79,18 @@ def _chunk_axis(shape: tuple[int, ...], involved: set[int]) -> int | None:
 
 
 def _chunked_pass(x: jnp.ndarray, involved: set[int], n_chunks: int,
-                  apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
-                  lead: int = 1) -> jnp.ndarray:
+                  apply_fn: Callable[..., jnp.ndarray],
+                  lead: int = 1, pass_start: bool = False) -> jnp.ndarray:
     """Apply ``apply_fn`` (a full-rank state transform) chunk by chunk
     along an uninvolved axis, updating the carried state in place.
     ``lead`` = number of leading non-data axes (1 for the planar re/im
-    plane, 0 for an all-real state)."""
+    plane, 0 for an all-real state). With ``pass_start`` the callback
+    receives ``(block, chunk_start)`` so it can slice per-axis operands
+    (e.g. DiagProductStep indicator factors) alongside the state."""
     shape = x.shape[lead:]  # drop any leading re/im plane axis
     ax = _chunk_axis(shape, involved)
     if ax is None or n_chunks <= 1:
-        return apply_fn(x)
+        return apply_fn(x, 0) if pass_start else apply_fn(x)
     size = shape[ax]
     chunks = min(n_chunks, size)
     while size % chunks:  # axis sizes are powers of two; so are chunks
@@ -107,7 +109,7 @@ def _chunked_pass(x: jnp.ndarray, involved: set[int], n_chunks: int,
         starts = [jnp.int32(0)] * x.ndim
         starts[tax] = i * width
         blk = jax.lax.dynamic_slice(x, starts, sizes)
-        blk = apply_fn(blk)
+        blk = apply_fn(blk, i * width) if pass_start else apply_fn(blk)
         x = jax.lax.dynamic_update_slice(x, blk, starts)
     return x
 
@@ -177,27 +179,22 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
             else:
                 # Every axis involved (an MCZ wide enough to touch all
                 # groups). The pass is elementwise, so chunk the largest
-                # involved axis and slice its indicator factor alongside
-                # the state chunk.
+                # involved axis — excluded from `involved` so
+                # _chunked_pass picks it — and slice its indicator
+                # factor alongside the state chunk via the start hook.
                 ax = max(range(len(shape_d)), key=lambda i: shape_d[i])
-                size = shape_d[ax]
-                chunks = min(n_chunks, size)
-                while size % chunks:
-                    chunks -= 1
-                width = size // chunks
-                tax = ax + lead
-                sizes = x.shape[:tax] + (width,) + x.shape[tax + 1:]
                 fpos = step.axes.index(ax)
-                for i in range(chunks):
-                    starts = [jnp.int32(0)] * x.ndim
-                    starts[tax] = i * width
-                    blk = jax.lax.dynamic_slice(x, starts, sizes)
+
+                def prod_fn(blk, start, facs=facs, cre=cre, cim=cim,
+                            step=step, ax=ax, fpos=fpos):
                     fsl = list(facs)
                     fsl[fpos] = jax.lax.dynamic_slice_in_dim(
-                        facs[fpos], i * width, width)
-                    blk = apply_prod_diag(blk, tuple(fsl), cre, cim,
-                                          rank, step.axes, planar)
-                    x = jax.lax.dynamic_update_slice(x, blk, starts)
+                        facs[fpos], start, blk.shape[ax + lead])
+                    return apply_prod_diag(blk, tuple(fsl), cre, cim,
+                                           rank, step.axes, planar)
+
+                x = _chunked_pass(x, set(step.axes) - {ax}, n_chunks,
+                                  prod_fn, lead=lead, pass_start=True)
         else:  # GenericStep: a 3-group gate — whole-state fallback. These
             # cannot appear in brickwork/QFT workloads; at n >= 30 the
             # complex round-trip would exceed HBM, which is acceptable for
@@ -652,11 +649,8 @@ def huge_sample_fn(state_shape: tuple[int, ...], shots: int,
     key_t = ("huge-sample", state_shape, shots, planar)
     cached = _SAMPLE_CACHE.get(key_t)
     if cached is None:
-        cached = jax.jit(
-            lambda x, k: sample_state_indices(x, k, shots, planar=planar))
-        if len(_SAMPLE_CACHE) > 32:
-            _SAMPLE_CACHE.pop(next(iter(_SAMPLE_CACHE)))
-        _SAMPLE_CACHE[key_t] = cached
+        cached = _cache_put(_SAMPLE_CACHE, key_t, jax.jit(
+            lambda x, k: sample_state_indices(x, k, shots, planar=planar)))
     return cached
 
 
@@ -733,11 +727,15 @@ class PlanarStateVector:
         that stays cheap at any n. Uses the axis marginals captured in
         the forward program when available (required for planar n >= 30
         states — see ``huge_forward_fn``); otherwise computes them with
-        one fused-reduction dispatch."""
+        one fused-reduction dispatch. Computed once and cached on the
+        instance (the state is immutable)."""
         import numpy as np
 
         from .plan import GroupLayout
 
+        cached = getattr(self, "_qp_cache", None)
+        if cached is not None:
+            return cached
         marg = self._axis_marginals
         if marg is None:
             marg = _axis_marginals_jit(self._state, self._planar)
@@ -751,7 +749,8 @@ class PlanarStateVector:
             idx = (np.arange(layout.axis_sizes[ax]) >> bit) & 1
             p1[q] = marg[ax][idx == 1].sum()
         total = marg[0].sum()
-        return p1 / total if total > 0 else p1
+        self._qp_cache = p1 / total if total > 0 else p1
+        return self._qp_cache
 
     def expectation_z(self, qubit: int) -> float:
         """<Z_qubit> = 1 - 2 P(1) — free from the captured marginals."""

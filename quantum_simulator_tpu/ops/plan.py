@@ -700,18 +700,9 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
     for seg in plan.prod_segments:
         op = program.ops[seg.op_index]
         v = _diag_product_value(op)
-        facs = []
-        for ax in seg.axes:
-            bits = layout.axis_bits[ax]
-            size = layout.axis_sizes[ax]
-            mask = np.ones(size, np.float32)
-            for q in op.targets:
-                if layout.axis_of(q) != ax:
-                    continue
-                bit = bits - 1 - layout.pos_in_axis(q)  # from LSB
-                mask *= ((np.arange(size) >> bit) & 1).astype(np.float32)
-            facs.append(jnp.asarray(mask))
-        prod_ops.append((tuple(facs), float(np.real(v - 1)),
+        facs = tuple(jnp.asarray(m)
+                     for _, m in _indicator_masks(op.targets, layout))
+        prod_ops.append((facs, float(np.real(v - 1)),
                          float(np.imag(v - 1))))
 
     diag_ops = []
@@ -721,8 +712,16 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
         D = jnp.ones((sa, sb), dtype=dtype)
         for oi in seg.op_indices:
             op = program.ops[oi]
-            d = jnp.diagonal(pool.matrix(oi))
             k = len(op.targets)
+            if op.cphase_value is not None:
+                # Matrix-less wide controlled phase (k = 11..14 can span
+                # exactly two axes): synthesize the diag VECTOR — cheap
+                # where the dense matrix is not.
+                dv = np.ones(1 << k, np.complex128)
+                dv[-1] = op.cphase_value
+                d = jnp.asarray(dv, dtype=dtype)
+            else:
+                d = jnp.diagonal(pool.matrix(oi))
             code_a = np.zeros(sa, dtype=np.int32)
             code_b = np.zeros(sb, dtype=np.int32)
             for j, q in enumerate(op.targets):
@@ -832,6 +831,44 @@ def _split_axis_bit(shape: tuple[int, ...], axis: int, pos: int):
     post = 1 << (bits - pos - 1)  # bits below
     new_shape = shape[:axis] + (pre, 2, post) + shape[axis + 1:]
     return new_shape, axis + 1
+
+
+def _indicator_masks(targets: tuple[int, ...], layout: GroupLayout
+                     ) -> list[tuple[int, np.ndarray]]:
+    """Per-axis all-targets-set indicator vectors (axis, (S,) f32 mask)
+    for the axes the targets touch, in ascending axis order."""
+    by_axis: dict[int, list[int]] = {}
+    for q in targets:
+        by_axis.setdefault(layout.axis_of(q), []).append(q)
+    out = []
+    for ax in sorted(by_axis):
+        bits = layout.axis_bits[ax]
+        size = layout.axis_sizes[ax]
+        mask = np.ones(size, np.float32)
+        for q in by_axis[ax]:
+            bit = bits - 1 - layout.pos_in_axis(q)  # from LSB
+            mask *= ((np.arange(size) >> bit) & 1).astype(np.float32)
+        out.append((ax, mask))
+    return out
+
+
+def apply_cphase_grouped(xre, xim, targets: tuple[int, ...], v: complex,
+                         layout: GroupLayout):
+    """Controlled-phase-form diagonal on a grouped (re, im) state pair:
+    one fused broadcast pass (the trajectory-path twin of
+    DiagProductStep / apply.apply_cphase)."""
+    rank = len(layout.axis_sizes)
+    ind = None
+    for ax, mask in _indicator_masks(targets, layout):
+        shape = [1] * rank
+        shape[ax] = mask.shape[0]
+        f = jnp.asarray(mask).reshape(shape)
+        ind = f if ind is None else ind * f
+    vr = float(np.real(v)) - 1.0
+    vi = float(np.imag(v))
+    dre = vr * xre - vi * xim
+    dim = vr * xim + vi * xre
+    return xre + ind * dre, xim + ind * dim
 
 
 def apply_prod_diag(x, facs, cre: float, cim: float, rank: int,
@@ -1136,9 +1173,13 @@ def group_trajectory_body(program: prog.CircuitProgram, noise_model,
         while (op_i < len(program.ops)
                and program.ops[op_i].column_index == col):
             op = program.ops[op_i]
-            u = program.op_matrix(op, params, dtype)
-            xre, xim = apply_gate_grouped(xre, xim, u, op.targets, layout,
-                                          dtype)
+            if op.cphase_value is not None:
+                xre, xim = apply_cphase_grouped(xre, xim, op.targets,
+                                                op.cphase_value, layout)
+            else:
+                u = program.op_matrix(op, params, dtype)
+                xre, xim = apply_gate_grouped(xre, xim, u, op.targets,
+                                              layout, dtype)
             for kraus_np in noise_model.kraus_stacks_for_gate(op.gate_name):
                 kraus = jnp.asarray(kraus_np, dtype=dtype)
                 for q in op.targets:

@@ -51,7 +51,7 @@ class ProgramOp:
     jnp_builder: Callable | None
     gate_index: int = -1  # index into circuit.gates (for param remapping)
     # Controlled-phase-form diagonal too wide to materialize densely
-    # (MCZ_k, k > 16): diag = ones except the all-targets-set entry = v.
+    # (MCZ_k, k > 10): diag = ones except the all-targets-set entry = v.
     # Such ops carry NO matrix; executors apply them via bit-mask
     # elementwise passes (apply.apply_cphase / plan.DiagProductStep).
     cphase_value: complex | None = None
@@ -123,7 +123,7 @@ def compile_circuit(circuit) -> CircuitProgram:
                 key_parts.append((inst.gate_name, tuple(inst.target_qubits),
                                   col_idx))
             elif getattr(gd, "cphase_value", None) is not None:
-                # Wide controlled-phase diagonal (MCZ_k, k > 16): no
+                # Wide controlled-phase diagonal (MCZ_k, k > 10): no
                 # dense matrix exists; the op carries only the phase.
                 ops.append(ProgramOp(inst.gate_name, tuple(inst.target_qubits),
                                      0, 0, col_idx, None, None, gate_index,

@@ -154,7 +154,7 @@ class GateRegistry:
             import re as _re
 
             m = _re.fullmatch(r"MCZ(\d+)", name)
-            if m and 2 <= int(m.group(1)) <= 16:
+            if m and 2 <= int(m.group(1)) <= 10:
                 from .gates import _const, mcz_matrix
 
                 k = int(m.group(1))
@@ -167,11 +167,13 @@ class GateRegistry:
                     symbol="MCZ", color="#455A64",
                     num_controls=k - 1, num_targets=1))
                 return self._gates[name]
-            if m and 16 < int(m.group(1)) <= 32:
-                # Wide MCZ (Grover at n > 16): the dense 2^k x 2^k matrix
-                # is unrepresentable; register a matrix-less definition
-                # carrying only the controlled phase. Executors apply it
-                # as a bit-mask elementwise pass.
+            if m and 10 < int(m.group(1)) <= 32:
+                # Wide MCZ: the dense 2^k x 2^k matrix is unaffordable
+                # (4 GiB of host diag at k=14, 68 GiB at k=16); register
+                # a matrix-less definition carrying only the controlled
+                # phase. Executors apply it as a bit-mask elementwise
+                # pass (dense stops at k=10 = 16 MB, where existing
+                # serialized circuits still get byte-identical matrices).
                 k = int(m.group(1))
 
                 def _no_matrix(*_a, _k=k):

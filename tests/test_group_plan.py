@@ -223,6 +223,33 @@ class TestDiagProduct:
         c.add_gate(GateInstance("Ry", [0], [0.3], column=3))
         both(c)
 
+    def test_trajectory_body_with_matrixless_mcz(self):
+        # The group trajectory executor must route matrix-less
+        # controlled-phase ops through apply_cphase_grouped, not
+        # op_matrix (which raises) — and match the per-gate trajectory.
+        import jax
+        from quantum_simulator_tpu.noise import DepolarizingNoise, NoiseModel
+        from quantum_simulator_tpu.ops.plan import group_trajectory_body
+        from quantum_simulator_tpu.ops.program import _trajectory_body
+
+        c = QuantumCircuit(12)
+        for q in range(12):
+            c.add_gate(GateInstance("H", [q], [], column=0))
+        c.add_gate(GateInstance("MCZ12", list(range(12)), [], column=1))
+        for q in range(12):
+            c.add_gate(GateInstance("Ry", [q], [0.1 * q + 0.2], column=2))
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.05))
+        p = prog.compile_circuit(c)
+        assert p.ops[12].cphase_value == -1.0  # k=12 > dense cap of 10
+        params = jnp.asarray(p.initial_params)
+        key = jax.random.PRNGKey(3)
+        got = np.asarray(group_trajectory_body(p, nm, params, key))
+        expected = np.asarray(_trajectory_body(
+            p, nm.kraus_stacks_for_gate, params, key, jnp.complex64,
+            False))
+        np.testing.assert_allclose(got, expected, atol=1e-6)
+
     def test_wide_mcz17_matrixless(self):
         # k=17 > the dense-matrix cap: the op carries only cphase_value.
         # Execution agreement between the group plan (DiagProductStep)
