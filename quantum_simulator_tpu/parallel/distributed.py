@@ -123,20 +123,35 @@ _SWAP_MAT = np.array([[1, 0, 0, 0], [0, 0, 1, 0],
                       [0, 1, 0, 0], [0, 0, 0, 1]], dtype=np.complex128)
 
 
-def _build_schedule(program: prog.CircuitProgram, g: int) -> list[tuple]:
+def _is_noswap_diag(op: prog.ProgramOp) -> bool:
+    """Product-form diagonals (MCZ_k any width, CZ, CPhase): their action
+    on a global (device-index) qubit is a per-shard SCALAR, so they never
+    need ppermute swaps — including widths larger than the shard."""
+    from ..ops.plan import _diag_product_value
+
+    return op.gate_name == "CPhase" or _diag_product_value(op) is not None
+
+
+def _build_schedule(program: prog.CircuitProgram, g: int,
+                    noswap: set[int] = frozenset()) -> list[tuple]:
     """Host-side schedule: the layout-tracked swap/gate item list shared
     by the noiseless and noisy shard bodies (previously duplicated).
 
     Items:
       ("swap", g_pos, l_pos)    exchange device-index bit with local bit
       ("gate", op_i, local_ts)  apply program op at these local positions
+      ("cphase", op_i, local_ts, global_ts)  product-form diagonal with
+                                global targets: per-shard scalar x local
+                                mask, NO swaps (ops listed in ``noswap``)
       ("lswap", la, lb)         in-shard SWAP (restore phase only)
     Ends with the restore sequence bringing the layout back to identity so
     the output sharding is canonical.
     """
     n = program.num_qubits
     n_local = n - g
-    max_arity = max((len(op.targets) for op in program.ops), default=0)
+    max_arity = max((len(op.targets)
+                     for oi, op in enumerate(program.ops)
+                     if oi not in noswap), default=0)
     if max_arity > n_local:
         raise ValueError(
             f"a {max_arity}-qubit gate needs at least {max_arity} local "
@@ -147,6 +162,11 @@ def _build_schedule(program: prog.CircuitProgram, g: int) -> list[tuple]:
 
     for oi, op in enumerate(program.ops):
         positions = [layout.pos_of[q] for q in op.targets]
+        if oi in noswap and any(p < g for p in positions):
+            items.append(("cphase", oi,
+                          tuple(sorted(p - g for p in positions if p >= g)),
+                          tuple(sorted(p for p in positions if p < g))))
+            continue
         for i, p in enumerate(positions):
             if p < g:
                 # choose a local position not hosting another target
@@ -183,6 +203,35 @@ def _build_schedule(program: prog.CircuitProgram, g: int) -> list[tuple]:
     return items
 
 
+def _cphase_op_value(op: prog.ProgramOp, params):
+    """The product-form diagonal's phase v (trace-time constant for
+    static ops; traced e^{i*phi} for CPhase)."""
+    from ..ops.plan import _diag_product_value
+
+    if op.gate_name == "CPhase" and op.num_params > 0:
+        return jnp.exp(1j * params[op.param_offset])
+    return _diag_product_value(op)
+
+
+def _apply_cphase_sharded(block, op, local_ts, global_ts, params,
+                          g: int, n_local: int, axis: str):
+    """``block *= 1 + (v-1) * gsel * local_mask`` on a flat complex
+    shard block: the swap-free application of a product-form diagonal
+    whose targets include device-index (global) qubits. ``gsel`` is one
+    scalar per shard (all global target bits set in the shard id)."""
+    v = _cphase_op_value(op, params)
+    my = jax.lax.axis_index(axis)
+    gsel = jnp.float32(1.0)
+    for p in global_ts:
+        gsel = gsel * ((my >> (g - 1 - p)) & 1).astype(jnp.float32)
+    idx = np.arange(1 << n_local)
+    mask = np.ones(1 << n_local, np.float32)
+    for lp in local_ts:
+        mask *= ((idx >> (n_local - 1 - lp)) & 1).astype(np.float32)
+    ind = jnp.asarray(mask) * gsel
+    return block + (v - 1.0) * block * ind
+
+
 # Shards at least this large run the group-matmul executor on gate runs
 # between collectives instead of per-gate einsums (ROADMAP item 4).
 _GROUPED_SHARD_MIN_QUBITS = 14
@@ -205,11 +254,15 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
 
     init_dev = program.initial_index >> n_local
     init_local = program.initial_index & ((1 << n_local) - 1)
-    schedule = _build_schedule(program, g)
+    noswap = {oi for oi, op in enumerate(program.ops)
+              if _is_noswap_diag(op)}
+    schedule = _build_schedule(program, g, noswap)
     grouped = n_local >= _GROUPED_SHARD_MIN_QUBITS
 
     if not grouped:
         def body(params):
+            from ..ops.apply import apply_cphase
+
             my = jax.lax.axis_index(axis)
             amp0 = jnp.where(my == init_dev,
                              jnp.ones((), dtype=dtype),
@@ -221,10 +274,18 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
                 if item[0] == "swap":
                     block = _swap_global_local(block, item[1], item[2], g,
                                                n_local, axis, n_devices)
+                elif item[0] == "cphase":
+                    block = _apply_cphase_sharded(
+                        block, program.ops[item[1]], item[2], item[3],
+                        params, g, n_local, axis)
                 elif item[0] == "gate":
                     op = program.ops[item[1]]
-                    u = program.op_matrix(op, params, dtype)
-                    block = apply_gate(block, u, item[2], n_local)
+                    if op.cphase_value is not None:
+                        block = apply_cphase(block, item[2],
+                                             op.cphase_value, n_local)
+                    else:
+                        u = program.op_matrix(op, params, dtype)
+                        block = apply_gate(block, u, item[2], n_local)
                 else:  # lswap
                     block = apply_gate(block, swap_mat,
                                        (item[1], item[2]), n_local)
@@ -276,6 +337,9 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
         if item[0] == "swap":
             close_run()
             segments.append(item)
+        elif item[0] == "cphase":
+            close_run()
+            segments.append(item)
         elif item[0] == "gate":
             run.append(item)
         else:  # lswap -> in-shard SWAP gate inside the run
@@ -300,6 +364,26 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
                 flat = _swap_global_local(flat, seg[1], seg[2] + 1, g,
                                           n_local + 1, axis, n_devices)
                 x = flat.reshape(2, 1 << n_local)
+            elif seg[0] == "cphase":
+                # planar twin of _apply_cphase_sharded on the (2, L) block
+                op = program.ops[seg[1]]
+                v = _cphase_op_value(op, params)
+                my = jax.lax.axis_index(axis)
+                gsel = jnp.float32(1.0)
+                for p in seg[3]:
+                    gsel = gsel * ((my >> (g - 1 - p)) & 1
+                                   ).astype(jnp.float32)
+                idx = np.arange(1 << n_local)
+                mask = np.ones(1 << n_local, np.float32)
+                for lp in seg[2]:
+                    mask *= ((idx >> (n_local - 1 - lp)) & 1
+                             ).astype(np.float32)
+                ind = jnp.asarray(mask) * gsel
+                vr = (jnp.real(v) - 1.0).astype(jnp.float32)
+                vi = jnp.imag(v).astype(jnp.float32)
+                xr, xi = x[0], x[1]
+                x = jnp.stack([xr + ind * (vr * xr - vi * xi),
+                               xi + ind * (vr * xi + vi * xr)])
             else:
                 _, mp, plan = seg
                 operands = build_group_operands(mp, plan, params, dtype)
@@ -341,7 +425,14 @@ def _build_noisy_local_body(program: prog.CircuitProgram, noise_model,
     n_local = n - g
     init_dev = program.initial_index >> n_local
     init_local = program.initial_index & ((1 << n_local) - 1)
-    schedule = _build_schedule(program, g)
+    # No-swap diagonals only for ops WITHOUT noise channels: per-target
+    # Kraus application needs the target local, so noisy diagonals keep
+    # the swap schedule (a wider-than-shard MCZ with attached noise is
+    # rejected by the schedule's arity check with guidance).
+    noswap = {oi for oi, op in enumerate(program.ops)
+              if _is_noswap_diag(op)
+              and not noise_model.kraus_stacks_for_gate(op.gate_name)}
+    schedule = _build_schedule(program, g, noswap)
 
     total_draws = 0
     for op in program.ops:
@@ -359,6 +450,8 @@ def _build_noisy_local_body(program: prog.CircuitProgram, noise_model,
         hi = jax.lax.Precision.HIGHEST
         swap_mat = jnp.asarray(_SWAP_MAT, dtype=dtype)
 
+        from ..ops.apply import apply_cphase
+
         for item in schedule:
             if item[0] == "swap":
                 block = _swap_global_local(block, item[1], item[2], g,
@@ -368,10 +461,19 @@ def _build_noisy_local_body(program: prog.CircuitProgram, noise_model,
                 block = apply_gate(block, swap_mat, (item[1], item[2]),
                                    n_local)
                 continue
+            if item[0] == "cphase":  # noise-free by construction
+                block = _apply_cphase_sharded(
+                    block, program.ops[item[1]], item[2], item[3],
+                    params, g, n_local, axis)
+                continue
             op = program.ops[item[1]]
             local_ts = item[2]
-            u = program.op_matrix(op, params, dtype)
-            block = apply_gate(block, u, local_ts, n_local)
+            if op.cphase_value is not None:
+                block = apply_cphase(block, local_ts, op.cphase_value,
+                                     n_local)
+            else:
+                u = program.op_matrix(op, params, dtype)
+                block = apply_gate(block, u, local_ts, n_local)
             for kraus_np in noise_model.kraus_stacks_for_gate(op.gate_name):
                 kraus = jnp.asarray(kraus_np, dtype=dtype)
                 for lq in local_ts:
