@@ -97,17 +97,23 @@ class AlgorithmTemplate:
         return circuit
 
     @staticmethod
-    def grover_search(num_qubits: int, marked_state: int = 0
-                      ) -> QuantumCircuit:
+    def grover_search(num_qubits: int, marked_state: int = 0,
+                      num_iterations: int | None = None) -> QuantumCircuit:
         """Grover search with an exact phase oracle and diffusion operator.
 
-        floor(pi/4 * sqrt(2^n)) iterations; the oracle marks
+        Defaults to floor(pi/4 * sqrt(2^n)) iterations (the optimum);
+        pass ``num_iterations`` for a bounded demonstration at large n,
+        where the optimum is ~2^(n/2) circuits deep — the engine runs
+        wide MCZs at any n (fused phase passes), so e.g. 3 iterations at
+        n=30 amplify the marked amplitude to exactly sin(7*asin(2^-15)),
+        checkable via ``PlanarStateVector.amplitude``. The oracle marks
         ``marked_state`` by X-conjugating an exact MCZ.
         """
         circuit = QuantumCircuit(num_qubits=num_qubits)
         col = 0
-        num_iterations = max(
-            1, int(math.floor(math.pi / 4 * math.sqrt(2**num_qubits))))
+        if num_iterations is None:
+            num_iterations = max(
+                1, int(math.floor(math.pi / 4 * math.sqrt(2**num_qubits))))
 
         def mcz_at(col: int) -> int:
             if num_qubits == 1:

@@ -132,6 +132,29 @@ def _is_noswap_diag(op: prog.ProgramOp) -> bool:
     return op.gate_name == "CPhase" or _diag_product_value(op) is not None
 
 
+def _is_noswap_1q_diag(op: prog.ProgramOp) -> bool:
+    """1-target diagonals (Rz/Phase/Z/S/T...): on a global qubit they
+    reduce to one per-shard scalar multiply — no swaps, no mask."""
+    from ..ops.plan import _op_is_diagonal
+
+    return len(op.targets) == 1 and _op_is_diagonal(op)
+
+
+def _diag1_values(op: prog.ProgramOp, params):
+    """(d0, d1) of a 1q diagonal: trace-time constants for static ops,
+    traced scalars for Rz/Phase."""
+    if op.static_matrix is not None:
+        d = np.diagonal(op.static_matrix)
+        return complex(d[0]), complex(d[1])
+    if op.gate_name == "Rz":
+        theta = params[op.param_offset]
+        return jnp.exp(-0.5j * theta), jnp.exp(0.5j * theta)
+    if op.gate_name == "Phase":
+        phi = params[op.param_offset]
+        return jnp.ones((), jnp.complex64), jnp.exp(1j * phi)
+    raise ValueError(f"not a known 1q diagonal: {op.gate_name}")
+
+
 def _build_schedule(program: prog.CircuitProgram, g: int,
                     noswap: set[int] = frozenset()) -> list[tuple]:
     """Host-side schedule: the layout-tracked swap/gate item list shared
@@ -143,6 +166,8 @@ def _build_schedule(program: prog.CircuitProgram, g: int,
       ("cphase", op_i, local_ts, global_ts)  product-form diagonal with
                                 global targets: per-shard scalar x local
                                 mask, NO swaps (ops listed in ``noswap``)
+      ("gdiag1", op_i, g_pos)   1q diagonal on a global qubit: ONE
+                                per-shard scalar multiply, NO swaps
       ("lswap", la, lb)         in-shard SWAP (restore phase only)
     Ends with the restore sequence bringing the layout back to identity so
     the output sharding is canonical.
@@ -163,9 +188,14 @@ def _build_schedule(program: prog.CircuitProgram, g: int,
     for oi, op in enumerate(program.ops):
         positions = [layout.pos_of[q] for q in op.targets]
         if oi in noswap and any(p < g for p in positions):
-            items.append(("cphase", oi,
-                          tuple(sorted(p - g for p in positions if p >= g)),
-                          tuple(sorted(p for p in positions if p < g))))
+            if _is_noswap_diag(op):
+                items.append(("cphase", oi,
+                              tuple(sorted(p - g
+                                           for p in positions if p >= g)),
+                              tuple(sorted(p
+                                           for p in positions if p < g))))
+            else:  # 1q diagonal on a global qubit: scalar multiply
+                items.append(("gdiag1", oi, positions[0]))
             continue
         for i, p in enumerate(positions):
             if p < g:
@@ -232,6 +262,18 @@ def _apply_cphase_sharded(block, op, local_ts, global_ts, params,
     return block + (v - 1.0) * block * ind
 
 
+def _apply_gdiag1_sharded(block, op, g_pos: int, params, g: int, axis: str):
+    """``block *= d[shard_bit]`` — a 1q diagonal on a device-index qubit
+    is one complex scalar per shard."""
+    d0, d1 = _diag1_values(op, params)
+    my = jax.lax.axis_index(axis)
+    bit = (my >> (g - 1 - g_pos)) & 1
+    scale = jnp.where(bit == 1,
+                      jnp.asarray(d1, block.dtype),
+                      jnp.asarray(d0, block.dtype))
+    return block * scale
+
+
 # Shards at least this large run the group-matmul executor on gate runs
 # between collectives instead of per-gate einsums (ROADMAP item 4).
 _GROUPED_SHARD_MIN_QUBITS = 14
@@ -255,7 +297,7 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
     init_dev = program.initial_index >> n_local
     init_local = program.initial_index & ((1 << n_local) - 1)
     noswap = {oi for oi, op in enumerate(program.ops)
-              if _is_noswap_diag(op)}
+              if _is_noswap_diag(op) or _is_noswap_1q_diag(op)}
     schedule = _build_schedule(program, g, noswap)
     grouped = n_local >= _GROUPED_SHARD_MIN_QUBITS
 
@@ -278,6 +320,10 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
                     block = _apply_cphase_sharded(
                         block, program.ops[item[1]], item[2], item[3],
                         params, g, n_local, axis)
+                elif item[0] == "gdiag1":
+                    block = _apply_gdiag1_sharded(
+                        block, program.ops[item[1]], item[2], params, g,
+                        axis)
                 elif item[0] == "gate":
                     op = program.ops[item[1]]
                     if op.cphase_value is not None:
@@ -337,7 +383,7 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
         if item[0] == "swap":
             close_run()
             segments.append(item)
-        elif item[0] == "cphase":
+        elif item[0] in ("cphase", "gdiag1"):
             close_run()
             segments.append(item)
         elif item[0] == "gate":
@@ -384,6 +430,17 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
                 xr, xi = x[0], x[1]
                 x = jnp.stack([xr + ind * (vr * xr - vi * xi),
                                xi + ind * (vr * xi + vi * xr)])
+            elif seg[0] == "gdiag1":
+                op = program.ops[seg[1]]
+                d0, d1 = _diag1_values(op, params)
+                my = jax.lax.axis_index(axis)
+                bit = (my >> (g - 1 - seg[2])) & 1
+                scale = jnp.where(bit == 1, jnp.asarray(d1, jnp.complex64),
+                                  jnp.asarray(d0, jnp.complex64))
+                sr = jnp.real(scale).astype(jnp.float32)
+                si = jnp.imag(scale).astype(jnp.float32)
+                x = jnp.stack([sr * x[0] - si * x[1],
+                               si * x[0] + sr * x[1]])
             else:
                 _, mp, plan = seg
                 operands = build_group_operands(mp, plan, params, dtype)
@@ -430,7 +487,7 @@ def _build_noisy_local_body(program: prog.CircuitProgram, noise_model,
     # the swap schedule (a wider-than-shard MCZ with attached noise is
     # rejected by the schedule's arity check with guidance).
     noswap = {oi for oi, op in enumerate(program.ops)
-              if _is_noswap_diag(op)
+              if (_is_noswap_diag(op) or _is_noswap_1q_diag(op))
               and not noise_model.kraus_stacks_for_gate(op.gate_name)}
     schedule = _build_schedule(program, g, noswap)
 
@@ -465,6 +522,10 @@ def _build_noisy_local_body(program: prog.CircuitProgram, noise_model,
                 block = _apply_cphase_sharded(
                     block, program.ops[item[1]], item[2], item[3],
                     params, g, n_local, axis)
+                continue
+            if item[0] == "gdiag1":  # noise-free by construction
+                block = _apply_gdiag1_sharded(
+                    block, program.ops[item[1]], item[2], params, g, axis)
                 continue
             op = program.ops[item[1]]
             local_ts = item[2]

@@ -180,6 +180,46 @@ class TestNoSwapDiagonals:
             c.add_gate(GateInstance("H", [q], [], column=col + 1))
         assert_matches_single_device(c)
 
+    def test_1q_diagonals_on_global_qubits(self):
+        # Rz/Phase/Z/S/T on device-index qubits: per-shard scalar, no
+        # exchanges.
+        c = QuantumCircuit(6)
+        for q in range(6):
+            c.add_gate(GateInstance("H", [q], [], column=0))
+        c.add_gate(GateInstance("Rz", [0], [0.63], column=1))
+        c.add_gate(GateInstance("Phase", [1], [1.1], column=1))
+        c.add_gate(GateInstance("Z", [2], [], column=1))
+        c.add_gate(GateInstance("T", [0], [], column=2))
+        c.add_gate(GateInstance("S", [1], [], column=2))
+        c.add_gate(GateInstance("Ry", [4], [0.3], column=3))
+        assert_matches_single_device(c)
+
+    def test_diag_only_circuit_schedules_zero_swaps(self):
+        # A circuit whose every cross-boundary gate is diagonal compiles
+        # to a schedule with NO ppermute swaps at all.
+        from quantum_simulator_tpu.ops import program as prog
+        from quantum_simulator_tpu.parallel.distributed import (
+            _build_schedule,
+            _is_noswap_1q_diag,
+            _is_noswap_diag,
+        )
+
+        c = QuantumCircuit(6, initial_states=[1, 1, 0, 0, 0, 0])
+        for q in (3, 4, 5):   # non-diagonal gates stay on local qubits
+            c.add_gate(GateInstance("H", [q], [], column=0))
+        c.add_gate(GateInstance("Rz", [0], [0.5], column=1))
+        c.add_gate(GateInstance("CPhase", [1, 4], [0.7], column=2))
+        c.add_gate(GateInstance("CZ", [2, 0], [], column=3))
+        c.add_gate(GateInstance("MCZ3", [0, 1, 5], [], column=4))
+        p = prog.compile_circuit(c)
+        noswap = {oi for oi, op in enumerate(p.ops)
+                  if _is_noswap_diag(op) or _is_noswap_1q_diag(op)}
+        sched = _build_schedule(p, 3, noswap)
+        assert not any(item[0] == "swap" for item in sched)
+        kinds = {item[0] for item in sched}
+        assert "cphase" in kinds and "gdiag1" in kinds
+        assert_matches_single_device(c)
+
     def test_noisy_trajectory_keeps_swaps_for_noisy_diag(self):
         # CZ with attached noise must NOT take the no-swap path (Kraus
         # needs locality); trajectory matches the single-device one.
