@@ -20,8 +20,11 @@ per group. Then:
 * **diagonal** gates spanning two groups (CPhase, CZ, MCZ — the bulk of
   QFT) never touch the MXU: they accumulate into a per-axis-pair
   (S_a, S_b) diagonal and apply as ONE elementwise broadcast pass;
-* anything else (3 groups touched) falls back to the generic
-  segmented-einsum apply for that gate only.
+* **product-form** diagonals spanning ANY number of groups (MCZ_k of
+  any width — Grover's oracle at every n) apply as ONE fused broadcast
+  phase pass ``x += (v-1) * x * prod(per-axis bit masks)``;
+* anything else (a non-diagonal gate touching 3 groups) falls back to
+  the generic segmented-einsum apply for that gate only.
 
 Composition windows are maximal: a pending per-axis operator stack is
 only flushed when a later step genuinely fails to commute with it
