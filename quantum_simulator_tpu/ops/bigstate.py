@@ -106,7 +106,13 @@ def _chunked_pass(x: jnp.ndarray, involved: set[int], n_chunks: int,
     # every dynamic_update_slice in place (the carried state stays one
     # buffer; peak = state + 2 chunk temps).
     for i in range(chunks):
-        starts = [jnp.int32(0)] * x.ndim
+        # Static (Python int) offsets — measured equivalent to traced
+        # jnp.int32 starts on this compiler (it canonicalizes both), but
+        # literal bounds keep the HLO simpler. The slice->einsum->update
+        # round trip costs ~3x the whole-state pass traffic; in-place
+        # tiling below that needs a Pallas grid kernel (ROADMAP item 3's
+        # measured compile-time tradeoff).
+        starts = [0] * x.ndim
         starts[tax] = i * width
         blk = jax.lax.dynamic_slice(x, starts, sizes)
         blk = apply_fn(blk, i * width) if pass_start else apply_fn(blk)

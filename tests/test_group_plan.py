@@ -264,6 +264,10 @@ class TestDiagProduct:
         p = prog.compile_circuit(c)
         assert p.ops[n].cphase_value == -1.0
         assert p.ops[n].static_matrix is None
+        # serialization round trip through the on-demand registry
+        c2 = QuantumCircuit.from_dict(c.to_dict())
+        p2 = prog.compile_circuit(c2)
+        assert p2.ops[n].cphase_value == -1.0
         plan = build_group_plan(p)
         assert plan.all_real
         got = both(c)
