@@ -69,8 +69,21 @@ def _dm_body(program: prog.CircuitProgram, channels_for, params, dtype):
     one_hot = jnp.zeros(dim, dtype=dtype).at[idx].set(1.0)
     rho = jnp.outer(one_hot, jnp.conj(one_hot))
     for op in program.ops:
-        u = program.op_matrix(op, params, dtype)
-        rho = _apply_unitary(rho, u, op.targets, n)
+        if op.cphase_value is not None:
+            # Matrix-less controlled phase (MCZ_k, k > 10): D rho D^dag
+            # for a product-form diagonal D is one elementwise pass:
+            # rho[i, j] *= d_i * conj(d_j) with d = 1 + (v-1) * mask.
+            mask = 0
+            for q in op.targets:
+                mask |= 1 << (n - 1 - q)  # qubit 0 = MSB
+            hit = (jnp.arange(dim, dtype=jnp.uint32)
+                   & jnp.uint32(mask)) == jnp.uint32(mask)
+            d = jnp.where(hit, jnp.asarray(op.cphase_value, dtype),
+                          jnp.ones((), dtype))
+            rho = rho * d[:, None] * jnp.conj(d)[None, :]
+        else:
+            u = program.op_matrix(op, params, dtype)
+            rho = _apply_unitary(rho, u, op.targets, n)
         for kraus_np in channels_for(op.gate_name):
             kraus = jnp.asarray(kraus_np, dtype=dtype)
             for q in op.targets:

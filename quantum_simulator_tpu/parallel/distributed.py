@@ -243,12 +243,13 @@ def _cphase_op_value(op: prog.ProgramOp, params):
     return _diag_product_value(op)
 
 
-def _apply_cphase_sharded(block, op, local_ts, global_ts, params,
+def _cphase_ind_and_value(op, local_ts, global_ts, params,
                           g: int, n_local: int, axis: str):
-    """``block *= 1 + (v-1) * gsel * local_mask`` on a flat complex
-    shard block: the swap-free application of a product-form diagonal
-    whose targets include device-index (global) qubits. ``gsel`` is one
-    scalar per shard (all global target bits set in the shard id)."""
+    """(indicator over the local block, phase v) for a product-form
+    diagonal with device-index targets: ``gsel`` (all global target bits
+    set in the shard id — one scalar per shard) times the local
+    all-targets-set bit mask. Shared by the complex-block and planar
+    shard bodies so the bit conventions live in ONE place."""
     v = _cphase_op_value(op, params)
     my = jax.lax.axis_index(axis)
     gsel = jnp.float32(1.0)
@@ -258,20 +259,34 @@ def _apply_cphase_sharded(block, op, local_ts, global_ts, params,
     mask = np.ones(1 << n_local, np.float32)
     for lp in local_ts:
         mask *= ((idx >> (n_local - 1 - lp)) & 1).astype(np.float32)
-    ind = jnp.asarray(mask) * gsel
+    return jnp.asarray(mask) * gsel, v
+
+
+def _apply_cphase_sharded(block, op, local_ts, global_ts, params,
+                          g: int, n_local: int, axis: str):
+    """``block *= 1 + (v-1) * ind`` on a flat complex shard block: the
+    swap-free application of a product-form diagonal whose targets
+    include device-index (global) qubits."""
+    ind, v = _cphase_ind_and_value(op, local_ts, global_ts, params, g,
+                                   n_local, axis)
     return block + (v - 1.0) * block * ind
+
+
+def _gdiag1_scale(op, g_pos: int, params, g: int, axis: str,
+                  dtype=jnp.complex64):
+    """The per-shard complex scalar a 1q diagonal applies to a shard
+    whose device-index bit at ``g_pos`` selects d0 or d1."""
+    d0, d1 = _diag1_values(op, params)
+    my = jax.lax.axis_index(axis)
+    bit = (my >> (g - 1 - g_pos)) & 1
+    return jnp.where(bit == 1, jnp.asarray(d1, dtype),
+                     jnp.asarray(d0, dtype))
 
 
 def _apply_gdiag1_sharded(block, op, g_pos: int, params, g: int, axis: str):
     """``block *= d[shard_bit]`` — a 1q diagonal on a device-index qubit
     is one complex scalar per shard."""
-    d0, d1 = _diag1_values(op, params)
-    my = jax.lax.axis_index(axis)
-    bit = (my >> (g - 1 - g_pos)) & 1
-    scale = jnp.where(bit == 1,
-                      jnp.asarray(d1, block.dtype),
-                      jnp.asarray(d0, block.dtype))
-    return block * scale
+    return block * _gdiag1_scale(op, g_pos, params, g, axis, block.dtype)
 
 
 # Shards at least this large run the group-matmul executor on gate runs
@@ -412,31 +427,17 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
                 x = flat.reshape(2, 1 << n_local)
             elif seg[0] == "cphase":
                 # planar twin of _apply_cphase_sharded on the (2, L) block
-                op = program.ops[seg[1]]
-                v = _cphase_op_value(op, params)
-                my = jax.lax.axis_index(axis)
-                gsel = jnp.float32(1.0)
-                for p in seg[3]:
-                    gsel = gsel * ((my >> (g - 1 - p)) & 1
-                                   ).astype(jnp.float32)
-                idx = np.arange(1 << n_local)
-                mask = np.ones(1 << n_local, np.float32)
-                for lp in seg[2]:
-                    mask *= ((idx >> (n_local - 1 - lp)) & 1
-                             ).astype(np.float32)
-                ind = jnp.asarray(mask) * gsel
+                ind, v = _cphase_ind_and_value(
+                    program.ops[seg[1]], seg[2], seg[3], params, g,
+                    n_local, axis)
                 vr = (jnp.real(v) - 1.0).astype(jnp.float32)
                 vi = jnp.imag(v).astype(jnp.float32)
                 xr, xi = x[0], x[1]
                 x = jnp.stack([xr + ind * (vr * xr - vi * xi),
                                xi + ind * (vr * xi + vi * xr)])
             elif seg[0] == "gdiag1":
-                op = program.ops[seg[1]]
-                d0, d1 = _diag1_values(op, params)
-                my = jax.lax.axis_index(axis)
-                bit = (my >> (g - 1 - seg[2])) & 1
-                scale = jnp.where(bit == 1, jnp.asarray(d1, jnp.complex64),
-                                  jnp.asarray(d0, jnp.complex64))
+                scale = _gdiag1_scale(program.ops[seg[1]], seg[2], params,
+                                      g, axis)
                 sr = jnp.real(scale).astype(jnp.float32)
                 si = jnp.imag(scale).astype(jnp.float32)
                 x = jnp.stack([sr * x[0] - si * x[1],

@@ -44,6 +44,22 @@ class TestNoiseless:
         assert res.expectation_z(1) == pytest.approx(-1.0, abs=1e-6)
 
 
+    def test_matrixless_wide_mcz(self):
+        # MCZ12 carries no dense matrix (k > 10): the DM body applies it
+        # as d_i * conj(d_j) elementwise; matches the pure-state engine.
+        n = 12
+        c = QuantumCircuit(n)
+        for q in range(n):
+            c.add_gate(GateInstance("H", [q], [], column=0))
+        c.add_gate(GateInstance("MCZ12", list(range(n)), [], column=1))
+        for q in range(0, n - 1, 2):
+            c.add_gate(GateInstance("CNOT", [q, q + 1], [], column=2))
+        res = DensityMatrixSimulator().run(c)
+        psi = Simulator().run(c, shots=0).final_state.data
+        np.testing.assert_allclose(res.rho, np.outer(psi, psi.conj()),
+                                   atol=1e-6)
+
+
 class TestChannels:
     def test_full_depolarizing_single_qubit(self):
         """p=1 depolarizing on one qubit leaves rho_q = I/2 exactly."""

@@ -231,6 +231,12 @@ class TestNoSwapDiagonals:
             sharded_trajectory_fn,
         )
 
+        from quantum_simulator_tpu.parallel.distributed import (
+            _build_schedule,
+            _is_noswap_1q_diag,
+            _is_noswap_diag,
+        )
+
         c = QuantumCircuit(6)
         for q in range(6):
             c.add_gate(GateInstance("H", [q], [], column=0))
@@ -238,11 +244,27 @@ class TestNoSwapDiagonals:
         nm = NoiseModel()
         nm.add_global_noise(DepolarizingNoise(0.1))
         p = prog.compile_circuit(c)
+        # The noisy body's noswap filter must EXCLUDE the CZ (it has
+        # noise attached) -> the schedule localizes it with a swap.
+        noswap = {oi for oi, op in enumerate(p.ops)
+                  if (_is_noswap_diag(op) or _is_noswap_1q_diag(op))
+                  and not nm.kraus_stacks_for_gate(op.gate_name)}
+        sched = _build_schedule(p, 3, noswap)
+        assert any(item[0] == "swap" for item in sched)
+        assert not any(item[0] == "cphase" for item in sched)
         mesh = make_mesh(8)
         fn = sharded_trajectory_fn(p, nm, mesh)
-        out = fn(jnp.asarray(p.initial_params), jax.random.PRNGKey(2))
-        total = float(np.sum(np.abs(np.asarray(out)) ** 2))
+        out = np.asarray(fn(jnp.asarray(p.initial_params),
+                            jax.random.PRNGKey(2)))
+        total = float(np.sum(np.abs(out) ** 2))
         assert total == pytest.approx(1.0, abs=1e-4)
+        # Same trajectory as the single-device group executor with the
+        # same key (identical draw sequence through psum'd norms).
+        from quantum_simulator_tpu.ops.plan import group_trajectory_body
+
+        expected = np.asarray(group_trajectory_body(
+            p, nm, jnp.asarray(p.initial_params), jax.random.PRNGKey(2)))
+        np.testing.assert_allclose(out, expected, atol=2e-5)
 
 
 class TestGradThroughCollectives:
