@@ -124,24 +124,36 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
                                x: jnp.ndarray, n_chunks: int,
                                planar: bool = True) -> jnp.ndarray:
     """Run every plan step on the state ``x`` (planar, or real with
-    ``planar=False`` for all-real plans) with each pass chunked along an
-    uninvolved axis (in-place fori_loop carry). Identical math to
-    ``plan.execute_group_plan``; only the memory schedule differs."""
+    ``planar=False`` for all-real plans) with passes chunked along an
+    uninvolved axis (in-place carry). Identical math to
+    ``plan.execute_group_plan``; only the memory schedule differs.
+
+    Steps are grouped into WINDOWS of consecutive steps that still leave
+    a common axis free: one slice/update round trip then covers every
+    step in the window, so per-step HBM traffic drops from
+    (2 + 4)·state (slice + einsum + update per step) toward the 2·state
+    einsum floor — (2k + 4)/k·state for a k-step window. Windows
+    preserve step order, and correctness needs exactly the window
+    invariant the grouping enforces: no step in a window touches the
+    chunk axis, so chunks evolve independently."""
     rank = len(plan.layout.axis_sizes)
     axis_stacks, cross_ops, diag_ops, prod_ops = operands
     lead = 1 if planar else 0
+    shape_d = tuple(plan.layout.axis_sizes)
 
+    # Lower each step to ("fused", involved_axes, blk->blk) where
+    # possible; prod-diags touching every axis and generic fallbacks
+    # stay special.
+    items: list[tuple] = []
     for step in plan.steps:
         if isinstance(step, AxisMatmulStep):
             real = plan.dense_real[step.axis][step.op_index]
             op = axis_stacks[step.axis][step.op_index]
             op = op[0, 0] if real else op
             spec = _dense_spec(rank, step.axis, real, planar)
-            x = _chunked_pass(
-                x, {step.axis}, n_chunks,
-                lambda blk, op=op, spec=spec: jnp.einsum(
-                    spec, op, blk, precision=_HI),
-                lead=lead)
+            items.append(("fused", {step.axis},
+                          lambda blk, op=op, spec=spec: jnp.einsum(
+                              spec, op, blk, precision=_HI)))
         elif isinstance(step, CrossStep):
             real = plan.cross_real[step.index]
             cop = cross_ops[step.index]
@@ -159,61 +171,95 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
                     cop, xr, precision=_HI)
                 return xr.reshape(blk.shape)
 
-            x = _chunked_pass(x, {step.slice_axis, step.op_axis}, n_chunks,
-                              cross_fn, lead=lead)
+            items.append(("fused", {step.slice_axis, step.op_axis},
+                          cross_fn))
         elif isinstance(step, DiagPairStep):
             real = plan.diag_real[step.index]
             d = diag_ops[step.index]
             d = d[0, 0] if real else d
             spec = _diag_spec(rank, step.axis_a, step.axis_b, real, planar)
-            x = _chunked_pass(
-                x, {step.axis_a, step.axis_b}, n_chunks,
-                lambda blk, d=d, spec=spec: jnp.einsum(
-                    spec, d, blk, precision=_HI),
-                lead=lead)
+            items.append(("fused", {step.axis_a, step.axis_b},
+                          lambda blk, d=d, spec=spec: jnp.einsum(
+                              spec, d, blk, precision=_HI)))
         elif isinstance(step, DiagProductStep):
             facs, cre, cim = prod_ops[step.index]
-            shape_d = x.shape[lead:]
-            free_ax = _chunk_axis(shape_d, set(step.axes))
-            if free_ax is not None or n_chunks <= 1:
-                x = _chunked_pass(
-                    x, set(step.axes), n_chunks,
-                    lambda blk, facs=facs, cre=cre, cim=cim, step=step:
-                        apply_prod_diag(blk, facs, cre, cim, rank,
-                                        step.axes, planar),
-                    lead=lead)
+            if _chunk_axis(shape_d, set(step.axes)) is not None \
+                    or n_chunks <= 1:
+                items.append(("fused", set(step.axes),
+                              lambda blk, facs=facs, cre=cre, cim=cim,
+                              step=step: apply_prod_diag(
+                                  blk, facs, cre, cim, rank, step.axes,
+                                  planar)))
             else:
-                # Every axis involved (an MCZ wide enough to touch all
-                # groups). The pass is elementwise, so chunk the largest
-                # involved axis — excluded from `involved` so
-                # _chunked_pass picks it — and slice its indicator
-                # factor alongside the state chunk via the start hook.
-                ax = max(range(len(shape_d)), key=lambda i: shape_d[i])
-                fpos = step.axes.index(ax)
+                items.append(("prodslice", step, (facs, cre, cim)))
+        else:
+            items.append(("generic", step))
 
-                def prod_fn(blk, start, facs=facs, cre=cre, cim=cim,
-                            step=step, ax=ax, fpos=fpos):
-                    fsl = list(facs)
-                    fsl[fpos] = jax.lax.dynamic_slice_in_dim(
-                        facs[fpos], start, blk.shape[ax + lead])
-                    return apply_prod_diag(blk, tuple(fsl), cre, cim,
-                                           rank, step.axes, planar)
-
-                x = _chunked_pass(x, set(step.axes) - {ax}, n_chunks,
-                                  prod_fn, lead=lead, pass_start=True)
-        else:  # GenericStep: a 3-group gate — whole-state fallback. These
-            # cannot appear in brickwork/QFT workloads; at n >= 30 the
-            # complex round-trip would exceed HBM, which is acceptable for
-            # the rare generic case.
+    i = 0
+    while i < len(items):
+        kind = items[i][0]
+        if kind == "generic":
+            # GenericStep: a non-diagonal 3-group gate — whole-state
+            # complex fallback. Cannot appear in brickwork/QFT/Grover
+            # workloads; at n >= 30 the round-trip would exceed HBM,
+            # acceptable for the rare generic case.
             from .apply import apply_gate
 
-            op = program.ops[step.program_op]
+            op = program.ops[items[i][1].program_op]
             u = program.op_matrix(op, params, dtype)
             flat = (x[0] + 1j * x[1]).reshape(-1).astype(dtype)
             flat = apply_gate(flat, u, op.targets, plan.layout.num_qubits)
-            shaped = flat.reshape(tuple(plan.layout.axis_sizes))
+            shaped = flat.reshape(shape_d)
             x = jnp.stack([jnp.real(shaped).astype(jnp.float32),
                            jnp.imag(shaped).astype(jnp.float32)])
+            i += 1
+            continue
+        if kind == "prodslice":
+            # An MCZ wide enough to touch every group: elementwise, so
+            # chunk the largest involved axis — excluded from `involved`
+            # so _chunked_pass picks it — and slice its indicator factor
+            # alongside the state chunk via the start hook.
+            step, (facs, cre, cim) = items[i][1], items[i][2]
+            ax = max(range(len(shape_d)), key=lambda k: shape_d[k])
+            fpos = step.axes.index(ax)
+
+            def prod_fn(blk, start, facs=facs, cre=cre, cim=cim,
+                        step=step, ax=ax, fpos=fpos):
+                fsl = list(facs)
+                fsl[fpos] = jax.lax.dynamic_slice_in_dim(
+                    facs[fpos], start, blk.shape[ax + lead])
+                return apply_prod_diag(blk, tuple(fsl), cre, cim,
+                                       rank, step.axes, planar)
+
+            x = _chunked_pass(x, set(step.axes) - {ax}, n_chunks,
+                              prod_fn, lead=lead, pass_start=True)
+            i += 1
+            continue
+        # Greedy window: extend while an axis large enough for full
+        # chunk granularity stays free (a small free axis would force
+        # wide chunks — bigger temps AND measured pathological on the
+        # TPU runtime: chunking the size-4 axis at n=30 ran 20x slower).
+        def ok(inv):
+            ax = _chunk_axis(shape_d, inv)
+            return ax is not None and shape_d[ax] >= n_chunks
+
+        involved = set(items[i][1])
+        j = i + 1
+        while j < len(items) and items[j][0] == "fused":
+            cand = involved | items[j][1]
+            if not ok(cand):
+                break
+            involved = cand
+            j += 1
+        fns = tuple(items[k][2] for k in range(i, j))
+
+        def window_fn(blk, fns=fns):
+            for f in fns:
+                blk = f(blk)
+            return blk
+
+        x = _chunked_pass(x, involved, n_chunks, window_fn, lead=lead)
+        i = j
     return x
 
 
