@@ -68,12 +68,26 @@ def auto_chunks(num_qubits: int) -> int:
 
 
 def _chunk_axis(shape: tuple[int, ...], involved: set[int]) -> int | None:
-    """Largest tensor axis not touched by the step (None if all touched)."""
+    """Largest tensor axis not touched by the step (None if all touched).
+
+    The MINOR-MOST axis is chosen only as a last resort: TPU tiling pads
+    the minor dim to 128, so slicing it to width 16 inflates every chunk
+    8x (measured: the QFT-30 apply program hit 17 GiB on a 1 GiB chunk
+    padded to 8 GiB). The second-minor dim pads to 8, which width
+    128/n_chunks >= 8 never triggers."""
+    rank = len(shape)
     best = None
     for i, size in enumerate(shape):
         if i in involved or size < 2:
             continue
-        if best is None or size > shape[best]:
+        if best is None:
+            best = i
+            continue
+        # prefer non-minor axes; among equals prefer the larger axis
+        cand_minor = i == rank - 1
+        best_minor = best == rank - 1
+        if (best_minor and not cand_minor) or (
+                cand_minor == best_minor and size > shape[best]):
             best = i
     return best
 
@@ -241,7 +255,8 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
         # TPU runtime: chunking the size-4 axis at n=30 ran 20x slower).
         def ok(inv):
             ax = _chunk_axis(shape_d, inv)
-            return ax is not None and shape_d[ax] >= n_chunks
+            return (ax is not None and ax != len(shape_d) - 1
+                    and shape_d[ax] >= n_chunks)
 
         involved = set(items[i][1])
         j = i + 1
@@ -474,12 +489,16 @@ def _huge_stats_fn(program, shots: int, dtype) -> Callable:
     cached = _SAMPLE_CACHE.get(key_t)
     if cached is None:
         # bf16 probs tier: when the state + an f32 probs buffer cannot
-        # coexist in HBM (real n=31: 8 GiB + 8 GiB), quantize only the
-        # within-tile sampling buffer (see sample_state_indices).
+        # coexist in HBM, quantize only the within-tile sampling buffer
+        # (see sample_state_indices). The threshold accounts for the
+        # probs build's fori_loop carry double-buffering (measured: the
+        # arena wants 2x the probs buffer — a planar n=30 f32 build hit
+        # 8 GiB args + 8 GiB arena = 258 MB over; bf16 halves the
+        # arena). Triggers for planar n >= 30 and real n = 31 only.
         amps = 1 << program.num_qubits
         state_bytes = 4 * (2 if planar else 1) * amps
         probs_dtype = (jnp.bfloat16
-                       if state_bytes + 4 * amps > 13 * (1 << 30)
+                       if state_bytes + 8 * amps > 13 * (1 << 30)
                        else jnp.float32)
         if shots > 0:
             def body(x, key):
@@ -633,9 +652,10 @@ def sample_state_indices(x: jnp.ndarray, key, shots: int,
             sqc = xc[0] * xc[0] + xc[1] * xc[1] if planar else xc * xc
             return sqc.reshape((rows_per,) + tile_shape)
 
-        if probs_dtype == jnp.float32:
-            # Unrolled straight-line chunks compile fast on the remote
-            # compiler and XLA performs the f32 row updates in place.
+        big = nblocks * S >= (1 << 26)
+        if not big and probs_dtype == jnp.float32:
+            # Small states: unrolled straight-line chunks compile fast
+            # on the remote compiler.
             probs = jnp.zeros((nblocks,) + tile_shape, jnp.float32)
             bs_parts = []
             for c in range(n_chunks):
@@ -645,11 +665,12 @@ def sample_state_indices(x: jnp.ndarray, key, shots: int,
                     probs, rows, c * rows_per, axis=0)
             bsums = jnp.concatenate(bs_parts)
         else:
-            # Quantized tier (n=31): unrolled, XLA hoists every chunk's
-            # convert_element_type copy so all n_chunks temps are live
-            # at once (measured +4 GiB -> OOM). A fori_loop keeps exactly
-            # one chunk temp live at ~1 min extra remote-compile cost,
-            # which only this memory-bound tier pays.
+            # Huge states (and the bf16 tier): unrolled, XLA hoists
+            # every chunk's squared/convert temp so all n_chunks temps
+            # are live at once (measured +4 GiB in both the n=31 bf16
+            # and the QFT-30 planar f32 stats programs -> OOM). A
+            # fori_loop keeps exactly one chunk temp live at ~1 min
+            # extra remote-compile cost.
             def build(c, carry):
                 probs, bsums = carry
                 rows = chunk_rows(c * span)
