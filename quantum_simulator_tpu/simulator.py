@@ -260,10 +260,28 @@ class Simulator:
         return {format(int(v), f"0{num_qubits}b"): int(c)
                 for v, c in zip(vals, cnts)}
 
+    @staticmethod
+    def _reject_huge(circuit: QuantumCircuit, what: str) -> None:
+        """Per-column/per-trajectory state retention is a whole-state
+        complex buffer per snapshot — structurally incompatible with the
+        n >= 30 single-chip memory budget (Simulator.run's huge path
+        never builds even ONE complex copy). Fail with guidance instead
+        of an opaque device OOM."""
+        from .ops.bigstate import auto_chunks
+
+        if auto_chunks(circuit.num_qubits) > 1 \
+                and jax.default_backend() == "tpu":
+            raise ValueError(
+                f"{what} retains whole-state complex buffers and cannot "
+                f"fit a {circuit.num_qubits}-qubit state on one chip; "
+                "use Simulator.run (chunked huge-state path) or the "
+                "sharded engine (parallel.DistributedSimulator)")
+
     def run_step_by_step(self, circuit: QuantumCircuit,
                          rng: np.random.Generator | None = None
                          ) -> Generator[tuple[StateVector, int], None, None]:
         """Yields (state, column_index) including the initial state at -1."""
+        self._reject_huge(circuit, "run_step_by_step")
         program = prog.compile_circuit(circuit)
         params = jnp.asarray(program.initial_params)
         noisy = self._noise_model is not None and self._noise_model.has_channels()
@@ -288,6 +306,7 @@ class Simulator:
                           ) -> jnp.ndarray:
         """(T, 2^n) final states of T stochastic trajectories — the batched
         primitive under run_with_noise / ensemble / sweeps / QEC trials."""
+        self._reject_huge(circuit, "trajectory_states")
         if rng is None:
             rng = np.random.default_rng(seed)
         program = prog.compile_circuit(circuit)
