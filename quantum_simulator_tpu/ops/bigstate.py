@@ -829,6 +829,46 @@ class PlanarStateVector:
         """<Z_qubit> = 1 - 2 P(1) — free from the captured marginals."""
         return float(1.0 - 2.0 * self.qubit_probabilities()[qubit])
 
+    def expectation_z_string(self, qubits) -> float:
+        """<prod Z_q> for qubits living in ONE layout axis group: each
+        captured axis marginal holds that axis's FULL joint distribution
+        (up to 7 qubits), so same-group parities cost a 128-entry host
+        sum. Cross-group strings would need per-axis-pair marginals
+        (ROADMAP) and raise with guidance."""
+        import numpy as np
+
+        from .plan import GroupLayout
+
+        qubits = sorted(set(int(q) for q in qubits))
+        if not qubits:
+            return 1.0
+        layout = GroupLayout.for_qubits(self._num_qubits)
+        axes = {layout.axis_of(q) for q in qubits}
+        if len(axes) > 1:
+            raise ValueError(
+                f"qubits {qubits} span layout groups {sorted(axes)}; "
+                "only same-group Z strings are available from the "
+                "captured marginals (single-qubit <Z_q> works for any "
+                "qubit via expectation_z)")
+        ax = axes.pop()
+        marg = self._axis_marginals
+        if marg is None:
+            marg = _axis_marginals_jit(self._state, self._planar)
+        m = np.asarray(marg[ax])
+        bits = layout.axis_bits[ax]
+        sel = 0
+        for q in qubits:
+            sel |= 1 << (bits - 1 - layout.pos_in_axis(q))
+        v = np.arange(layout.axis_sizes[ax])
+        pc = np.zeros_like(v)
+        vv = v & sel
+        while np.any(vv):
+            pc += vv & 1
+            vv >>= 1
+        parity = np.where(pc % 2 == 1, -1.0, 1.0)
+        total = m.sum()
+        return float((m * parity).sum() / total) if total > 0 else 0.0
+
     def amplitude(self, index: int) -> complex:
         """One basis amplitude (device gather, two floats to host)."""
         import numpy as np

@@ -211,6 +211,18 @@ class TestHugeSampling:
                                        atol=1e-5)
             np.testing.assert_allclose(sv.expectation_z(3),
                                        1.0 - 2.0 * want[3], atol=1e-5)
+            # same-group Z string (n=10 -> axes (8, 128): qubits 3..9
+            # share the last group) vs dense parity sum
+            zz = sv.expectation_z_string([4, 7])
+            par = np.where(((np.arange(1 << 10) >> (10 - 1 - 4)) & 1)
+                           ^ ((np.arange(1 << 10) >> (10 - 1 - 7)) & 1),
+                           -1.0, 1.0)
+            np.testing.assert_allclose(zz, (dense * par).sum(), atol=1e-5)
+            try:
+                sv.expectation_z_string([0, 9])  # spans both groups
+                assert False, "expected ValueError"
+            except ValueError as e:
+                assert "same-group" in str(e)
 
     def test_simulator_huge_path(self):
         # Drive Simulator._run_huge directly at a small n (the public
