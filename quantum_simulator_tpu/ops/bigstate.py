@@ -197,8 +197,12 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
                               spec, d, blk, precision=_HI)))
         elif isinstance(step, DiagProductStep):
             facs, cre, cim = prod_ops[step.index]
-            if _chunk_axis(shape_d, set(step.axes)) is not None \
-                    or n_chunks <= 1:
+            free = _chunk_axis(shape_d, set(step.axes))
+            # Route through the factor-slicing path not only when NO
+            # axis is free but also when the only free axis is the
+            # minor one (e.g. axes={0,1,2,3} of 5): chunking the minor
+            # axis pads 8x (the QFT-30 OOM mode).
+            if n_chunks <= 1 or (free is not None and free != rank - 1):
                 items.append(("fused", set(step.axes),
                               lambda blk, facs=facs, cre=cre, cim=cim,
                               step=step: apply_prod_diag(
@@ -229,12 +233,13 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
             i += 1
             continue
         if kind == "prodslice":
-            # An MCZ wide enough to touch every group: elementwise, so
-            # chunk the largest involved axis — excluded from `involved`
-            # so _chunked_pass picks it — and slice its indicator factor
-            # alongside the state chunk via the start hook.
+            # An MCZ touching every group (or every non-minor group):
+            # elementwise, so chunk the largest involved axis — excluded
+            # from `involved` so _chunked_pass picks it — and slice its
+            # indicator factor alongside the state chunk via the start
+            # hook.
             step, (facs, cre, cim) = items[i][1], items[i][2]
-            ax = max(range(len(shape_d)), key=lambda k: shape_d[k])
+            ax = max(step.axes, key=lambda k: shape_d[k])
             fpos = step.axes.index(ax)
 
             def prod_fn(blk, start, facs=facs, cre=cre, cim=cim,
@@ -809,10 +814,7 @@ class PlanarStateVector:
         cached = getattr(self, "_qp_cache", None)
         if cached is not None:
             return cached
-        marg = self._axis_marginals
-        if marg is None:
-            marg = _axis_marginals_jit(self._state, self._planar)
-        marg = [np.asarray(m) for m in marg]
+        marg = self._get_marginals()
         layout = GroupLayout.for_qubits(self._num_qubits)
         p1 = np.empty(self._num_qubits)
         for q in range(self._num_qubits):
@@ -824,6 +826,22 @@ class PlanarStateVector:
         total = marg[0].sum()
         self._qp_cache = p1 / total if total > 0 else p1
         return self._qp_cache
+
+    def _get_marginals(self):
+        """Host copies of the per-axis marginals, computed at most once
+        (one fused-reduction dispatch when not captured in the forward
+        program) and cached on the immutable state."""
+        import numpy as np
+
+        marg = self._axis_marginals
+        if marg is None:
+            marg = _axis_marginals_jit(self._state, self._planar)
+            self._axis_marginals = marg
+        host = getattr(self, "_marg_host", None)
+        if host is None:
+            host = [np.asarray(m) for m in marg]
+            self._marg_host = host
+        return host
 
     def expectation_z(self, qubit: int) -> float:
         """<Z_qubit> = 1 - 2 P(1) — free from the captured marginals."""
@@ -842,6 +860,9 @@ class PlanarStateVector:
         qubits = sorted(set(int(q) for q in qubits))
         if not qubits:
             return 1.0
+        if qubits[0] < 0 or qubits[-1] >= self._num_qubits:
+            raise ValueError(
+                f"qubits {qubits} out of range for n={self._num_qubits}")
         layout = GroupLayout.for_qubits(self._num_qubits)
         axes = {layout.axis_of(q) for q in qubits}
         if len(axes) > 1:
@@ -851,10 +872,7 @@ class PlanarStateVector:
                 "captured marginals (single-qubit <Z_q> works for any "
                 "qubit via expectation_z)")
         ax = axes.pop()
-        marg = self._axis_marginals
-        if marg is None:
-            marg = _axis_marginals_jit(self._state, self._planar)
-        m = np.asarray(marg[ax])
+        m = self._get_marginals()[ax]
         bits = layout.axis_bits[ax]
         sel = 0
         for q in qubits:

@@ -83,6 +83,16 @@ def run_batched_trajectories(traj_fn, params, keys: jax.Array,
     return states[:total] if pad else states
 
 
+def _is_huge(circuit: QuantumCircuit) -> bool:
+    """ONE routing predicate for the n >= 30 single-chip regime, shared
+    by Simulator.run (routes to the chunked huge path) and the
+    per-snapshot API guards — keep them from drifting."""
+    from .ops.bigstate import auto_chunks
+
+    return (auto_chunks(circuit.num_qubits) > 1
+            and jax.default_backend() == "tpu")
+
+
 class Simulator:
     """Executes a QuantumCircuit via compiled device programs."""
 
@@ -110,10 +120,7 @@ class Simulator:
 
         program = prog.compile_circuit(circuit)
 
-        from .ops.bigstate import auto_chunks
-
-        if auto_chunks(circuit.num_qubits) > 1 \
-                and jax.default_backend() == "tpu":
+        if _is_huge(circuit):
             # n >= 30: one whole-state complex copy would exceed HBM;
             # run the chunked planar executor + streaming sampler.
             return self._run_huge(circuit, program, shots, record_steps,
@@ -267,10 +274,7 @@ class Simulator:
         n >= 30 single-chip memory budget (Simulator.run's huge path
         never builds even ONE complex copy). Fail with guidance instead
         of an opaque device OOM."""
-        from .ops.bigstate import auto_chunks
-
-        if auto_chunks(circuit.num_qubits) > 1 \
-                and jax.default_backend() == "tpu":
+        if _is_huge(circuit):
             raise ValueError(
                 f"{what} retains whole-state complex buffers and cannot "
                 f"fit a {circuit.num_qubits}-qubit state on one chip; "
