@@ -112,11 +112,13 @@ def _chained_forward(circuit_dict: dict, chain_runs: int = CHAIN_RUNS):
 
 
 def bench_tpu_engine(circuit_dict: dict,
-                     chain_runs: int = CHAIN_RUNS
-                     ) -> tuple[float, int, int]:
-    """(seconds per full-circuit application, state passes per run,
-    bytes per amplitude — 4 when the plan's all-real path carries a
-    single f32 plane, 8 for planar complex)."""
+                     chain_runs: int = CHAIN_RUNS,
+                     best_of: int = 3) -> tuple[float, int, int]:
+    """(BEST-of-``best_of`` seconds per full-circuit application, state
+    passes per run, bytes per amplitude — 4 when the plan's all-real path
+    carries a single f32 plane, 8 for planar complex). Best-of-k keeps
+    host-load noise out of the headline (both engines report best-of-k,
+    so the comparison is load-stable)."""
     from quantum_simulator_tpu.ops.plan import (
         AxisMatmulStep,
         CrossStep,
@@ -132,9 +134,12 @@ def bench_tpu_engine(circuit_dict: dict,
         return float(np.asarray(chained(params)))  # blocks: host scalar
 
     run_once()  # compile + warm
-    t0 = time.perf_counter()
-    run_once()
-    return (time.perf_counter() - t0) / chain_runs, passes, amp_bytes
+    best = float("inf")
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        run_once()
+        best = min(best, time.perf_counter() - t0)
+    return best / chain_runs, passes, amp_bytes
 
 
 _REF_BENCH_SNIPPET = r"""
@@ -146,18 +151,23 @@ from quantum_sim.engine.simulator import Simulator
 circuit = QuantumCircuit.from_dict(circuit_dict)
 sim = Simulator()
 sim.run(circuit, shots=0)  # warm
-t0 = time.perf_counter()
+best = float("inf"); total = 0.0
 for _ in range(repeats):
+    t0 = time.perf_counter()
     sim.run(circuit, shots=0)
-per_run = (time.perf_counter() - t0) / repeats
-print(json.dumps({"per_run_s": per_run}))
+    dt = time.perf_counter() - t0
+    total += dt; best = min(best, dt)
+print(json.dumps({"per_run_s": best, "mean_s": total / repeats}))
 """
 
 
-def bench_reference_engine(circuit_dict: dict, repeats: int = 3
+def bench_reference_engine(circuit_dict: dict, repeats: int = 5
                            ) -> float | None:
-    """Seconds per run on the reference's NumPy engine (subprocess with
-    PYTHONPATH pinned to /root/reference so its own package resolves)."""
+    """BEST-of-``repeats`` seconds per run on the reference's NumPy
+    engine (subprocess with PYTHONPATH pinned to /root/reference so its
+    own package resolves) — same best-of rule as the TPU side, so
+    ``vs_baseline`` stays stable under host load (the mean swung
+    357-688 ms across rounds; see ROADMAP)."""
     ref_root = "/root/reference"
     if not os.path.isdir(os.path.join(ref_root, "quantum_sim")):
         return None
@@ -243,25 +253,62 @@ def bench_secondary():
     except Exception as e:
         print(f"[bench] QFT-24 failed: {e}", file=sys.stderr)
 
-    # Noisy trajectory throughput.
+    # Noisy trajectory throughput: the regime the reference CAN reach
+    # (n=10), the regimes it cannot (n=20/24, group trajectory path),
+    # and the single-chip huge path (n=30, per-gate chunked executor).
+    def sync(s):
+        return float(np.asarray(jnp.sum(jnp.abs(s) ** 2)))
+
+    for n_t, depth_t, batch in ((10, 10, 1024), (20, 8, 256), (24, 8, 64)):
+        try:
+            c = QuantumCircuit.from_dict(
+                build_circuit_dict(n_t, depth_t, SEED))
+            nm = NoiseModel()
+            nm.add_global_noise(DepolarizingNoise(0.05))
+            sim = Simulator(noise_model=nm)
+            sync(sim.trajectory_states(c, batch, seed=0))  # warm
+            t0 = time.perf_counter()
+            sync(sim.trajectory_states(c, batch, seed=1))
+            tps = batch / (time.perf_counter() - t0)
+            print(f"[bench] noisy trajectories/sec (n={n_t} "
+                  f"depth-{depth_t} depol): {tps:.1f}", file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] trajectory bench n={n_t} failed: {e}",
+                  file=sys.stderr)
+
+    # n=30 noisy single-chip trajectories (ops/bigtraj.py): beyond both
+    # the reference's 16-qubit cap and its own 28-qubit memory ceiling.
     try:
-        c = QuantumCircuit.from_dict(build_circuit_dict(10, 10, SEED))
+        import jax
+
+        from quantum_simulator_tpu.ops import program as tprog
+        from quantum_simulator_tpu.ops.bigtraj import (
+            huge_trajectory_sample_fn,
+        )
+
+        c30 = QuantumCircuit.from_dict(build_circuit_dict(30, 2, SEED))
         nm = NoiseModel()
-        nm.add_global_noise(DepolarizingNoise(0.05))
-        sim = Simulator(noise_model=nm)
+        nm.add_global_noise(DepolarizingNoise(0.02))
+        p30 = tprog.compile_circuit(c30)
+        params30 = jnp.asarray(p30.initial_params)
+        fn, _ = huge_trajectory_sample_fn(p30, nm, 256, keep_state=False)
 
-        def sync(s):
-            return float(np.asarray(jnp.sum(jnp.abs(s) ** 2)))
+        def one(i):
+            idx = fn(params30, jax.random.PRNGKey(2 * i),
+                     jax.random.PRNGKey(2 * i + 1))
+            return int(np.asarray(idx)[0])  # sync
 
-        sync(sim.trajectory_states(c, 1024, seed=0))  # warm
+        one(0)  # compile + warm
+        reps = 3
         t0 = time.perf_counter()
-        states = sim.trajectory_states(c, 1024, seed=1)
-        sync(states)
-        tps = 1024 / (time.perf_counter() - t0)
-        print(f"[bench] noisy trajectories/sec (n=10 depth-10 depol): "
-              f"{tps:.0f}", file=sys.stderr)
+        for i in range(1, reps + 1):
+            one(i)
+        per = (time.perf_counter() - t0) / reps
+        print(f"[bench] noisy trajectories/sec (n=30 depth-2 depol, "
+              f"chunked huge path): {1.0 / per:.2f} ({per:.2f} s/traj, "
+              f"256 shots fused)", file=sys.stderr)
     except Exception as e:
-        print(f"[bench] trajectory bench failed: {e}", file=sys.stderr)
+        print(f"[bench] n=30 trajectory bench failed: {e}", file=sys.stderr)
 
 
 def main():

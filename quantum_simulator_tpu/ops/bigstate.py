@@ -60,10 +60,13 @@ _WHOLE_STATE_PEAK_BUDGET = 10 * (1 << 30)
 _DEFAULT_CHUNKS = 8
 
 
-def auto_chunks(num_qubits: int) -> int:
-    """1 (whole-state executor) below the memory cliff, 8 above it."""
-    planar_bytes = 1 << (num_qubits + 3)
-    return _DEFAULT_CHUNKS if 2 * planar_bytes > _WHOLE_STATE_PEAK_BUDGET \
+def auto_chunks(num_qubits: int, planar: bool = True) -> int:
+    """1 (whole-state executor) below the memory cliff, 8 above it.
+    ``planar=False`` halves the state-byte estimate for all-real
+    evolutions (an f32 plane instead of two): real n=30 fits the
+    whole-state schedule, real n=31 and planar n>=30 chunk."""
+    state_bytes = (2 if planar else 1) << (num_qubits + 2)
+    return _DEFAULT_CHUNKS if 2 * state_bytes > _WHOLE_STATE_PEAK_BUDGET \
         else 1
 
 
@@ -352,6 +355,43 @@ def state_axis_marginals(x: jnp.ndarray, planar: bool
         axes = tuple(a for a in range(x.ndim) if a != ax + lead)
         outs.append(jnp.sum(x * x, axis=axes))
     return tuple(outs)
+
+
+_ZSTRING_CACHE: dict[tuple, Callable] = {}
+
+
+def _zstring_fn(state_shape: tuple[int, ...], planar: bool,
+                axes: tuple[int, ...], entry_format=None) -> Callable:
+    """Cached jitted ``f(x, *parity_vecs) -> scalar`` computing
+    ``sum |amp|^2 * prod_ax parity_ax`` as ONE fused read-only reduction.
+    ``entry_format`` (when known) pins the input layout to the state
+    buffer's, so no whole-state relayout copy is inserted."""
+    key = (state_shape, planar, axes, repr(entry_format))
+    cached = _ZSTRING_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lead = 1 if planar else 0
+    rank = len(state_shape) - lead
+
+    def body(x, *vecs):
+        y = x[0] * x[0] + x[1] * x[1] if planar else x * x
+        for ax, v in zip(axes, vecs):
+            shape = [1] * rank
+            shape[ax] = v.shape[0]
+            y = y * v.reshape(shape)
+        return jnp.sum(y)
+
+    kw = {}
+    if entry_format is not None:
+        from jax.experimental.layout import Format
+
+        kw = {"in_shardings": (entry_format,)
+              + tuple(Format() for _ in axes)}
+    fn = jax.jit(body, **kw)
+    if len(_ZSTRING_CACHE) > 64:
+        _ZSTRING_CACHE.pop(next(iter(_ZSTRING_CACHE)))
+    _ZSTRING_CACHE[key] = fn
+    return fn
 
 
 # Jitted twins for host-facing calls on huge states: un-jitted, each
@@ -732,6 +772,115 @@ def huge_sample_fn(state_shape: tuple[int, ...], shots: int,
     return cached
 
 
+def qubit_probs_from_marginals(marginals, num_qubits: int):
+    """(n,) per-qubit P(|1>) from per-axis probability marginals."""
+    import numpy as np
+
+    from .plan import GroupLayout
+
+    layout = GroupLayout.for_qubits(num_qubits)
+    host = [np.asarray(m) for m in marginals]
+    p1 = np.empty(num_qubits)
+    for q in range(num_qubits):
+        ax = layout.axis_of(q)
+        bit = layout.axis_bits[ax] - 1 - layout.pos_in_axis(q)
+        idx = (np.arange(layout.axis_sizes[ax]) >> bit) & 1
+        p1[q] = host[ax][idx == 1].sum()
+    total = host[0].sum()
+    return p1 / total if total > 0 else p1
+
+
+class MarginalStateSummary:
+    """Per-column snapshot summary for n >= 30 stepping: per-axis
+    probability marginals only (a few KB), never a state copy. Yields the
+    per-qubit probabilities every step-mode panel actually plots; the
+    amplitudes themselves are structurally unaffordable per column at
+    this scale (one complex copy per snapshot = 16 GiB x columns).
+    Reference analog: the per-column states of ``run_step_by_step``
+    (``/root/reference/quantum_sim/engine/simulator.py:93-108``)."""
+
+    def __init__(self, axis_marginals, num_qubits: int):
+        self._marginals = axis_marginals
+        self._num_qubits = num_qubits
+        self._qp = None
+
+    @property
+    def num_qubits(self) -> int:
+        return self._num_qubits
+
+    @property
+    def axis_marginals(self):
+        return self._marginals
+
+    def qubit_probabilities(self):
+        if self._qp is None:
+            self._qp = qubit_probs_from_marginals(self._marginals,
+                                                  self._num_qubits)
+        return self._qp
+
+    def expectation_z(self, qubit: int) -> float:
+        return float(1.0 - 2.0 * self.qubit_probabilities()[qubit])
+
+    @property
+    def data(self):
+        raise MemoryError(
+            f"Per-column states at n={self._num_qubits} are marginal "
+            "summaries only; use qubit_probabilities()/expectation_z, or "
+            "Simulator.run for the final state.")
+
+
+def _column_program(program, col: int):
+    """Sub-program containing one column's ops (same parameter vector —
+    offsets index the full params)."""
+    from dataclasses import replace
+
+    ops_c = tuple(op for op in program.ops if op.column_index == col)
+    return replace(program, ops=ops_c,
+                   compile_key=program.compile_key + ("col", col))
+
+
+def huge_step_marginals_fn(program, dtype=None) -> tuple[Callable, int]:
+    """``(f, num_columns)`` where ``f(params)`` executes the circuit
+    column by column (chunked, in place — the carry never leaves the
+    device) and returns per-axis marginals AFTER each column, plus the
+    initial state's (index 0). ONE compiled program; peak memory is the
+    executor carry + chunk temps, independent of column count."""
+    dtype = dtype or CONFIG.dtype
+    full_plan = get_group_plan(program)
+    planar = not full_plan.all_real
+    cols = sorted({op.column_index for op in program.ops})
+    col_programs = [_column_program(program, c) for c in cols]
+    key_t = ("huge-steps", program.compile_key, str(dtype))
+    cached = _FWD_CACHE.get(key_t)
+    if cached is not None:
+        return cached, len(cols)
+    n_chunks = auto_chunks(program.num_qubits, planar=planar)
+
+    def body(params):
+        if planar:
+            x = _planar_basis_state(full_plan.layout, program.initial_index)
+        else:
+            x = _real_basis_state(full_plan.layout, program.initial_index)
+        outs = [state_axis_marginals(x, planar)]
+        for cp in col_programs:
+            plan_c = get_group_plan(cp)
+            operands = build_group_operands(cp, plan_c, params, dtype)
+            if n_chunks > 1:
+                x = execute_group_plan_chunked(plan_c, operands, cp,
+                                               params, dtype, x, n_chunks,
+                                               planar=planar)
+            else:
+                from .plan import execute_group_plan
+
+                x = execute_group_plan(plan_c, operands, cp, params,
+                                       dtype, x, planar=planar)
+            outs.append(state_axis_marginals(x, planar))
+        return tuple(outs)
+
+    cached = _cache_put(_FWD_CACHE, key_t, jax.jit(body))
+    return cached, len(cols)
+
+
 class PlanarStateVector:
     """Host-facing wrapper over the huge-state executor's output — the
     n >= 30 stand-in for ``StateVector``, where a complex64 copy of the
@@ -746,11 +895,17 @@ class PlanarStateVector:
     """
 
     def __init__(self, state: jnp.ndarray, num_qubits: int,
-                 planar: bool = True, axis_marginals=None):
+                 planar: bool = True, axis_marginals=None,
+                 entry_format=None):
         self._state = state
         self._planar = planar
         self._num_qubits = num_qubits
         self._axis_marginals = axis_marginals
+        # Device layout of the state buffer (the producing program's
+        # output Format). Follow-up read-only reductions compile with
+        # this as their input layout, so XLA never inserts a whole-state
+        # relayout copy (measured: +8 GiB -> OOM at n=30 planar).
+        self._entry_format = entry_format
 
     @property
     def num_qubits(self) -> int:
@@ -847,12 +1002,36 @@ class PlanarStateVector:
         """<Z_qubit> = 1 - 2 P(1) — free from the captured marginals."""
         return float(1.0 - 2.0 * self.qubit_probabilities()[qubit])
 
+    @staticmethod
+    def _axis_parity_vector(layout, ax: int, qubits) -> "np.ndarray":
+        """(S_ax,) f32 vector of (-1)^(parity of this axis's queried
+        bits) over the axis index."""
+        import numpy as np
+
+        bits = layout.axis_bits[ax]
+        sel = 0
+        for q in qubits:
+            sel |= 1 << (bits - 1 - layout.pos_in_axis(q))
+        v = np.arange(layout.axis_sizes[ax])
+        pc = np.zeros_like(v)
+        vv = v & sel
+        while np.any(vv):
+            pc += vv & 1
+            vv >>= 1
+        return np.where(pc % 2 == 1, -1.0, 1.0).astype(np.float32)
+
     def expectation_z_string(self, qubits) -> float:
-        """<prod Z_q> for qubits living in ONE layout axis group: each
-        captured axis marginal holds that axis's FULL joint distribution
-        (up to 7 qubits), so same-group parities cost a 128-entry host
-        sum. Cross-group strings would need per-axis-pair marginals
-        (ROADMAP) and raise with guidance."""
+        """<prod Z_q> for ANY qubit set.
+
+        Same-group strings are free: each captured axis marginal holds
+        that axis's full joint distribution (up to 7 qubits), so the
+        parity is a 128-entry host sum. Cross-group strings run ONE
+        fused parity-weighted reduction over the state on device
+        (|amp|^2 times the broadcast product of per-axis +-1 vectors,
+        summed — a single state read, no whole-state temp), compiled
+        against the state buffer's own layout (see ``entry_format``).
+        Reference anchor: arbitrary expectations at any supported n,
+        ``/root/reference/quantum_sim/engine/analysis.py:222-248``."""
         import numpy as np
 
         from .plan import GroupLayout
@@ -864,28 +1043,24 @@ class PlanarStateVector:
             raise ValueError(
                 f"qubits {qubits} out of range for n={self._num_qubits}")
         layout = GroupLayout.for_qubits(self._num_qubits)
-        axes = {layout.axis_of(q) for q in qubits}
-        if len(axes) > 1:
-            raise ValueError(
-                f"qubits {qubits} span layout groups {sorted(axes)}; "
-                "only same-group Z strings are available from the "
-                "captured marginals (single-qubit <Z_q> works for any "
-                "qubit via expectation_z)")
-        ax = axes.pop()
-        m = self._get_marginals()[ax]
-        bits = layout.axis_bits[ax]
-        sel = 0
+        by_axis: dict[int, list[int]] = {}
         for q in qubits:
-            sel |= 1 << (bits - 1 - layout.pos_in_axis(q))
-        v = np.arange(layout.axis_sizes[ax])
-        pc = np.zeros_like(v)
-        vv = v & sel
-        while np.any(vv):
-            pc += vv & 1
-            vv >>= 1
-        parity = np.where(pc % 2 == 1, -1.0, 1.0)
-        total = m.sum()
-        return float((m * parity).sum() / total) if total > 0 else 0.0
+            by_axis.setdefault(layout.axis_of(q), []).append(q)
+        if len(by_axis) == 1:
+            ax, qs = next(iter(by_axis.items()))
+            m = self._get_marginals()[ax]
+            parity = self._axis_parity_vector(layout, ax, qs)
+            total = m.sum()
+            return float((m * parity).sum() / total) if total > 0 else 0.0
+        axes = tuple(sorted(by_axis))
+        vecs = [jnp.asarray(self._axis_parity_vector(layout, ax,
+                                                     by_axis[ax]))
+                for ax in axes]
+        fn = _zstring_fn(self._state.shape, self._planar, axes,
+                         self._entry_format)
+        num = float(np.asarray(fn(self._state, *vecs)))
+        total = float(self._get_marginals()[0].sum())
+        return num / total if total > 0 else 0.0
 
     def amplitude(self, index: int) -> complex:
         """One basis amplitude (device gather, two floats to host)."""

@@ -189,11 +189,10 @@ class Simulator:
         noisy = self._noise_model is not None \
             and self._noise_model.has_channels()
         if noisy:
-            raise ValueError(
-                f"Noise channels on a {circuit.num_qubits}-qubit state "
-                "exceed single-chip memory (per-gate Kraus passes need "
-                "whole-state temporaries); use the sharded engine "
-                "(parallel.DistributedSimulator) on a device mesh.")
+            # ONE stochastic trajectory (reference `run` semantics) via
+            # the per-gate chunked trajectory executor (ops/bigtraj.py).
+            return self._run_huge_noisy(circuit, program, shots, seed,
+                                        rng, measurement_basis)
         if record_steps:
             raise ValueError(
                 f"record_steps would retain one {circuit.num_qubits}-qubit "
@@ -245,13 +244,72 @@ class Simulator:
         else:
             fwd, planar = huge_forward_fn(program)
             x, marg = fwd(params)
+        from .ops.bigstate import _huge_state_formats
+
+        _, fmt_out = _huge_state_formats(program, CONFIG.dtype)
         final = PlanarStateVector(x, circuit.num_qubits, planar=planar,
-                                  axis_marginals=marg)
+                                  axis_marginals=marg,
+                                  entry_format=fmt_out)
         if counts and readout_err is not None:
             # Shot-mode corruption works on sparse counts; the
             # distribution transform would need the dense 2^n vector.
             counts = readout_err.corrupt_counts(counts, rng)
 
+        return SimulationResult(
+            final_state=final,
+            measurement_counts=counts,
+            step_states=None,
+            num_shots=shots,
+            seed=seed,
+        )
+
+    def _run_huge_noisy(self, circuit: QuantumCircuit, program, shots: int,
+                        seed: int | None, rng: np.random.Generator,
+                        measurement_basis: MeasurementBasis
+                        ) -> SimulationResult:
+        """n >= 30 single stochastic trajectory: per-gate chunked passes
+        with folded Kraus draws (``ops/bigtraj.py``), sampling fused into
+        the donation chain. Reference semantics:
+        ``/root/reference/quantum_sim/engine/noise.py:224-260`` applied
+        after every gate, as in ``simulator.py:66-68``."""
+        from .ops.bigstate import PlanarStateVector
+        from .ops.bigtraj import huge_trajectory_sample_fn
+
+        params = jnp.asarray(program.initial_params)
+        traj_key = _key_from_rng(rng)
+        sample_key = _key_from_rng(rng)
+        basis = measurement_basis.name  # 'Z' | 'X' | 'Y'
+        counts: dict[str, int] = {}
+        if shots > 0 and basis != 'Z':
+            # Rotation mutates the donated state, so sample first
+            # (rotated, state consumed), then re-run the SAME trajectory
+            # (same key -> identical stochastic branches) for the state.
+            fn, _ = huge_trajectory_sample_fn(
+                program, self._noise_model, shots, keep_state=False,
+                basis=basis)
+            idx = fn(params, traj_key, sample_key)
+            counts = self._indices_to_counts(idx, circuit.num_qubits)
+            fn2, planar = huge_trajectory_sample_fn(
+                program, self._noise_model, 0, keep_state=True)
+            x, marg = fn2(params, traj_key, sample_key)
+        elif shots > 0:
+            fn, planar = huge_trajectory_sample_fn(
+                program, self._noise_model, shots, keep_state=True)
+            x, marg, idx = fn(params, traj_key, sample_key)
+            counts = self._indices_to_counts(idx, circuit.num_qubits)
+        else:
+            fn, planar = huge_trajectory_sample_fn(
+                program, self._noise_model, 0, keep_state=True)
+            x, marg = fn(params, traj_key, sample_key)
+        readout_err = getattr(self._noise_model, "readout_error", None)
+        if counts and readout_err is not None:
+            counts = readout_err.corrupt_counts(counts, rng)
+        from .ops.bigtraj import _traj_formats
+
+        _, fmt_out = _traj_formats(program, self._noise_model, CONFIG.dtype)
+        final = PlanarStateVector(x, circuit.num_qubits, planar=planar,
+                                  axis_marginals=marg,
+                                  entry_format=fmt_out)
         return SimulationResult(
             final_state=final,
             measurement_counts=counts,
@@ -284,8 +342,33 @@ class Simulator:
     def run_step_by_step(self, circuit: QuantumCircuit,
                          rng: np.random.Generator | None = None
                          ) -> Generator[tuple[StateVector, int], None, None]:
-        """Yields (state, column_index) including the initial state at -1."""
-        self._reject_huge(circuit, "run_step_by_step")
+        """Yields (state, column_index) including the initial state at -1.
+
+        At n >= 30 the yielded snapshots are ``MarginalStateSummary``
+        objects (per-axis probability marginals -> per-qubit P(1)), not
+        ``StateVector``s: retaining one whole-state complex buffer per
+        column is structurally impossible on a single chip. The whole
+        stepped run is ONE compiled program; the state evolves in place
+        and only the tiny marginals cross to host."""
+        if _is_huge(circuit):
+            if self._noise_model is not None \
+                    and self._noise_model.has_channels():
+                raise ValueError(
+                    "step-by-step with noise retains per-column "
+                    "trajectory state; at n >= 30 use Simulator.run "
+                    "(single noisy trajectory) or run_with_noise")
+            from .ops.bigstate import (
+                MarginalStateSummary,
+                huge_step_marginals_fn,
+            )
+
+            program = prog.compile_circuit(circuit)
+            fn, _ = huge_step_marginals_fn(program)
+            outs = fn(jnp.asarray(program.initial_params))
+            for i, marg in enumerate(outs):
+                yield (MarginalStateSummary(marg, circuit.num_qubits),
+                       i - 1)
+            return
         program = prog.compile_circuit(circuit)
         params = jnp.asarray(program.initial_params)
         noisy = self._noise_model is not None and self._noise_model.has_channels()
@@ -326,14 +409,26 @@ class Simulator:
 
     def run_with_noise(self, circuit: QuantumCircuit, shots: int = 1024,
                        seed: int | None = None,
-                       rng: np.random.Generator | None = None
+                       rng: np.random.Generator | None = None,
+                       trajectories: int | None = None
                        ) -> SimulationResult:
         """Per-shot stochastic trajectory + projective measure_all, all
-        batched (reference loops shots times, ``simulator.py:134-145``)."""
+        batched (reference loops shots times, ``simulator.py:134-145``).
+
+        At n >= 30 (single-chip huge path) one trajectory is seconds of
+        chunked whole-state passes, so shot-per-trajectory is replaced by
+        ``trajectories`` stochastic trajectories (default
+        ``min(shots, 16)``) each sampled ``~shots/trajectories`` times —
+        the standard Monte-Carlo-trajectory estimator of the same noisy
+        distribution. Pass ``trajectories=shots`` for exact reference
+        semantics (one draw per trajectory)."""
         if self._noise_model is None:
             return self.run(circuit, shots, seed=seed, rng=rng)
         if rng is None:
             rng = np.random.default_rng(seed)
+        if _is_huge(circuit) and self._noise_model.has_channels():
+            return self._run_with_noise_huge(circuit, shots, seed, rng,
+                                             trajectories)
 
         states = self.trajectory_states(circuit, shots, rng=rng)
         probs = jnp.abs(states) ** 2
@@ -353,6 +448,47 @@ class Simulator:
             seed=seed,
         )
 
+    def _run_with_noise_huge(self, circuit: QuantumCircuit, shots: int,
+                             seed: int | None, rng: np.random.Generator,
+                             trajectories: int | None) -> SimulationResult:
+        """n >= 30: T sequential trajectory chains (one compiled program,
+        fresh keys), each sampling ceil(shots/T) draws fused on device;
+        only int32 shot indices cross to host. ``final_state`` is None —
+        the reference returns a placeholder initial state
+        (``simulator.py:146-153``), which at n >= 30 would itself be a
+        multi-GiB allocation."""
+        from .ops.bigtraj import huge_trajectory_sample_fn
+
+        program = prog.compile_circuit(circuit)
+        params = jnp.asarray(program.initial_params)
+        T = max(1, min(shots, trajectories or min(shots, 16)))
+        s_max = -(-shots // T) if shots > 0 else 0
+        all_idx: list[np.ndarray] = []
+        if s_max > 0:
+            fn, _ = huge_trajectory_sample_fn(
+                program, self._noise_model, s_max, keep_state=False)
+            remaining = shots
+            for _ in range(T):
+                tk = _key_from_rng(rng)
+                sk = _key_from_rng(rng)
+                idx = np.asarray(fn(params, tk, sk))
+                take = min(s_max, remaining)
+                remaining -= take
+                all_idx.append(idx[:take])
+        counts: dict[str, int] = {}
+        if all_idx:
+            counts = self._indices_to_counts(
+                np.concatenate(all_idx), circuit.num_qubits)
+        readout_err = getattr(self._noise_model, "readout_error", None)
+        if counts and readout_err is not None:
+            counts = readout_err.corrupt_counts(counts, rng)
+        return SimulationResult(
+            final_state=None,
+            measurement_counts=counts,
+            num_shots=shots,
+            seed=seed,
+        )
+
     def ensemble_density_matrix(
         self,
         circuit: QuantumCircuit,
@@ -366,3 +502,53 @@ class Simulator:
         rho = jnp.einsum("ti,tj->ij", states, jnp.conj(states),
                          precision=jax.lax.Precision.HIGHEST) / n_trials
         return to_host_complex(rho)
+
+    def ensemble_qubit_density_matrices(
+        self,
+        circuit: QuantumCircuit,
+        n_trials: int = 50,
+        seed: int | None = None,
+    ) -> np.ndarray:
+        """(n, 2, 2) ensemble-averaged single-qubit reduced density
+        matrices over N stochastic trajectories — the O(n)-output
+        ensemble reduction that scales to any qubit count (the full
+        ``ensemble_density_matrix`` is 4^n and caps at n<=14).
+
+        Reference analog: ``ensemble_density_matrix``
+        (``simulator.py:155-199``) followed by per-qubit partial traces
+        (``state_vector.py:121-140``); here the partial trace is fused
+        into the trajectory batch (n <= 29) or computed from per-axis
+        Gram reductions on the chunked huge path (n >= 30)."""
+        rng = np.random.default_rng(seed)
+        n = circuit.num_qubits
+        if _is_huge(circuit):
+            from .ops.bigtraj import (
+                huge_trajectory_gram_fn,
+                qubit_rhos_from_grams,
+            )
+
+            nm = self._noise_model
+            if nm is None or not nm.has_channels():
+                from .noise import NoiseModel
+
+                nm = NoiseModel()  # channel-free trajectory = ideal run
+                n_trials = 1
+            program = prog.compile_circuit(circuit)
+            params = jnp.asarray(program.initial_params)
+            fn, _ = huge_trajectory_gram_fn(program, nm)
+            acc = np.zeros((n, 2, 2), np.complex128)
+            for _ in range(n_trials):
+                grams = fn(params, _key_from_rng(rng))
+                acc += qubit_rhos_from_grams(grams, n)
+            return acc / n_trials
+        states = self.trajectory_states(circuit, n_trials, rng=rng)
+        dim = states.shape[-1]
+        out = np.empty((n, 2, 2), np.complex128)
+        for q in range(n):
+            pre = 1 << q
+            post = dim >> (q + 1)
+            s4 = states.reshape(n_trials, pre, 2, post)
+            rho = jnp.einsum("tapb,taqb->pq", s4, jnp.conj(s4),
+                             precision=jax.lax.Precision.HIGHEST) / n_trials
+            out[q] = to_host_complex(rho)
+        return out

@@ -211,18 +211,18 @@ class TestHugeSampling:
                                        atol=1e-5)
             np.testing.assert_allclose(sv.expectation_z(3),
                                        1.0 - 2.0 * want[3], atol=1e-5)
-            # same-group Z string (n=10 -> axes (8, 128): qubits 3..9
-            # share the last group) vs dense parity sum
-            zz = sv.expectation_z_string([4, 7])
-            par = np.where(((np.arange(1 << 10) >> (10 - 1 - 4)) & 1)
-                           ^ ((np.arange(1 << 10) >> (10 - 1 - 7)) & 1),
-                           -1.0, 1.0)
-            np.testing.assert_allclose(zz, (dense * par).sum(), atol=1e-5)
-            try:
-                sv.expectation_z_string([0, 9])  # spans both groups
-                assert False, "expected ValueError"
-            except ValueError as e:
-                assert "same-group" in str(e)
+            # Z strings vs dense parity sums: same-group ([4,7] — free
+            # from the captured marginal) AND cross-group ([0,9],
+            # [0,2,9] — one fused parity-weighted device reduction).
+            for qs in ([4, 7], [0, 9], [0, 2, 9]):
+                zz = sv.expectation_z_string(qs)
+                par = np.ones(1 << 10)
+                for q in qs:
+                    par *= np.where(
+                        ((np.arange(1 << 10) >> (10 - 1 - q)) & 1),
+                        -1.0, 1.0)
+                np.testing.assert_allclose(zz, (dense * par).sum(),
+                                           atol=1e-5, err_msg=str(qs))
 
     def test_simulator_huge_path(self):
         # Drive Simulator._run_huge directly at a small n (the public
@@ -272,22 +272,53 @@ class TestHugeSampling:
         tvd = 0.5 * np.abs(emp_y - ref_probs / ref_probs.sum()).sum()
         assert tvd < 0.08
 
-    def test_simulator_huge_path_rejects_noise_and_steps(self):
+    def test_step_marginals_match_dense_steps(self):
+        # Column-by-column marginal snapshots (the n >= 30 stepping mode)
+        # vs the dense per-column states, both paths.
+        from quantum_simulator_tpu.ops.bigstate import (
+            MarginalStateSummary,
+            huge_step_marginals_fn,
+            qubit_probs_from_marginals,
+        )
+
+        for add_t in (False, True):
+            c = brickwork_circuit(10, 4, seed=9)
+            if add_t:
+                c.add_gate(GateInstance("T", [2], [],
+                                        column=max(g.column
+                                                   for g in c.gates) + 1))
+            p = prog.compile_circuit(c)
+            params = jnp.asarray(p.initial_params)
+            fn, ncols = huge_step_marginals_fn(p)
+            outs = fn(params)
+            stacked = prog.steps_fn(p)(params)  # (cols+1, 2^n) dense
+            assert len(outs) == ncols + 1 == stacked.shape[0]
+            for i, marg in enumerate(outs):
+                probs = np.abs(np.asarray(stacked[i])) ** 2
+                want = [probs[((np.arange(1 << 10) >> (10 - 1 - q)) & 1)
+                              == 1].sum() for q in range(10)]
+                got = qubit_probs_from_marginals(marg, 10)
+                np.testing.assert_allclose(got, want, atol=1e-5,
+                                           err_msg=f"col {i}")
+            s = MarginalStateSummary(outs[-1], 10)
+            np.testing.assert_allclose(
+                s.qubit_probabilities(),
+                qubit_probs_from_marginals(outs[-1], 10))
+            try:
+                s.data
+                assert False, "expected MemoryError"
+            except MemoryError:
+                pass
+
+    def test_simulator_huge_path_rejects_steps(self):
+        # Noise is SUPPORTED on the huge path since round 3
+        # (tests/test_bigtraj.py); per-column state retention remains
+        # structurally impossible at n >= 30.
         from quantum_simulator_tpu.measurement import MeasurementBasis
-        from quantum_simulator_tpu.noise import DepolarizingNoise, NoiseModel
         from quantum_simulator_tpu.simulator import Simulator
 
         c = brickwork_circuit(10, 2, seed=1)
         p = prog.compile_circuit(c)
-        nm = NoiseModel()
-        nm.add_global_noise(DepolarizingNoise(0.05))
-        try:
-            Simulator(noise_model=nm)._run_huge(
-                c, p, 10, False, 0, np.random.default_rng(0),
-                MeasurementBasis.Z)
-            assert False
-        except ValueError as e:
-            assert "sharded" in str(e)
         try:
             Simulator()._run_huge(c, p, 10, True, 0,
                                   np.random.default_rng(0),
