@@ -34,8 +34,12 @@ from .ops import program as prog
 from .ops.apply import apply_gate
 from .utils.xfer import to_host_complex
 
-#: Exact DM state is O(4^n); above this the MC ensemble is the only path.
+#: Exact DM state is O(4^n); the dense rho path caps here.
 MAX_DM_QUBITS = 14
+#: The vectorized-superoperator path treats vec(rho) as a 2n-qubit state
+#: and rides the whole statevector engine (group plan, chunked huge
+#: executor): n=15 is a 2^30 state — the single-chip ceiling.
+MAX_SUPEROP_QUBITS = 15
 
 
 def _apply_left(rho, u, targets, n):
@@ -91,6 +95,151 @@ def _dm_body(program: prog.CircuitProgram, channels_for, params, dtype):
     return rho
 
 
+# ---------------------------------------------------------------------------
+# Vectorized-superoperator route: vec(rho) as a 2n-qubit statevector
+# ---------------------------------------------------------------------------
+#
+# vec(rho)[i * 2^n + j] = rho[i, j]: the row bits are qubits 0..n-1 of a
+# 2n-qubit register (most significant — matching the engine's qubit-0=MSB
+# convention) and the column bits are qubits n..2n-1. Then
+#
+#   rho -> U rho U^dag        ==  U on the row targets  AND
+#                                 conj(U) on the mirrored column targets
+#   rho -> sum_m K_m rho K_m^dag  ==  ONE static 4x4 superoperator
+#                                 S = sum_m kron(K_m, conj(K_m)) acting on
+#                                 the (q, q+n) qubit pair
+#
+# so exact noisy evolution compiles through the SAME group-matmul plan,
+# composition windows, realness analysis, and (at 2n >= 30) the chunked
+# in-place huge executor as pure states. Real circuits with real Kraus
+# superoperators evolve a REAL vec(rho): n=15 exact DM = a 4 GiB f32
+# tensor on one chip.
+
+
+def superop_program(program: prog.CircuitProgram,
+                    noise_model=None) -> prog.CircuitProgram:
+    """Lower an n-qubit circuit program (+ optional noise model) to the
+    equivalent 2n-qubit vec(rho) program."""
+    from dataclasses import replace
+
+    n = program.num_qubits
+    ops2: list[prog.ProgramOp] = []
+    super_cache: dict = {}
+    for op in program.ops:
+        col_targets = tuple(q + n for q in op.targets)
+        if op.cphase_value is not None:
+            ops2.append(op)
+            ops2.append(replace(op, targets=col_targets,
+                                cphase_value=np.conj(op.cphase_value)))
+        elif op.static_matrix is not None:
+            ops2.append(op)
+            ops2.append(replace(op,
+                                static_matrix=np.conj(op.static_matrix),
+                                targets=col_targets))
+        else:
+            ops2.append(op)
+
+            def conj_builder(*p, _b=op.jnp_builder):
+                return jnp.conj(_b(*p))
+
+            ops2.append(replace(op, targets=col_targets,
+                                jnp_builder=conj_builder))
+        if noise_model is not None:
+            for ci, st in enumerate(
+                    noise_model.kraus_stacks_for_gate(op.gate_name)):
+                ck = (op.gate_name, ci)
+                S = super_cache.get(ck)
+                if S is None:
+                    S = sum(np.kron(K, np.conj(K))
+                            for K in np.asarray(st, np.complex128))
+                    super_cache[ck] = S
+                for q in op.targets:
+                    ops2.append(prog.ProgramOp(
+                        "__superop__", (q, q + n), 0, 0, op.column_index,
+                        S, None, -1))
+    noise_key = noise_model.spec_key() if noise_model is not None else ()
+    return prog.CircuitProgram(
+        num_qubits=2 * n,
+        initial_index=(program.initial_index << n) | program.initial_index,
+        ops=tuple(ops2),
+        num_columns=program.num_columns,
+        num_params=program.num_params,
+        initial_params=program.initial_params,
+        compile_key=("superop", program.compile_key, noise_key))
+
+
+class SuperopDensityResult:
+    """Result view for the 2n >= 30 vec(rho) huge path: diagonal-derived
+    quantities (probabilities, trace, <Z>, sampling) plus purity — the
+    full 2^n x 2^n rho would be a multi-GiB host copy and raises."""
+
+    def __init__(self, num_qubits: int, state, planar: bool,
+                 entry_format=None):
+        self.num_qubits = num_qubits
+        self._state = state
+        self._planar = planar
+        self._fmt = entry_format
+        self._diag = None
+
+    def _diagonal(self) -> np.ndarray:
+        """(2^n,) complex host diagonal via ONE device gather."""
+        if self._diag is not None:
+            return self._diag
+        from .ops.plan import GroupLayout
+
+        n = self.num_qubits
+        layout = GroupLayout.for_qubits(2 * n)
+        d = np.arange(1 << n, dtype=np.int64)
+        g = (d << n) | d
+        coords = []
+        rem = g.copy()
+        for size in reversed(layout.axis_sizes):
+            coords.append(jnp.asarray((rem % size).astype(np.int32)))
+            rem //= size
+        coords = tuple(reversed(coords))
+        planar = self._planar
+
+        def body(x, *cs):
+            return x[(slice(None),) + cs] if planar else x[cs]
+
+        kw = {}
+        if self._fmt is not None:
+            from jax.experimental.layout import Format
+
+            kw = {"in_shardings": (self._fmt,)
+                  + tuple(Format() for _ in coords)}
+        out = np.asarray(jax.jit(body, **kw)(self._state, *coords))
+        self._diag = (out[0] + 1j * out[1]) if planar \
+            else out.astype(np.complex128)
+        return self._diag
+
+    @property
+    def rho(self):
+        raise MemoryError(
+            f"the dense rho at n={self.num_qubits} is "
+            f"{(1 << (2 * self.num_qubits)) * 8 / 2**30:.0f} GiB; use "
+            ".probabilities/.purity()/.expectation_z()/sampling")
+
+    @property
+    def probabilities(self) -> np.ndarray:
+        return np.maximum(np.real(self._diagonal()), 0.0)
+
+    def purity(self) -> float:
+        """tr(rho^2) = ||vec(rho)||^2 — free on the vectorized state."""
+        from .ops.bigstate import _planar_norm_sq_jit
+
+        return float(np.asarray(_planar_norm_sq_jit(self._state)))
+
+    def trace(self) -> float:
+        return float(np.real(self._diagonal()).sum())
+
+    def expectation_z(self, qubit: int) -> float:
+        probs = self.probabilities
+        idx = np.arange(1 << self.num_qubits)
+        sign = 1.0 - 2.0 * ((idx >> (self.num_qubits - 1 - qubit)) & 1)
+        return float(np.sum(probs * sign) / max(probs.sum(), 1e-30))
+
+
 @dataclass
 class DensityMatrixResult:
     """Host-facing view over the device-resident density matrix."""
@@ -122,19 +271,37 @@ class DensityMatrixResult:
 
 
 class DensityMatrixSimulator:
-    """Exact (non-stochastic) noisy simulation for n <= 14 qubits."""
+    """Exact (non-stochastic) noisy simulation: dense rho to n <= 14,
+    vectorized-superoperator vec(rho) to n <= 15 single-chip (the
+    superoperator program also runs on the sharded mesh engine for
+    n = 16 — see tests/test_density.py)."""
 
     def __init__(self, noise_model=None):
         self.noise_model = noise_model
 
-    def run(self, circuit: QuantumCircuit,
-            dtype=None) -> DensityMatrixResult:
-        if circuit.num_qubits > MAX_DM_QUBITS:
+    def run(self, circuit: QuantumCircuit, dtype=None,
+            method: str = "auto"):
+        """``method``: 'auto' (dense to n<=14, superop at n=15),
+        'dense', or 'superop'. Returns DensityMatrixResult, or
+        SuperopDensityResult when vec(rho) takes the 2n >= 30 chunked
+        huge path."""
+        n = circuit.num_qubits
+        if method == "auto":
+            method = "dense" if n <= MAX_DM_QUBITS else "superop"
+        if method == "superop":
+            if n > MAX_SUPEROP_QUBITS:
+                raise ValueError(
+                    f"vec(rho) at n={n} is a {2 * n}-qubit state — past "
+                    f"the single-chip ceiling (cap {MAX_SUPEROP_QUBITS}); "
+                    "run the superop program on the sharded engine or use "
+                    "Simulator.ensemble_qubit_density_matrices")
+            return self._run_superop(circuit, dtype)
+        if n > MAX_DM_QUBITS:
             raise ValueError(
-                f"exact density-matrix simulation is O(4^n); "
-                f"n={circuit.num_qubits} exceeds the cap of "
-                f"{MAX_DM_QUBITS} — use "
-                f"Simulator.ensemble_density_matrix (Monte-Carlo)")
+                f"exact dense-rho simulation is O(4^n); n={n} exceeds "
+                f"the cap of {MAX_DM_QUBITS} — method='superop' reaches "
+                f"{MAX_SUPEROP_QUBITS}, Monte-Carlo "
+                "(Simulator.ensemble_density_matrix) beyond")
         dtype = dtype or CONFIG.dtype
         program = prog.compile_circuit(circuit)
         if self.noise_model is not None:
@@ -149,6 +316,34 @@ class DensityMatrixSimulator:
         rho = fn(jnp.asarray(program.initial_params))
         return DensityMatrixResult(num_qubits=circuit.num_qubits,
                                    device_rho=rho)
+
+    def _run_superop(self, circuit: QuantumCircuit, dtype=None):
+        """vec(rho) through the statevector engine. Below the huge-state
+        cliff this returns the full DensityMatrixResult (rho reshaped
+        from the 2n-qubit vector); at 2n >= 30 it runs the chunked
+        in-place executor and returns a SuperopDensityResult."""
+        from .ops.bigstate import auto_chunks
+
+        dtype = dtype or CONFIG.dtype
+        n = circuit.num_qubits
+        program = prog.compile_circuit(circuit)
+        program2 = superop_program(program, self.noise_model)
+        params = jnp.asarray(program2.initial_params)
+        # Route on the PLANAR footprint: even when vec(rho) is all-real
+        # (whole-state-able), the dense route below materializes the
+        # complex 2^2n vector + an eager reshape — measured 16.25 GiB at
+        # n=15 (258 MB past HBM). The huge route never goes complex.
+        if auto_chunks(2 * n) > 1 and jax.default_backend() == "tpu":
+            from .ops.bigstate import _huge_state_formats, huge_forward_fn
+
+            fn, planar = huge_forward_fn(program2, dtype)
+            x, _marg = fn(params)
+            _, fmt_out = _huge_state_formats(program2, dtype)
+            return SuperopDensityResult(n, x, planar,
+                                        entry_format=fmt_out)
+        vec = prog.forward_fn(program2, dtype)(params)
+        return DensityMatrixResult(
+            num_qubits=n, device_rho=vec.reshape(1 << n, 1 << n))
 
     def sample(self, result: DensityMatrixResult, shots: int,
                rng: np.random.Generator | None = None,

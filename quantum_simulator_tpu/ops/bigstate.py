@@ -257,14 +257,18 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
                               prod_fn, lead=lead, pass_start=True)
             i += 1
             continue
-        # Greedy window: extend while an axis large enough for full
-        # chunk granularity stays free (a small free axis would force
-        # wide chunks — bigger temps AND measured pathological on the
-        # TPU runtime: chunking the size-4 axis at n=30 ran 20x slower).
+        # Greedy window: extend while a non-minor axis of size >= 4
+        # stays free. Chunk count clamps to the axis size (4 chunks =
+        # 2x state/4 temps, still comfortably inside HBM), which lets
+        # the size-4 top axis at n=30 serve as a window's free axis —
+        # fewer windows, fewer slice/update round trips. (Round-2 note:
+        # chunking the size-4 axis once ran 20x slower — that was the
+        # MINOR-axis padding hole, since fixed in _chunk_axis; width
+        # size/4 on a non-minor axis is pad-free.)
         def ok(inv):
             ax = _chunk_axis(shape_d, inv)
             return (ax is not None and ax != len(shape_d) - 1
-                    and shape_d[ax] >= n_chunks)
+                    and shape_d[ax] >= 4)
 
         involved = set(items[i][1])
         j = i + 1
@@ -299,7 +303,12 @@ def group_forward_state_body(program, params, dtype=None,
     plan = get_group_plan(program)
     operands = build_group_operands(program, plan, params, dtype)
     if n_chunks is None:
-        n_chunks = auto_chunks(program.num_qubits)
+        # Realness-aware: an all-real n=30 state is 4 GiB, so its
+        # whole-state schedule (2x state peak) fits where the planar
+        # assumption would force chunking — measured 35% -> ~55% of the
+        # HBM roofline (no slice/update round trips).
+        n_chunks = auto_chunks(program.num_qubits,
+                               planar=not plan.all_real)
     if plan.all_real:
         xr = _real_basis_state(plan.layout, program.initial_index)
         if n_chunks > 1:
@@ -456,9 +465,22 @@ def _huge_state_formats(program, dtype):
 
 def _apply_body(program, plan, dtype, params, x):
     operands = build_group_operands(program, plan, params, dtype)
+    n_chunks = auto_chunks(program.num_qubits, planar=not plan.all_real)
+    if (program.compile_key and program.compile_key[0] == "superop"
+            and program.num_qubits >= 30):
+        # vec(rho) programs (density.superop_program) fuse differently:
+        # the whole-state schedule at 2n=30 compiles two 4 GiB relayout
+        # temps (measured RESOURCE_EXHAUSTED); the chunked schedule
+        # bounds every temp to a chunk and compiles fine.
+        n_chunks = max(n_chunks, _DEFAULT_CHUNKS)
+    if n_chunks <= 1:
+        from .plan import execute_group_plan
+
+        return execute_group_plan(plan, operands, program, params, dtype,
+                                  x, planar=not plan.all_real)
     return execute_group_plan_chunked(
         plan, operands, program, params, dtype, x,
-        auto_chunks(program.num_qubits), planar=not plan.all_real)
+        n_chunks, planar=not plan.all_real)
 
 
 def _huge_apply_raw(program, dtype):

@@ -993,10 +993,13 @@ def _embed_masks(positions: tuple[int, ...], axis_bits: int) -> np.ndarray:
 def _embed_in_axis(u: jnp.ndarray, positions: tuple[int, ...],
                    axis_bits: int) -> jnp.ndarray:
     """Embed a 2^k operator acting on the given MSB-first bit positions of
-    an ``axis_bits``-bit axis into a (2^axis_bits, 2^axis_bits) operator."""
+    an ``axis_bits``-bit axis into a (2^axis_bits, 2^axis_bits) operator.
+    A real operator embeds real (half the work; no complex round trip)."""
     masks = jnp.asarray(_embed_masks(positions, axis_bits))
     flat = u.reshape(-1)
     re = jnp.tensordot(jnp.real(flat).astype(_F32), masks, axes=1)
+    if not jnp.iscomplexobj(u):
+        return re.astype(u.dtype)
     im = jnp.tensordot(jnp.imag(flat).astype(_F32), masks, axes=1)
     return (re + 1j * im).astype(u.dtype)
 

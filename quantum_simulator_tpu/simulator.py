@@ -188,16 +188,17 @@ class Simulator:
 
         noisy = self._noise_model is not None \
             and self._noise_model.has_channels()
+        if record_steps:
+            raise ValueError(
+                f"record_steps would retain one {circuit.num_qubits}-qubit "
+                "state per column; not supported on the single-chip "
+                "huge-state path (run_step_by_step yields marginal "
+                "snapshots instead).")
         if noisy:
             # ONE stochastic trajectory (reference `run` semantics) via
             # the per-gate chunked trajectory executor (ops/bigtraj.py).
             return self._run_huge_noisy(circuit, program, shots, seed,
                                         rng, measurement_basis)
-        if record_steps:
-            raise ValueError(
-                f"record_steps would retain one {circuit.num_qubits}-qubit "
-                "state per column; not supported on the single-chip "
-                "huge-state path.")
         readout_err = None
         if self._noise_model is not None and hasattr(
                 self._noise_model, "readout_error"):

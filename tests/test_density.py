@@ -114,9 +114,12 @@ class TestChannels:
         c2.add_gate(GateInstance("Ry", [0], [1.3], column=0))
         r2 = sim.run(c2)
         assert abs(r1.probabilities[1] - r2.probabilities[1]) > 0.1
-        big = QuantumCircuit(15)
+        # n=15 routes to the vec(rho) superop path since round 3; the
+        # dense-rho method still caps at 14, and 16 exceeds even superop.
         with pytest.raises(ValueError):
-            sim.run(big)
+            sim.run(QuantumCircuit(15), method="dense")
+        with pytest.raises(ValueError):
+            sim.run(QuantumCircuit(16))
 
 
 class TestSampling:
@@ -142,3 +145,102 @@ def test_viewmodel_exact_mode():
     assert np.trace(view.real).sum() == pytest.approx(1.0, abs=1e-5)
     # cache hit returns the same object
     assert model.exact(bell(), nm) is view
+
+
+class TestSuperopRoute:
+    """vec(rho) through the statevector engine vs the dense-rho body."""
+
+    def _nm(self):
+        from quantum_simulator_tpu.noise import (
+            AmplitudeDampingNoise,
+            DepolarizingNoise,
+            NoiseModel,
+        )
+
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.08))
+        nm.add_gate_noise("CNOT", AmplitudeDampingNoise(0.15))
+        return nm
+
+    def test_superop_matches_dense_rho(self):
+        from quantum_simulator_tpu.density import DensityMatrixSimulator
+        from quantum_simulator_tpu.models import brickwork_circuit
+
+        c = brickwork_circuit(6, 4, seed=3)
+        sim = DensityMatrixSimulator(noise_model=self._nm())
+        dense = sim.run(c, method="dense")
+        sup = sim.run(c, method="superop")
+        np.testing.assert_allclose(sup.rho, dense.rho, atol=2e-5)
+        assert sup.purity() == pytest.approx(dense.purity(), abs=1e-4)
+        assert sup.trace() == pytest.approx(1.0, abs=1e-4)
+
+    def test_superop_complex_gates_and_phase(self):
+        from quantum_simulator_tpu.circuit import GateInstance, QuantumCircuit
+        from quantum_simulator_tpu.density import DensityMatrixSimulator
+
+        c = QuantumCircuit(5)
+        for q in range(5):
+            c.add_gate(GateInstance("H", [q], [], column=0))
+        c.add_gate(GateInstance("Rz", [1], [0.7], column=1))
+        c.add_gate(GateInstance("T", [2], [], column=1))
+        c.add_gate(GateInstance("CPhase", [0, 4], [1.1], column=2))
+        sim = DensityMatrixSimulator(noise_model=self._nm())
+        dense = sim.run(c, method="dense")
+        sup = sim.run(c, method="superop")
+        np.testing.assert_allclose(sup.rho, dense.rho, atol=2e-5)
+
+    def test_superop_matrixless_wide_mcz(self):
+        # MCZ11 has no dense matrix; the superop program carries the
+        # conjugate cphase on the mirrored column targets.
+        from quantum_simulator_tpu.circuit import GateInstance, QuantumCircuit
+        from quantum_simulator_tpu.density import DensityMatrixSimulator
+
+        c = QuantumCircuit(11)
+        for q in range(11):
+            c.add_gate(GateInstance("H", [q], [], column=0))
+        c.add_gate(GateInstance("MCZ11", list(range(11)), [], column=1))
+        sim = DensityMatrixSimulator()
+        dense = sim.run(c, method="dense")
+        sup = sim.run(c, method="superop")
+        np.testing.assert_allclose(sup.rho, dense.rho, atol=2e-5)
+
+    def test_superop_on_sharded_mesh(self):
+        # n=10 exact DM as a 20-qubit sharded run over the virtual mesh:
+        # the n=16 (32-qubit) mesh recipe at test scale.
+        from quantum_simulator_tpu.density import (
+            DensityMatrixSimulator,
+            superop_program,
+        )
+        from quantum_simulator_tpu.models import brickwork_circuit
+        from quantum_simulator_tpu.ops import program as prog_mod
+        from quantum_simulator_tpu.parallel import DistributedSimulator
+
+        c = brickwork_circuit(10, 3, seed=5)
+        nm = self._nm()
+        p2 = superop_program(prog_mod.compile_circuit(c), nm)
+        dsim = DistributedSimulator(n_devices=8)
+        from quantum_simulator_tpu.parallel.distributed import (
+            sharded_forward_fn,
+        )
+
+        import jax.numpy as jnp
+
+        vec = sharded_forward_fn(p2, dsim.mesh)(
+            jnp.asarray(p2.initial_params))
+        rho_mesh = np.asarray(vec).reshape(1 << 10, 1 << 10)
+        dense = DensityMatrixSimulator(noise_model=nm).run(
+            c, method="dense")
+        np.testing.assert_allclose(rho_mesh, dense.rho, atol=3e-5)
+
+    def test_superop_sampling_surface(self):
+        from quantum_simulator_tpu.density import DensityMatrixSimulator
+        from quantum_simulator_tpu.models import brickwork_circuit
+
+        c = brickwork_circuit(6, 3, seed=7)
+        sim = DensityMatrixSimulator(noise_model=self._nm())
+        sup = sim.run(c, method="superop")
+        counts = sim.sample(sup, 2000, np.random.default_rng(0))
+        assert sum(counts.values()) == 2000
+        z = sup.expectation_z(2)
+        dense = sim.run(c, method="dense")
+        assert z == pytest.approx(dense.expectation_z(2), abs=1e-4)
