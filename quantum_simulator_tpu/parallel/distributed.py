@@ -255,11 +255,18 @@ def _cphase_ind_and_value(op, local_ts, global_ts, params,
     gsel = jnp.float32(1.0)
     for p in global_ts:
         gsel = gsel * ((my >> (g - 1 - p)) & 1).astype(jnp.float32)
-    idx = np.arange(1 << n_local)
-    mask = np.ones(1 << n_local, np.float32)
+    if not local_ts:
+        return gsel, v  # scalar broadcasts over the block
+    # Traced iota, NOT a numpy constant: a np mask of 2^n_local floats is
+    # baked into the program as a multi-GiB literal PER cphase item
+    # (measured: QFT-32's 34 cross-shard CPhases embedded 34 x 2 GiB of
+    # constants and OOM-killed the host); the iota + bit-test chain fuses
+    # into the block update and never materializes.
+    idx = jax.lax.iota(jnp.uint32, 1 << n_local)
+    mask = gsel
     for lp in local_ts:
-        mask *= ((idx >> (n_local - 1 - lp)) & 1).astype(np.float32)
-    return jnp.asarray(mask) * gsel, v
+        mask = mask * ((idx >> (n_local - 1 - lp)) & 1).astype(jnp.float32)
+    return mask, v
 
 
 def _apply_cphase_sharded(block, op, local_ts, global_ts, params,
