@@ -201,58 +201,6 @@ def bench_secondary():
     from quantum_simulator_tpu.simulator import Simulator
     from quantum_simulator_tpu.utils.profiling import roofline_fraction
 
-    # Large-n forward throughput (beyond the reference's 16-qubit cap and,
-    # at n=28, beyond its own 8-GiB statevector ceiling) via the
-    # group-matmul executor.
-    # n=30 exceeds the whole-state executor's HBM ceiling and runs on the
-    # chunked in-place schedule (ops/bigstate.py); short chain bounds the
-    # bench's wall clock at 2.5 s/run.
-    for n_big, chain in ((20, CHAIN_RUNS), (24, CHAIN_RUNS),
-                         (28, CHAIN_RUNS), (30, 2), (31, 2)):
-        try:
-            cdict = build_circuit_dict(n_big, 8, SEED)
-            per_run, passes, ab = bench_tpu_engine(cdict, chain)
-            frac = roofline_fraction(n_big, passes, per_run,
-                                     bytes_per_amp=ab)
-            print(f"[bench] n={n_big} depth-8 brickwork (group plan): "
-                  f"{8 / per_run:.1f} gate-layers/s "
-                  f"({per_run * 1000:.1f} ms/run, {passes} state passes, "
-                  f"{frac * 100:.0f}% of HBM roofline)", file=sys.stderr)
-        except Exception as e:
-            print(f"[bench] n={n_big} failed: {e}", file=sys.stderr)
-
-    # Complex-workload control: same brickwork with Rz mixed into every
-    # rotation column. Ry+CNOT circuits take the all-real fast path (a
-    # single f32 plane — structurally half the traffic/FLOPs); this line
-    # reports the generic complex planar path so the two regimes are
-    # never conflated in docs.
-    for n_cx, depth_cx in ((16, DEPTH), (24, 8)):
-        try:
-            cxd = build_circuit_dict(n_cx, depth_cx, SEED, mix_rz=True)
-            per_run, passes, ab = bench_tpu_engine(cxd)
-            frac = roofline_fraction(n_cx, passes, per_run, bytes_per_amp=ab)
-            print(f"[bench] n={n_cx} depth-{depth_cx} COMPLEX brickwork "
-                  f"(Ry/Rz+CNOT, planar path): {depth_cx / per_run:.1f} "
-                  f"gate-layers/s ({per_run * 1000:.2f} ms/run, {passes} "
-                  f"state passes, {frac * 100:.0f}% of HBM roofline)",
-                  file=sys.stderr)
-        except Exception as e:
-            print(f"[bench] complex n={n_cx} failed: {e}", file=sys.stderr)
-
-    # QFT: the diag-pair fusion showcase (cross-group CPhases apply as
-    # elementwise passes, never touching the MXU).
-    try:
-        from quantum_simulator_tpu.algorithms import AlgorithmTemplate
-
-        qft = AlgorithmTemplate.quantum_fourier_transform(24)
-        per_run, passes, _ = bench_tpu_engine(qft.to_dict())
-        gates = qft.gate_count()
-        print(f"[bench] QFT-24 ({gates} gates): {per_run * 1000:.1f} "
-              f"ms/run ({passes} state passes — "
-              f"{gates / per_run:.0f} gates/s)", file=sys.stderr)
-    except Exception as e:
-        print(f"[bench] QFT-24 failed: {e}", file=sys.stderr)
-
     # Noisy trajectory throughput: the regime the reference CAN reach
     # (n=10), the regimes it cannot (n=20/24, group trajectory path),
     # and the single-chip huge path (n=30, per-gate chunked executor).
@@ -310,6 +258,58 @@ def bench_secondary():
     except Exception as e:
         print(f"[bench] n=30 trajectory bench failed: {e}", file=sys.stderr)
 
+
+    # Large-n forward throughput (beyond the reference's 16-qubit cap and,
+    # at n=28, beyond its own 8-GiB statevector ceiling) via the
+    # group-matmul executor.
+    # n=30 exceeds the whole-state executor's HBM ceiling and runs on the
+    # chunked in-place schedule (ops/bigstate.py); short chain bounds the
+    # bench's wall clock at 2.5 s/run.
+    for n_big, chain in ((20, CHAIN_RUNS), (24, CHAIN_RUNS),
+                         (28, CHAIN_RUNS), (30, 2), (31, 2)):
+        try:
+            cdict = build_circuit_dict(n_big, 8, SEED)
+            per_run, passes, ab = bench_tpu_engine(cdict, chain)
+            frac = roofline_fraction(n_big, passes, per_run,
+                                     bytes_per_amp=ab)
+            print(f"[bench] n={n_big} depth-8 brickwork (group plan): "
+                  f"{8 / per_run:.1f} gate-layers/s "
+                  f"({per_run * 1000:.1f} ms/run, {passes} state passes, "
+                  f"{frac * 100:.0f}% of HBM roofline)", file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] n={n_big} failed: {e}", file=sys.stderr)
+
+    # Complex-workload control: same brickwork with Rz mixed into every
+    # rotation column. Ry+CNOT circuits take the all-real fast path (a
+    # single f32 plane — structurally half the traffic/FLOPs); this line
+    # reports the generic complex planar path so the two regimes are
+    # never conflated in docs.
+    for n_cx, depth_cx in ((16, DEPTH), (24, 8)):
+        try:
+            cxd = build_circuit_dict(n_cx, depth_cx, SEED, mix_rz=True)
+            per_run, passes, ab = bench_tpu_engine(cxd)
+            frac = roofline_fraction(n_cx, passes, per_run, bytes_per_amp=ab)
+            print(f"[bench] n={n_cx} depth-{depth_cx} COMPLEX brickwork "
+                  f"(Ry/Rz+CNOT, planar path): {depth_cx / per_run:.1f} "
+                  f"gate-layers/s ({per_run * 1000:.2f} ms/run, {passes} "
+                  f"state passes, {frac * 100:.0f}% of HBM roofline)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] complex n={n_cx} failed: {e}", file=sys.stderr)
+
+    # QFT: the diag-pair fusion showcase (cross-group CPhases apply as
+    # elementwise passes, never touching the MXU).
+    try:
+        from quantum_simulator_tpu.algorithms import AlgorithmTemplate
+
+        qft = AlgorithmTemplate.quantum_fourier_transform(24)
+        per_run, passes, _ = bench_tpu_engine(qft.to_dict())
+        gates = qft.gate_count()
+        print(f"[bench] QFT-24 ({gates} gates): {per_run * 1000:.1f} "
+              f"ms/run ({passes} state passes — "
+              f"{gates / per_run:.0f} gates/s)", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] QFT-24 failed: {e}", file=sys.stderr)
 
 def main():
     circuit_dict = build_circuit_dict(N_QUBITS, DEPTH, SEED)
