@@ -390,6 +390,42 @@ def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
 
     flush_all()
 
+    # Peephole: merge ADJACENT AxisMatmulSteps on the same axis into one
+    # composed step. Flush timing can split compositions that adjacency
+    # makes legal again — e.g. QFT interleaves each H with cross-axis
+    # CPhases, so every H flushes as its own dense pass while the diag
+    # pairs bucket elsewhere; the final step list then carries runs of
+    # 7 consecutive same-axis dense steps (QFT-30: 49 -> 31 steps).
+    # Adjacent steps compose exactly (no reordering): the merged
+    # segment's subcolumn list is the concatenation in step order.
+    per_axis: list[list[DenseSegment]] = [[] for _ in range(n_axes)]
+    for seg in dense_segments:
+        per_axis[seg.axis].append(seg)
+    resolved: list = []
+    for st in steps:
+        if isinstance(st, AxisMatmulStep):
+            seg = per_axis[st.axis][st.op_index]
+            if resolved and isinstance(resolved[-1], DenseSegment) \
+                    and resolved[-1].axis == seg.axis:
+                resolved[-1] = DenseSegment(
+                    axis=seg.axis,
+                    subcolumns=resolved[-1].subcolumns + seg.subcolumns)
+            else:
+                resolved.append(seg)
+        else:
+            resolved.append(st)
+    steps = []
+    dense_segments = []
+    counters = [0] * n_axes
+    for item in resolved:
+        if isinstance(item, DenseSegment):
+            steps.append(AxisMatmulStep(axis=item.axis,
+                                        op_index=counters[item.axis]))
+            counters[item.axis] += 1
+            dense_segments.append(item)
+        else:
+            steps.append(item)
+
     def _real(oi: int) -> bool:
         return _op_is_real(program.ops[oi])
 
