@@ -125,6 +125,20 @@ def superop_program(program: prog.CircuitProgram,
     n = program.num_qubits
     ops2: list[prog.ProgramOp] = []
     super_cache: dict = {}
+    # One conjugated builder PER DISTINCT original builder: every column
+    # twin of e.g. Rz shares it, so _GateMatrixPool (which groups
+    # parameterized ops by (gate_name, jnp_builder)) still batches all
+    # column-side constructions into one vmapped call.
+    conj_builders: dict = {}
+
+    def _conj_builder_for(builder):
+        cb = conj_builders.get(builder)
+        if cb is None:
+            def cb(*p, _b=builder):
+                return jnp.conj(_b(*p))
+            conj_builders[builder] = cb
+        return cb
+
     for op in program.ops:
         col_targets = tuple(q + n for q in op.targets)
         if op.cphase_value is not None:
@@ -138,12 +152,9 @@ def superop_program(program: prog.CircuitProgram,
                                 targets=col_targets))
         else:
             ops2.append(op)
-
-            def conj_builder(*p, _b=op.jnp_builder):
-                return jnp.conj(_b(*p))
-
             ops2.append(replace(op, targets=col_targets,
-                                jnp_builder=conj_builder))
+                                jnp_builder=_conj_builder_for(
+                                    op.jnp_builder)))
         if noise_model is not None:
             for ci, st in enumerate(
                     noise_model.kraus_stacks_for_gate(op.gate_name)):

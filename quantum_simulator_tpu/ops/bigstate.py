@@ -244,15 +244,10 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
             step, (facs, cre, cim) = items[i][1], items[i][2]
             ax = max(step.axes, key=lambda k: shape_d[k])
             fpos = step.axes.index(ax)
+            from .plan import make_prodslice_fn
 
-            def prod_fn(blk, start, facs=facs, cre=cre, cim=cim,
-                        step=step, ax=ax, fpos=fpos):
-                fsl = list(facs)
-                fsl[fpos] = jax.lax.dynamic_slice_in_dim(
-                    facs[fpos], start, blk.shape[ax + lead])
-                return apply_prod_diag(blk, tuple(fsl), cre, cim,
-                                       rank, step.axes, planar)
-
+            prod_fn = make_prodslice_fn(facs, cre, cim, rank, step.axes,
+                                        planar, ax, fpos, lead)
             x = _chunked_pass(x, set(step.axes) - {ax}, n_chunks,
                               prod_fn, lead=lead, pass_start=True)
             i += 1
@@ -870,12 +865,15 @@ def huge_step_marginals_fn(program, dtype=None) -> tuple[Callable, int]:
     dtype = dtype or CONFIG.dtype
     full_plan = get_group_plan(program)
     planar = not full_plan.all_real
-    cols = sorted({op.column_index for op in program.ops})
-    col_programs = [_column_program(program, c) for c in cols]
+    # One snapshot per program column INCLUDING op-free (Measure/Barrier
+    # -only) columns, matching the dense steps_fn positional semantics:
+    # an op-free column re-emits the previous marginals.
+    col_programs = [_column_program(program, c)
+                    for c in range(program.num_columns)]
     key_t = ("huge-steps", program.compile_key, str(dtype))
     cached = _FWD_CACHE.get(key_t)
     if cached is not None:
-        return cached, len(cols)
+        return cached, program.num_columns
     n_chunks = auto_chunks(program.num_qubits, planar=planar)
 
     def body(params):
@@ -885,6 +883,9 @@ def huge_step_marginals_fn(program, dtype=None) -> tuple[Callable, int]:
             x = _real_basis_state(full_plan.layout, program.initial_index)
         outs = [state_axis_marginals(x, planar)]
         for cp in col_programs:
+            if not cp.ops:
+                outs.append(outs[-1])
+                continue
             plan_c = get_group_plan(cp)
             operands = build_group_operands(cp, plan_c, params, dtype)
             if n_chunks > 1:
@@ -900,7 +901,7 @@ def huge_step_marginals_fn(program, dtype=None) -> tuple[Callable, int]:
         return tuple(outs)
 
     cached = _cache_put(_FWD_CACHE, key_t, jax.jit(body))
-    return cached, len(cols)
+    return cached, program.num_columns
 
 
 class PlanarStateVector:
@@ -984,24 +985,11 @@ class PlanarStateVector:
         states — see ``huge_forward_fn``); otherwise computes them with
         one fused-reduction dispatch. Computed once and cached on the
         instance (the state is immutable)."""
-        import numpy as np
-
-        from .plan import GroupLayout
-
         cached = getattr(self, "_qp_cache", None)
         if cached is not None:
             return cached
-        marg = self._get_marginals()
-        layout = GroupLayout.for_qubits(self._num_qubits)
-        p1 = np.empty(self._num_qubits)
-        for q in range(self._num_qubits):
-            ax = layout.axis_of(q)
-            pos = layout.pos_in_axis(q)
-            bit = layout.axis_bits[ax] - 1 - pos  # from LSB of axis index
-            idx = (np.arange(layout.axis_sizes[ax]) >> bit) & 1
-            p1[q] = marg[ax][idx == 1].sum()
-        total = marg[0].sum()
-        self._qp_cache = p1 / total if total > 0 else p1
+        self._qp_cache = qubit_probs_from_marginals(
+            self._get_marginals(), self._num_qubits)
         return self._qp_cache
 
     def _get_marginals(self):

@@ -56,6 +56,10 @@ from .plan import (
     _real_basis_state,
     _split_axis_bit,
     apply_prod_diag,
+    cross_blocked_tensor,
+    cross_blocks,
+    make_prodslice_fn,
+    reorder_gate_targets,
 )
 from .bigstate import _chunk_axis
 
@@ -305,8 +309,8 @@ def _axis_applier(layout: GroupLayout, targets, planar: bool):
     spec = _dense_spec(rank, ax, not planar, planar)
 
     def make(u):
-        full = _embed_in_axis(_reorder_targets(u, targets, qubits), pos,
-                              bits)
+        full = _embed_in_axis(reorder_gate_targets(u, targets, qubits),
+                              pos, bits)
         if planar:
             opnd = _blocked(jnp.real(full).astype(_F32),
                             jnp.imag(full).astype(_F32), axis=0)
@@ -343,12 +347,9 @@ def _cross_applier(layout: GroupLayout, targets, planar: bool):
     lead = 1 if planar else 0
 
     def make(u):
-        u4 = _reorder_targets(u, targets, [slice_q] + op_qs).reshape(
+        u4 = reorder_gate_targets(u, targets, [slice_q] + op_qs).reshape(
             2, gl, 2, gl)
-        blocks = [[_embed_in_axis(u4[i, :, kk, :], pos, bits)
-                   for kk in (0, 1)] for i in (0, 1)]
-        C = jnp.stack([jnp.stack(row, axis=0) for row in blocks], axis=0)
-        C = C.transpose(0, 2, 1, 3)  # (i, y, k, x)
+        C = cross_blocked_tensor(cross_blocks(u4, pos, bits))
         if planar:
             opnd = _blocked(jnp.real(C).astype(_F32),
                             jnp.imag(C).astype(_F32), axis=0)
@@ -370,18 +371,6 @@ def _cross_applier(layout: GroupLayout, targets, planar: bool):
         return f
 
     return make, {slice_axis, op_axis}
-
-
-def _reorder_targets(u, targets, qubit_order):
-    """Permute a 2^k gate matrix from ``targets`` order to ``qubit_order``
-    (first qubit = most significant bit of the matrix index)."""
-    k = len(targets)
-    order = [list(targets).index(q) for q in qubit_order]
-    if order == list(range(k)):
-        return u
-    g = u.reshape((2,) * (2 * k))
-    perm = tuple(order) + tuple(k + i for i in order)
-    return g.transpose(perm).reshape(1 << k, 1 << k)
 
 
 def _bits_applier(layout: GroupLayout, targets, planar: bool):
@@ -459,14 +448,8 @@ def _prod_applier(layout: GroupLayout, targets, v: complex, planar: bool,
         return f, set(axes_t), False
     ax = max(axes_t, key=lambda a: shape[a])
     fpos = axes_t.index(ax)
-
-    def f(blk, start):
-        fsl = list(facs)
-        fsl[fpos] = jax.lax.dynamic_slice_in_dim(facs[fpos], start,
-                                                 blk.shape[ax + lead])
-        return apply_prod_diag(blk, tuple(fsl), cre, cim, rank, axes_t,
-                               planar)
-
+    f = make_prodslice_fn(facs, cre, cim, rank, axes_t, planar, ax, fpos,
+                          lead)
     return f, set(axes_t) - {ax}, True
 
 
@@ -950,6 +933,11 @@ def huge_trajectory_sample_fn(program, noise_model, shots: int,
     fresh keys. ``basis`` rotates before sampling (keep_state=False
     only)."""
     dtype = dtype or CONFIG.dtype
+    if shots <= 0 and not keep_state:
+        raise ValueError(
+            "shots=0 with keep_state=False would evolve the trajectory "
+            "and return nothing; pass keep_state=True (state+marginals) "
+            "or use huge_trajectory_gram_fn for ensemble reductions")
     planar = not trajectory_is_real(program, noise_model)
 
     def run(params, traj_key, sample_key):

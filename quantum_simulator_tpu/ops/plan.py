@@ -499,14 +499,20 @@ class _GateMatrixPool:
         self._per_op: dict[int, jnp.ndarray] = {}
         self._lazy: dict[int, tuple] = {}
 
-        by_name: dict[str, list[int]] = {}
+        # Grouping key includes the builder: ops sharing a name can carry
+        # DIFFERENT builders (density.superop_program emits conjugated
+        # column-side twins under the original gate_name so realness /
+        # diagonal classification still applies); batching by name alone
+        # would build the column ops with the row builder.
+        by_name: dict[tuple, list[int]] = {}
         static_cache: dict[bytes, jnp.ndarray] = {}
         static_1q: dict[bytes, tuple[np.ndarray, int]] = {}
         for oi, op in enumerate(program.ops):
             if op.cphase_value is not None:
                 continue  # matrix-less wide diagonal: DiagProductStep only
             if op.static_matrix is None and op.num_params > 0:
-                by_name.setdefault(op.gate_name, []).append(oi)
+                by_name.setdefault((op.gate_name, op.jnp_builder),
+                                   []).append(oi)
             else:
                 key = op.static_matrix.tobytes()
                 mat = static_cache.get(key)
@@ -638,6 +644,48 @@ def _blocked(re: jnp.ndarray, im: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     return jnp.stack([row0, row1], axis=axis)
 
 
+def reorder_gate_targets(u, targets, qubit_order):
+    """Permute a 2^k gate matrix from ``targets`` order to ``qubit_order``
+    (first qubit = most significant bit of the matrix index)."""
+    k = len(targets)
+    order = [list(targets).index(q) for q in qubit_order]
+    if order == list(range(k)):
+        return u
+    g = u.reshape((2,) * (2 * k))
+    perm = tuple(order) + tuple(k + i for i in order)
+    return g.transpose(perm).reshape(1 << k, 1 << k)
+
+
+def cross_blocks(u4, pos, bits):
+    """2x2 nested list of (S, S) axis-embedded blocks of a cross gate:
+    ``u4`` is the (2, gl, 2, gl) matrix with the SLICED bit leading on
+    both sides; entry [i][kk] acts on the op axis within sliced-bit
+    sector (out=i, in=kk)."""
+    return [[_embed_in_axis(u4[i, :, kk, :], pos, bits)
+             for kk in (0, 1)] for i in (0, 1)]
+
+
+def cross_blocked_tensor(blocks):
+    """Stack cross blocks into the executor's complex (i, y, k, x) tensor
+    (the single place that owns this axis convention)."""
+    C = jnp.stack([jnp.stack(row, axis=0) for row in blocks], axis=0)
+    return C.transpose(0, 2, 1, 3)
+
+
+def make_prodslice_fn(facs, cre, cim, rank, axes, planar, ax, fpos, lead):
+    """``f(blk, start)`` applying a controlled-phase-form diagonal to a
+    state chunk sliced along involved axis ``ax``: the indicator factor
+    at ``fpos`` is sliced alongside the chunk via the start hook (shared
+    by the chunked ideal and trajectory executors)."""
+    def f(blk, start):
+        fsl = list(facs)
+        fsl[fpos] = jax.lax.dynamic_slice_in_dim(facs[fpos], start,
+                                                 blk.shape[ax + lead])
+        return apply_prod_diag(blk, tuple(fsl), cre, cim, rank, axes,
+                               planar)
+    return f
+
+
 def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
                          params, dtype):
     """Trace-time operator construction: per-axis blocked stacks
@@ -697,20 +745,13 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
         op_qs = sorted((q for q in op.targets
                         if layout.axis_of(q) == spec.op_axis),
                        key=lambda q: layout.pos_in_axis(q))
-        u = pool.matrix(spec.op_index)
-        k = len(op.targets)
-        order = [op.targets.index(slice_q)] + [op.targets.index(q)
-                                               for q in op_qs]
-        if order != list(range(k)):
-            g = u.reshape((2,) * (2 * k))
-            perm = tuple(order) + tuple(k + i for i in order)
-            u = g.transpose(perm).reshape(1 << k, 1 << k)
+        u = reorder_gate_targets(pool.matrix(spec.op_index), op.targets,
+                                 [slice_q] + op_qs)
         gl = 1 << len(op_qs)
         u4 = u.reshape(2, gl, 2, gl)
         pos = tuple(layout.pos_in_axis(q) for q in op_qs)
         bits = layout.axis_bits[spec.op_axis]
-        blocks = [[_embed_in_axis(u4[i, :, kk, :], pos, bits)
-                   for kk in (0, 1)] for i in (0, 1)]
+        blocks = cross_blocks(u4, pos, bits)
         if spec.pre_slice_ops:
             # every folded slice op is a 1q gate on the sliced bit:
             # B'_ik = sum_j B_ij us_jk with us = product (in order)
@@ -729,9 +770,7 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
                 m = sc if m is None else jnp.matmul(sc, m, precision=_HI)
             blocks = [[jnp.matmul(blocks[i][kk], m, precision=_HI)
                        for kk in (0, 1)] for i in (0, 1)]
-        # (i, y, k, x) complex
-        C = jnp.stack([jnp.stack(row, axis=0) for row in blocks], axis=0)
-        C = C.transpose(0, 2, 1, 3)
+        C = cross_blocked_tensor(blocks)
         cross_ops.append(_blocked(jnp.real(C).astype(_F32),
                                   jnp.imag(C).astype(_F32), axis=0))
 

@@ -468,13 +468,17 @@ class Simulator:
         if s_max > 0:
             fn, _ = huge_trajectory_sample_fn(
                 program, self._noise_model, s_max, keep_state=False)
-            remaining = shots
-            for _ in range(T):
+            # Spread shots across ALL T trajectories (first `extra` take
+            # one more) — never launch a multi-second whole-state chain
+            # whose draws would all be discarded.
+            base, extra = divmod(shots, T)
+            for i in range(T):
+                take = base + (1 if i < extra else 0)
+                if take == 0:
+                    break
                 tk = _key_from_rng(rng)
                 sk = _key_from_rng(rng)
                 idx = np.asarray(fn(params, tk, sk))
-                take = min(s_max, remaining)
-                remaining -= take
                 all_idx.append(idx[:take])
         counts: dict[str, int] = {}
         if all_idx:

@@ -204,6 +204,35 @@ class TestSuperopRoute:
         sup = sim.run(c, method="superop")
         np.testing.assert_allclose(sup.rho, dense.rho, atol=2e-5)
 
+    def test_superop_group_executor_conjugates_param_gates(self):
+        # Regression: the group-matmul pool batches parameterized ops by
+        # (gate_name, builder); the superop program's column-side twins
+        # share the row gate_name but carry a CONJUGATED builder. Keying
+        # by name alone built conj(U) ops with the row builder, evolving
+        # vec(rho) under U (x) U instead of U (x) conj(U) (0.34 max rho
+        # error for H+Rz). Drive the group executor directly — the dense
+        # CPU route uses the per-gate body and cannot catch this.
+        from quantum_simulator_tpu.circuit import GateInstance, QuantumCircuit
+        from quantum_simulator_tpu.density import (
+            DensityMatrixSimulator,
+            superop_program,
+        )
+        from quantum_simulator_tpu.ops import program as prog_mod
+        from quantum_simulator_tpu.ops.plan import group_forward_fn
+
+        import jax.numpy as jnp
+
+        c = QuantumCircuit(2)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        c.add_gate(GateInstance("H", [1], [], column=0))
+        c.add_gate(GateInstance("Rz", [0], [0.7], column=1))
+        c.add_gate(GateInstance("Rx", [1], [0.3], column=1))
+        p2 = superop_program(prog_mod.compile_circuit(c))
+        vec = group_forward_fn(p2)(jnp.asarray(p2.initial_params))
+        rho_group = np.asarray(vec).reshape(4, 4)
+        dense = DensityMatrixSimulator().run(c, method="dense")
+        np.testing.assert_allclose(rho_group, dense.rho, atol=2e-5)
+
     def test_superop_on_sharded_mesh(self):
         # n=10 exact DM as a 20-qubit sharded run over the virtual mesh:
         # the n=16 (32-qubit) mesh recipe at test scale.
