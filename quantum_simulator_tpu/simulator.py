@@ -18,6 +18,7 @@ becomes a single device launch.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Generator
 
 import jax
@@ -65,22 +66,42 @@ def _traj_chunk_size(dim: int, n_kraus_branches: int = 4) -> int:
     return 1 << (chunk.bit_length() - 1)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _traj_acc_update(acc, chunk, start):
+    """Write a trajectory chunk into the (donated) accumulator in place —
+    never holds all chunks PLUS a concatenated copy (2x batch bytes, the
+    n=24 batch-64 OOM)."""
+    return jax.lax.dynamic_update_slice(acc, chunk, (start, 0))
+
+
 def run_batched_trajectories(traj_fn, params, keys: jax.Array,
                              dim: int) -> jnp.ndarray:
     """Evaluate a vmapped trajectory fn over many keys with fixed-shape
-    chunks (last chunk padded) to avoid HBM blowups and recompiles."""
+    chunks to avoid HBM blowups and recompiles. Chunks are written into
+    one donated accumulator: peak = batch + one chunk (+ its temps)."""
     total = keys.shape[0]
     chunk = min(_traj_chunk_size(dim), total)
     if chunk == total:
         return traj_fn(params, keys)
-    n_chunks = -(-total // chunk)
-    pad = n_chunks * chunk - total
-    if pad:
-        keys = jnp.concatenate([keys, keys[:pad]])
-    outs = [traj_fn(params, keys[i * chunk:(i + 1) * chunk])
-            for i in range(n_chunks)]
-    states = jnp.concatenate(outs)
-    return states[:total] if pad else states
+    n_chunks = total // chunk  # full chunks; remainder handled below
+    # Accumulator must be created INSIDE a jit: eager complex zeros DMAs
+    # a host constant, and complex DMA is unimplemented on the axon TPU
+    # runtime (utils/xfer.py).
+    acc = jax.jit(jnp.zeros, static_argnums=(0, 1))((total, dim),
+                                                    CONFIG.dtype)
+    for i in range(n_chunks):
+        out = traj_fn(params, keys[i * chunk:(i + 1) * chunk])
+        acc = _traj_acc_update(acc, out, jnp.int32(i * chunk))
+    rem = total - n_chunks * chunk
+    if rem:
+        # One extra fixed-shape launch over the LAST `chunk` keys (keys
+        # overlapping already-written rows produce identical states and
+        # are sliced off) — same per-key results as exact chunking,
+        # without a second compiled shape for the trajectory fn.
+        out = traj_fn(params, keys[total - chunk:])
+        acc = _traj_acc_update(acc, out[chunk - rem:],
+                               jnp.int32(total - rem))
+    return acc
 
 
 def _is_huge(circuit: QuantumCircuit) -> bool:

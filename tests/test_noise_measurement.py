@@ -228,3 +228,31 @@ def test_noise_model_introspection():
     nm2 = NoiseModel()
     nm2.set_readout_error(ReadoutError(0.01, 0.01))
     assert nm2.has_noise()
+
+
+def test_run_batched_trajectories_chunked_accumulator(monkeypatch):
+    # Force the chunked path (chunk=4 over 10 keys -> 2 full chunks +
+    # remainder 2 via the overlapping last-chunk launch) and check per-key
+    # results match the unchunked evaluation exactly.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quantum_simulator_tpu import simulator as sim_mod
+
+    dim = 8
+
+    def traj_fn(params, keys):
+        vals = jax.vmap(
+            lambda k: jax.random.uniform(k, (dim,)).astype(jnp.complex64)
+        )(keys)
+        return vals
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 10)
+    full = traj_fn(None, keys)
+    monkeypatch.setattr(sim_mod, "_traj_chunk_size", lambda d, k=4: 4)
+    out = sim_mod.run_batched_trajectories(traj_fn, None, keys, dim)
+    np.testing.assert_allclose(np.asarray(out.real),
+                               np.asarray(full.real), atol=0)
+    np.testing.assert_allclose(np.asarray(out.imag),
+                               np.asarray(full.imag), atol=0)
