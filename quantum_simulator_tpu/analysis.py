@@ -304,6 +304,29 @@ class StateAnalysis:
                                               [qubit])
         return float(np.real(val))
 
+    @staticmethod
+    def pauli_string_expectation(state, qubits: list[int],
+                                 paulis: str) -> float:
+        """<prod_i P_i> for a mixed X/Y/Z string on ANY state type: dense
+        ``StateVector`` (observable built as the 2^k kron, applied via
+        the gate trick) or n >= 30 ``PlanarStateVector`` (chunked signed-
+        permutation reduction — no state copy or rotation)."""
+        if hasattr(state, "expectation_pauli_string"):
+            return state.expectation_pauli_string(qubits, paulis)
+        paulis = paulis.upper()
+        if len(paulis) != len(qubits):
+            raise ValueError(
+                f"{len(qubits)} qubits but {len(paulis)} Paulis")
+        if any(p not in _PAULI for p in paulis):
+            raise ValueError(f"Paulis must be X/Y/Z, got {paulis!r}")
+        if not qubits:
+            return 1.0
+        obs = np.array([[1.0]], dtype=np.complex128)
+        for p in paulis:
+            obs = np.kron(obs, _PAULI[p])
+        val = StateAnalysis.expectation_value(state, obs, list(qubits))
+        return float(np.real(val))
+
 
 def _obs_to_device(observable, dtype):
     from .utils.xfer import to_device_complex

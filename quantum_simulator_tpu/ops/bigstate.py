@@ -364,6 +364,104 @@ def state_axis_marginals(x: jnp.ndarray, planar: bool
 _ZSTRING_CACHE: dict[tuple, Callable] = {}
 
 
+def _paulistring_fn(state_shape: tuple[int, ...], planar: bool,
+                    perm_masks: tuple[tuple[int, int], ...],
+                    sign_axes: tuple[int, ...], n_chunks: int,
+                    entry_format=None) -> Callable:
+    """Cached jitted ``f(x, *sign_vecs) -> (re, im)`` computing the inner
+    sum of a general Pauli-string expectation,
+
+        S = sum_j conj(x[j ^ mask]) * prod_ax sign_ax(j_ax) * x[j],
+
+    as a read-only chunked pass (peak = state + a few chunk temps; the
+    permuted copy is built PER CHUNK, never whole-state). ``perm_masks``
+    is ((axis, xor_mask), ...) for axes carrying X/Y bits; ``sign_axes``
+    orders the sign-vector operands ((-1)^parity of that axis's Z/Y
+    bits). The chunk axis is chosen free of permutations (sign-only axes
+    chunk fine — their vector slices alongside the state)."""
+    key = (state_shape, planar, perm_masks, sign_axes, n_chunks,
+           repr(entry_format))
+    cached = _ZSTRING_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lead = 1 if planar else 0
+    rank = len(state_shape) - lead
+    shape = state_shape[lead:]
+    perm_ax_set = {ax for ax, _ in perm_masks}
+    # Chunk axis: non-minor, >= 4 wide, no permuted bits (Z-only fine).
+    chunk_ax = None
+    if n_chunks > 1:
+        cands = [a for a in range(rank - 1)
+                 if a not in perm_ax_set and shape[a] >= 4]
+        if cands:
+            chunk_ax = max(cands, key=lambda a: shape[a])
+
+    def _inner(blk, sliced_vecs):
+        # j -> j ^ mask along an axis is a reversal of that axis's masked
+        # BIT dimensions: reshape the axis to (2,)*bits, jnp.flip the
+        # masked ones, reshape back. Pure XLA `reverse` — no gather (a
+        # 4 GiB take() blew up remote compile at n=30).
+        t = blk
+        for ax, mask in perm_masks:
+            bits = shape[ax].bit_length() - 1
+            tax = ax + lead
+            expanded = (t.shape[:tax] + (2,) * bits
+                        + t.shape[tax + 1:])
+            flip_dims = tuple(tax + b for b in range(bits)
+                              if (mask >> (bits - 1 - b)) & 1)
+            t = jnp.flip(t.reshape(expanded), axis=flip_dims)
+            t = t.reshape(blk.shape)
+        if planar:
+            pr = t[0] * blk[0] + t[1] * blk[1]
+            pi = t[0] * blk[1] - t[1] * blk[0]
+        else:
+            pr = t * blk
+            pi = None
+        for ax, v in zip(sign_axes, sliced_vecs):
+            vshape = [1] * rank
+            vshape[ax] = v.shape[0]
+            pr = pr * v.reshape(vshape)
+            if pi is not None:
+                pi = pi * v.reshape(vshape)
+        return jnp.sum(pr), (jnp.sum(pi) if pi is not None
+                             else jnp.zeros((), pr.dtype))
+
+    def body(x, *vecs):
+        if chunk_ax is None:
+            return _inner(x, vecs)
+        size = shape[chunk_ax]
+        chunks = min(n_chunks, size)
+        width = size // chunks
+        tax = chunk_ax + lead
+        sizes = x.shape[:tax] + (width,) + x.shape[tax + 1:]
+        acc_re = jnp.zeros((), jnp.float32)
+        acc_im = jnp.zeros((), jnp.float32)
+        for i in range(chunks):
+            starts = [0] * x.ndim
+            starts[tax] = i * width
+            blk = jax.lax.dynamic_slice(x, starts, sizes)
+            sliced = [
+                (jax.lax.dynamic_slice_in_dim(v, i * width, width)
+                 if ax == chunk_ax else v)
+                for ax, v in zip(sign_axes, vecs)]
+            r, m = _inner(blk, sliced)
+            acc_re = acc_re + r
+            acc_im = acc_im + m
+        return acc_re, acc_im
+
+    kw = {}
+    if entry_format is not None:
+        from jax.experimental.layout import Format
+
+        kw = {"in_shardings": (entry_format,)
+              + tuple(Format() for _ in sign_axes)}
+    fn = jax.jit(body, **kw)
+    if len(_ZSTRING_CACHE) > 64:
+        _ZSTRING_CACHE.pop(next(iter(_ZSTRING_CACHE)))
+    _ZSTRING_CACHE[key] = fn
+    return fn
+
+
 def _zstring_fn(state_shape: tuple[int, ...], planar: bool,
                 axes: tuple[int, ...], entry_format=None) -> Callable:
     """Cached jitted ``f(x, *parity_vecs) -> scalar`` computing
@@ -1071,6 +1169,67 @@ class PlanarStateVector:
         num = float(np.asarray(fn(self._state, *vecs)))
         total = float(self._get_marginals()[0].sum())
         return num / total if total > 0 else 0.0
+
+    def expectation_pauli_string(self, qubits, paulis: str) -> float:
+        """<prod_i P_i on qubit_i> for any mixed X/Y/Z string — the
+        general Hamiltonian-term expectation at n >= 30 (transverse-field
+        terms etc.). Evaluated WITHOUT rotating or copying the state:
+        the string is a signed permutation, so
+
+            <P> = Re[ i^k * sum_j conj(x[j ^ mask]) sign(j) x[j] ]
+
+        with k = number of Y's; the sum runs as one chunked read-only
+        pass (permuted copy built per chunk). For an all-real state an
+        odd-Y string is exactly 0 (psi^T A psi = 0 for antisymmetric A).
+        Reference anchor: arbitrary-observable expectations,
+        ``/root/reference/quantum_sim/engine/analysis.py:222-248``."""
+        import numpy as np
+
+        from .plan import GroupLayout
+
+        qubits = [int(q) for q in qubits]
+        paulis = paulis.upper()
+        if len(paulis) != len(qubits):
+            raise ValueError(
+                f"{len(qubits)} qubits but {len(paulis)} Paulis")
+        if len(set(qubits)) != len(qubits):
+            raise ValueError(f"duplicate qubits in {qubits}")
+        if any(p not in "XYZ" for p in paulis):
+            raise ValueError(f"Paulis must be X/Y/Z, got {paulis!r}")
+        if not qubits:
+            return 1.0
+        if min(qubits) < 0 or max(qubits) >= self._num_qubits:
+            raise ValueError(
+                f"qubits {qubits} out of range for n={self._num_qubits}")
+        if all(p == "Z" for p in paulis):
+            return self.expectation_z_string(qubits)
+        k = sum(1 for p in paulis if p == "Y")
+        if not self._planar and k % 2 == 1:
+            return 0.0
+        layout = GroupLayout.for_qubits(self._num_qubits)
+        perm_by_axis: dict[int, int] = {}
+        sign_by_axis: dict[int, list[int]] = {}
+        for q, p in zip(qubits, paulis):
+            ax = layout.axis_of(q)
+            bit = 1 << (layout.axis_bits[ax] - 1 - layout.pos_in_axis(q))
+            if p in "XY":
+                perm_by_axis[ax] = perm_by_axis.get(ax, 0) ^ bit
+            if p in "ZY":
+                sign_by_axis.setdefault(ax, []).append(q)
+        perm_masks = tuple(sorted(
+            (ax, m) for ax, m in perm_by_axis.items() if m))
+        sign_axes = tuple(sorted(sign_by_axis))
+        vecs = [jnp.asarray(self._axis_parity_vector(layout, ax,
+                                                     sign_by_axis[ax]))
+                for ax in sign_axes]
+        n_chunks = auto_chunks(self._num_qubits, planar=self._planar)
+        fn = _paulistring_fn(self._state.shape, self._planar, perm_masks,
+                             sign_axes, n_chunks, self._entry_format)
+        s_re, s_im = (float(np.asarray(v))
+                      for v in fn(self._state, *vecs))
+        e = ((s_re, -s_im, -s_re, s_im)[k % 4])
+        total = float(self._get_marginals()[0].sum())
+        return e / total if total > 0 else 0.0
 
     def amplitude(self, index: int) -> complex:
         """One basis amplitude (device gather, two floats to host)."""

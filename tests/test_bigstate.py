@@ -326,3 +326,76 @@ class TestHugeSampling:
             assert False
         except ValueError as e:
             assert "record_steps" in str(e)
+
+
+class TestPauliStringExpectation:
+    def test_matches_dense_gate_trick(self):
+        # Mixed X/Y/Z strings on planar and all-real states vs the dense
+        # engine's kron-observable expectation; odd-Y on a real state is
+        # exactly 0 (psi^T A psi = 0).
+        from quantum_simulator_tpu.analysis import StateAnalysis
+        from quantum_simulator_tpu.ops.bigstate import (
+            PlanarStateVector,
+            huge_forward_fn,
+        )
+        from quantum_simulator_tpu.state import StateVector
+
+        strings = [
+            ([3], "X"), ([4], "Y"), ([0, 9], "XZ"), ([0, 9], "YY"),
+            ([2, 5], "XY"), ([0, 4, 9], "XYZ"), ([1, 2, 8], "YYX"),
+            ([0, 3, 6, 9], "XZXY"), ([5], "Z"), ([0, 5, 9], "ZZZ"),
+        ]
+        for add_t in (False, True):
+            c = brickwork_circuit(10, 4, seed=11)
+            if add_t:
+                col = max(g.column for g in c.gates) + 1
+                for q in range(10):
+                    c.add_gate(GateInstance("T", [q], [], column=col))
+            p = prog.compile_circuit(c)
+            fn, planar = huge_forward_fn(p)
+            x, marg = fn(jnp.asarray(p.initial_params))
+            sv = PlanarStateVector(x, 10, planar=planar,
+                                   axis_marginals=marg)
+            dense_arr = np.asarray(prog.forward_fn(p)(
+                jnp.asarray(p.initial_params)))
+            dense = StateVector.from_device_array(
+                jnp.asarray(dense_arr), 10)
+            for qs, ps in strings:
+                got = sv.expectation_pauli_string(qs, ps)
+                want = StateAnalysis.pauli_string_expectation(
+                    dense, qs, ps)
+                if not planar and ps.count("Y") % 2 == 1:
+                    assert got == 0.0
+                    assert abs(want) < 1e-5, (qs, ps, want)
+                else:
+                    np.testing.assert_allclose(
+                        got, want, atol=2e-5,
+                        err_msg=f"{qs} {ps} planar={planar}")
+
+    def test_unified_entry_and_validation(self):
+        import pytest
+
+        from quantum_simulator_tpu.analysis import StateAnalysis
+        from quantum_simulator_tpu.ops.bigstate import (
+            PlanarStateVector,
+            huge_forward_fn,
+        )
+
+        c = brickwork_circuit(10, 3, seed=4)
+        p = prog.compile_circuit(c)
+        fn, planar = huge_forward_fn(p)
+        x, marg = fn(jnp.asarray(p.initial_params))
+        sv = PlanarStateVector(x, 10, planar=planar, axis_marginals=marg)
+        # delegation: StateAnalysis routes PlanarStateVector to the
+        # chunked reduction
+        assert StateAnalysis.pauli_string_expectation(sv, [0, 9], "ZZ") \
+            == pytest.approx(sv.expectation_z_string([0, 9]), abs=1e-7)
+        assert sv.expectation_pauli_string([], "") == 1.0
+        with pytest.raises(ValueError):
+            sv.expectation_pauli_string([0, 1], "X")
+        with pytest.raises(ValueError):
+            sv.expectation_pauli_string([0, 0], "XX")
+        with pytest.raises(ValueError):
+            sv.expectation_pauli_string([0], "Q")
+        with pytest.raises(ValueError):
+            sv.expectation_pauli_string([77], "X")

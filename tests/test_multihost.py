@@ -103,3 +103,25 @@ class TestGroupedShardPath:
         assert sim.expectation_z(st, 0) == pytest.approx(-1.0, abs=1e-6)
         assert sim.expectation_z(st, 15) == pytest.approx(0.0, abs=1e-6)
         assert sim.expectation_z(st, 5) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_host_major_bit_to_link_mapping():
+    """The DCN claim, bit-level: with a host-major device order and
+    power-of-two per-host factor, the partner of device d under a
+    device-index-bit-k qubit exchange (d XOR (1 << (D-1-k)) for D device
+    bits, bit 0 = most significant) crosses a host boundary iff
+    k < log2(n_hosts) — i.e. only the LOW-index (rare) qubit swaps ride
+    DCN, every other exchange stays on ICI."""
+    from quantum_simulator_tpu.parallel.multihost import amp_axis_split
+
+    n_devices, n_hosts = 8, 2
+    dcn, ici = amp_axis_split(n_devices, n_hosts)
+    assert (dcn, ici) == (2, 4)
+    D = n_devices.bit_length() - 1  # 3 device bits
+    host_of = [d // ici for d in range(n_devices)]  # host-major order
+    for k in range(D):
+        mask = 1 << (D - 1 - k)
+        crosses = {host_of[d] != host_of[d ^ mask]
+                   for d in range(n_devices)}
+        assert crosses == ({True} if k < (dcn.bit_length() - 1)
+                           else {False}), (k, crosses)
