@@ -366,3 +366,45 @@ class TestShardedNoise:
         state = dist.run(c)
         assert dist.expectation_z(state, 0) == pytest.approx(-1.0, abs=1e-5)
         assert dist.expectation_z(state, 1) == pytest.approx(1.0, abs=1e-5)
+
+
+class TestShardedPauliString:
+    def test_matches_dense_gate_trick(self):
+        # Strings with X/Y on DEVICE-index qubits (ppermute partner
+        # exchange), local qubits, and both mixed — vs the dense engine.
+        from quantum_simulator_tpu.analysis import StateAnalysis
+        from quantum_simulator_tpu.models import brickwork_circuit
+        from quantum_simulator_tpu.ops import program as prog_mod
+        from quantum_simulator_tpu.state import StateVector
+
+        c = brickwork_circuit(10, 4, seed=13)
+        # complex amplitudes so Im parts are exercised
+        from quantum_simulator_tpu.circuit import GateInstance
+
+        col = max(g.column for g in c.gates) + 1
+        for q in range(0, 10, 3):
+            c.add_gate(GateInstance("T", [q], [], column=col))
+        sim = DistributedSimulator(n_devices=8)
+        st = sim.run(c)
+        import jax.numpy as jnp
+
+        p = prog_mod.compile_circuit(c)
+        dense = StateVector.from_device_array(
+            prog_mod.forward_fn(p)(jnp.asarray(p.initial_params)), 10)
+        strings = [
+            ([0], "X"), ([1], "Y"), ([2], "Z"),          # device bits
+            ([7], "X"), ([8], "Y"),                      # local bits
+            ([0, 9], "XX"), ([0, 9], "YY"), ([1, 5], "YX"),
+            ([0, 1, 2], "XYZ"), ([2, 6, 9], "ZXY"),
+            ([0, 4, 9], "ZZZ"), ([0, 3, 5, 8], "XYXY"),
+        ]
+        for qs, ps in strings:
+            got = sim.expectation_pauli_string(st, qs, ps)
+            want = StateAnalysis.pauli_string_expectation(dense, qs, ps)
+            np.testing.assert_allclose(got, want, atol=2e-5,
+                                       err_msg=f"{qs} {ps}")
+        assert sim.expectation_pauli_string(st, [], "") == 1.0
+        # Z-only agrees with expectation_z
+        np.testing.assert_allclose(
+            sim.expectation_pauli_string(st, [4], "Z"),
+            sim.expectation_z(st, 4), atol=1e-6)
