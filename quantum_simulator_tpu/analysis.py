@@ -327,6 +327,19 @@ class StateAnalysis:
         val = StateAnalysis.expectation_value(state, obs, list(qubits))
         return float(np.real(val))
 
+    @staticmethod
+    def hamiltonian_expectation(state, terms) -> float:
+        """<H> for H = sum_t coeff_t * prod_i P_i: ``terms`` is a list of
+        ``(coeff, qubits, paulis)`` triples (e.g. a transverse-field
+        Ising energy ``[(-J, [i, i+1], "ZZ"), ..., (-h, [i], "X"),
+        ...]``). Works on dense StateVector and n >= 30
+        PlanarStateVector alike — each term is one expectation pass."""
+        total = 0.0
+        for coeff, qubits, paulis in terms:
+            total += float(coeff) * StateAnalysis.pauli_string_expectation(
+                state, list(qubits), paulis)
+        return total
+
 
 def _obs_to_device(observable, dtype):
     from .utils.xfer import to_device_complex

@@ -201,3 +201,42 @@ class TestBenchmarkAnalysis:
         # Noiseless: heavy output prob is always > 2/3 -> passes all widths
         assert qv["log2_qv"] == 3
         assert qv["quantum_volume"] == 8
+
+
+def test_hamiltonian_expectation_tfim():
+    # TFIM energy on a small dense state vs explicit matrix expectation.
+    import numpy as np
+
+    from quantum_simulator_tpu import GateInstance, QuantumCircuit, Simulator
+    from quantum_simulator_tpu.analysis import StateAnalysis
+
+    n = 4
+    c = QuantumCircuit(n)
+    for q in range(n):
+        c.add_gate(GateInstance("Ry", [q], [0.3 + 0.2 * q], column=0))
+    for q in range(n - 1):
+        c.add_gate(GateInstance("CNOT", [q, q + 1], [], column=1 + q))
+    st = Simulator().run(c, shots=0).final_state
+    J, h = 1.0, 0.7
+    terms = [(-J, [i, i + 1], "ZZ") for i in range(n - 1)]
+    terms += [(-h, [i], "X") for i in range(n)]
+    got = StateAnalysis.hamiltonian_expectation(st, terms)
+
+    X = np.array([[0, 1], [1, 0]], complex)
+    Z = np.diag([1.0, -1.0]).astype(complex)
+    I = np.eye(2, dtype=complex)
+
+    def kron_at(ops):
+        m = np.array([[1.0]], complex)
+        for o in ops:
+            m = np.kron(m, o)
+        return m
+
+    H = np.zeros((1 << n, 1 << n), complex)
+    for i in range(n - 1):
+        H += -J * kron_at([Z if q in (i, i + 1) else I for q in range(n)])
+    for i in range(n):
+        H += -h * kron_at([X if q == i else I for q in range(n)])
+    psi = np.asarray(st.data)
+    want = float(np.real(psi.conj() @ H @ psi))
+    np.testing.assert_allclose(got, want, atol=1e-5)
