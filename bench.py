@@ -119,15 +119,10 @@ def bench_tpu_engine(circuit_dict: dict,
     carries a single f32 plane, 8 for planar complex). Best-of-k keeps
     host-load noise out of the headline (both engines report best-of-k,
     so the comparison is load-stable)."""
-    from quantum_simulator_tpu.ops.plan import (
-        AxisMatmulStep,
-        CrossStep,
-        DiagPairStep,
-    )
+    from quantum_simulator_tpu.ops.plan import count_state_passes
 
     chained, params, plan = _chained_forward(circuit_dict, chain_runs)
-    passes = sum(1 for s in plan.steps
-                 if isinstance(s, (AxisMatmulStep, CrossStep, DiagPairStep)))
+    passes = count_state_passes(plan)
     amp_bytes = 4 if plan.all_real else 8
 
     def run_once():

@@ -39,6 +39,7 @@ from ..config import CONFIG
 from .plan import (
     _HI,
     AxisMatmulStep,
+    BitPairStep,
     CrossStep,
     DiagPairStep,
     DiagProductStep,
@@ -48,6 +49,7 @@ from .plan import (
     _planar_basis_state,
     _real_basis_state,
     _split_axis_bit,
+    apply_bitpair,
     apply_prod_diag,
     build_group_operands,
     get_group_plan,
@@ -154,7 +156,7 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
     invariant the grouping enforces: no step in a window touches the
     chunk axis, so chunks evolve independently."""
     rank = len(plan.layout.axis_sizes)
-    axis_stacks, cross_ops, diag_ops, prod_ops = operands
+    axis_stacks, cross_ops, diag_ops, prod_ops, bitpair_ops = operands
     lead = 1 if planar else 0
     shape_d = tuple(plan.layout.axis_sizes)
 
@@ -163,7 +165,11 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
     # stay special.
     items: list[tuple] = []
     for step in plan.steps:
-        if isinstance(step, AxisMatmulStep):
+        if isinstance(step, BitPairStep):
+            items.append(("fused", {step.slice_axis, step.op_axis},
+                          lambda blk, step=step: apply_bitpair(
+                              blk, plan, step, bitpair_ops, planar)))
+        elif isinstance(step, AxisMatmulStep):
             real = plan.dense_real[step.axis][step.op_index]
             op = axis_stacks[step.axis][step.op_index]
             op = op[0, 0] if real else op

@@ -126,6 +126,23 @@ class CrossStep:
 
 
 @dataclass(frozen=True)
+class BitPairStep:
+    """A 2-qubit gate straddling two axes with NOTHING folded into it:
+    acts on ONE bit of each axis, identity on every other bit. Executes
+    as a K=4 two-bit einsum (bandwidth-bound) instead of the embedded
+    K=2S cross matmul — and an exact SWAP (QFT's final swaps, the
+    dominant cross population there) executes as a pure bit-dim
+    transpose, which XLA fuses with ADJACENT swap transposes into one
+    copy pass (QFT-30: 15 cross matmuls -> 3 transpose passes)."""
+
+    slice_axis: int
+    slice_pos: int          # MSB-first bit position within slice_axis
+    op_axis: int
+    op_pos: int             # MSB-first bit position within op_axis
+    index: int              # into the plan's bitpair-spec/op lists
+
+
+@dataclass(frozen=True)
 class DiagPairStep:
     """Accumulated two-axis diagonal: ONE elementwise broadcast pass."""
 
@@ -179,6 +196,15 @@ class CrossSpec:
 
 
 @dataclass(frozen=True)
+class BitPairSpec:
+    op_index: int           # program op (a 2-target straddling gate)
+    slice_axis: int         # which axis holds the sliced qubit (operand
+    #                         build orders the 4x4 as [slice_q, op_q])
+    is_swap: bool           # static matrix == SWAP: execute as a bit-dim
+    #                         transpose (zero FLOPs, fuses with neighbors)
+
+
+@dataclass(frozen=True)
 class DiagSegment:
     axis_a: int
     axis_b: int
@@ -201,6 +227,7 @@ class GroupPlan:
     cross_specs: tuple[CrossSpec, ...]
     diag_segments: tuple[DiagSegment, ...]
     prod_segments: tuple[DiagProductSegment, ...] = ()
+    bitpair_specs: tuple[BitPairSpec, ...] = ()
     # Static realness analysis (see _op_is_real): real composed operators
     # skip the 2x2 plane contraction (half the MXU FLOPs), and an
     # all-real plan evolves a REAL state from the basis start (half the
@@ -209,6 +236,7 @@ class GroupPlan:
     cross_real: tuple[bool, ...] = ()
     diag_real: tuple[bool, ...] = ()
     prod_real: tuple[bool, ...] = ()
+    bitpair_real: tuple[bool, ...] = ()
     all_real: bool = False
 
 
@@ -241,6 +269,10 @@ def _diag_product_value(op: prog.ProgramOp) -> complex | None:
 # complex for generic parameters.
 _REAL_PARAM_GATES = frozenset({"Ry"})
 
+# Exact SWAP (target-order invariant), for BitPairSpec.is_swap.
+_SWAP_MATRIX = np.array([[1, 0, 0, 0], [0, 0, 1, 0],
+                         [0, 1, 0, 0], [0, 0, 0, 1]], dtype=np.complex128)
+
 
 def _op_is_real(op: prog.ProgramOp) -> bool:
     """True when the op's matrix is real for all parameter values (static
@@ -260,6 +292,7 @@ def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
     cross_specs: list[CrossSpec] = []
     diag_segments: list[DiagSegment] = []
     prod_segments: list[DiagProductSegment] = []
+    bitpair_specs: list[BitPairSpec] = []
     counts = [0] * n_axes
 
     # pending composable work, with the bits it touches (for commutation)
@@ -377,6 +410,24 @@ def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
                     pend_dense[slice_axis] = {"ops": [], "bits": set()}
                 else:
                     flush_dense(slice_axis)
+            if (not pre_op_subcols and not pre_slice
+                    and len(op.targets) == 2):
+                # Nothing folded and one bit per axis: the embedded
+                # cross op would be identity on every other op-axis
+                # bit — run it as a two-bit pass, not a K=2S matmul.
+                op_q = next(q for q in op.targets
+                            if layout.axis_of(q) == op_axis)
+                is_swap = (op.static_matrix is not None
+                           and np.allclose(op.static_matrix,
+                                           _SWAP_MATRIX))
+                bitpair_specs.append(BitPairSpec(
+                    op_index=oi, slice_axis=slice_axis, is_swap=is_swap))
+                steps.append(BitPairStep(
+                    slice_axis=slice_axis, slice_pos=slice_pos,
+                    op_axis=op_axis,
+                    op_pos=layout.pos_in_axis(op_q),
+                    index=len(bitpair_specs) - 1))
+                continue
             cross_specs.append(CrossSpec(
                 op_index=oi, slice_axis=slice_axis, op_axis=op_axis,
                 pre_op_subcolumns=pre_op_subcols, pre_slice_ops=pre_slice))
@@ -441,8 +492,10 @@ def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
     diag_real = tuple(all(_real(oi) for oi in seg.op_indices)
                       for seg in diag_segments)
     prod_real = tuple(_real(seg.op_index) for seg in prod_segments)
+    bitpair_real = tuple(_real(s.op_index) for s in bitpair_specs)
     all_real = (all(r for ax in dense_real_by_axis for r in ax)
                 and all(cross_real) and all(diag_real) and all(prod_real)
+                and all(bitpair_real)
                 and not any(isinstance(s, GenericStep) for s in steps))
 
     return GroupPlan(layout=layout, steps=tuple(steps),
@@ -450,9 +503,11 @@ def build_group_plan(program: prog.CircuitProgram) -> GroupPlan:
                      cross_specs=tuple(cross_specs),
                      diag_segments=tuple(diag_segments),
                      prod_segments=tuple(prod_segments),
+                     bitpair_specs=tuple(bitpair_specs),
                      dense_real=tuple(tuple(ax) for ax in dense_real_by_axis),
                      cross_real=cross_real, diag_real=diag_real,
-                     prod_real=prod_real, all_real=all_real)
+                     prod_real=prod_real, bitpair_real=bitpair_real,
+                     all_real=all_real)
 
 
 # ---------------------------------------------------------------------------
@@ -774,6 +829,21 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
         cross_ops.append(_blocked(jnp.real(C).astype(_F32),
                                   jnp.imag(C).astype(_F32), axis=0))
 
+    bitpair_ops = []
+    for spec in plan.bitpair_specs:
+        if spec.is_swap:
+            bitpair_ops.append(None)  # executes as a transpose
+            continue
+        op = program.ops[spec.op_index]
+        slice_q = next(q for q in op.targets
+                       if layout.axis_of(q) == spec.slice_axis)
+        op_q = next(q for q in op.targets if q != slice_q)
+        u = reorder_gate_targets(pool.matrix(spec.op_index), op.targets,
+                                 [slice_q, op_q])
+        u4 = u.reshape(2, 2, 2, 2)  # (i, j, k, l): out/in slice, op bits
+        bitpair_ops.append(_blocked(jnp.real(u4).astype(_F32),
+                                    jnp.imag(u4).astype(_F32), axis=0))
+
     prod_ops = []
     for seg in plan.prod_segments:
         op = program.ops[seg.op_index]
@@ -819,7 +889,7 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
         diag_ops.append(_blocked(jnp.real(D).astype(_F32),
                                  jnp.imag(D).astype(_F32), axis=0))
 
-    return axis_stacks, cross_ops, diag_ops, prod_ops
+    return axis_stacks, cross_ops, diag_ops, prod_ops, bitpair_ops
 
 
 # ---------------------------------------------------------------------------
@@ -911,6 +981,46 @@ def _split_axis_bit(shape: tuple[int, ...], axis: int, pos: int):
     return new_shape, axis + 1
 
 
+def _split_two_bits(shape: tuple[int, ...], ax_a: int, pos_a: int,
+                    ax_b: int, pos_b: int):
+    """Shape exposing bit ``pos_a`` of ``ax_a`` and bit ``pos_b`` of
+    ``ax_b`` (MSB-first, distinct axes) as their own size-2 dims;
+    returns (new_shape, idx_a, idx_b). Splits the higher axis first so
+    the lower axis's index stays valid."""
+    if ax_a > ax_b:
+        new_shape, ia = _split_axis_bit(shape, ax_a, pos_a)
+        new_shape, ib = _split_axis_bit(new_shape, ax_b, pos_b)
+        return new_shape, ia + 2, ib
+    new_shape, ib = _split_axis_bit(shape, ax_b, pos_b)
+    new_shape, ia = _split_axis_bit(new_shape, ax_a, pos_a)
+    return new_shape, ia, ib + 2
+
+
+def apply_bitpair(x, plan, step, bitpair_ops, planar: bool):
+    """Execute a BitPairStep on a (possibly chunk-sliced) state tensor:
+    exact SWAPs transpose the two bit dims (XLA fuses runs of adjacent
+    transposes into ONE copy pass); anything else is a K=4 einsum —
+    bandwidth-bound either way, vs the K=2S cross matmul it replaces."""
+    spec = plan.bitpair_specs[step.index]
+    lead = x.ndim - len(plan.layout.axis_sizes)
+    shape = x.shape[lead:]
+    new_shape, bs, bo = _split_two_bits(shape, step.slice_axis,
+                                        step.slice_pos, step.op_axis,
+                                        step.op_pos)
+    xr = x.reshape(x.shape[:lead] + new_shape)
+    if spec.is_swap:
+        perm = list(range(xr.ndim))
+        perm[lead + bs], perm[lead + bo] = perm[lead + bo], perm[lead + bs]
+        xr = jnp.transpose(xr, perm)
+    else:
+        real = plan.bitpair_real[step.index]
+        q = bitpair_ops[step.index]
+        q = q[0, 0] if real else q
+        xr = jnp.einsum(_cross_spec(len(new_shape), bs, bo, real, planar),
+                        q, xr, precision=_HI)
+    return xr.reshape(x.shape)
+
+
 def _indicator_masks(targets: tuple[int, ...], layout: GroupLayout
                      ) -> list[tuple[int, np.ndarray]]:
     """Per-axis all-targets-set indicator vectors (axis, (S,) f32 mask)
@@ -980,11 +1090,13 @@ def execute_group_plan(plan: GroupPlan, operands, program, params, dtype,
     layout = plan.layout
     shape = tuple(layout.axis_sizes)
     rank = len(shape)
-    axis_stacks, cross_ops, diag_ops, prod_ops = operands
+    axis_stacks, cross_ops, diag_ops, prod_ops, bitpair_ops = operands
     lead = (2,) if planar else ()
 
     for step in plan.steps:
-        if isinstance(step, AxisMatmulStep):
+        if isinstance(step, BitPairStep):
+            x = apply_bitpair(x, plan, step, bitpair_ops, planar)
+        elif isinstance(step, AxisMatmulStep):
             real = plan.dense_real[step.axis][step.op_index]
             op = axis_stacks[step.axis][step.op_index]
             x = jnp.einsum(_dense_spec(rank, step.axis, real, planar),
@@ -1019,6 +1131,28 @@ def execute_group_plan(plan: GroupPlan, operands, program, params, dtype,
             x = jnp.stack([jnp.real(shaped).astype(_F32),
                            jnp.imag(shaped).astype(_F32)])
     return x
+
+
+def count_state_passes(plan: GroupPlan) -> int:
+    """Whole-state HBM read+write sweeps the executor performs: one per
+    dense / cross / diag-pair step and per non-swap bit-pair step; a
+    maximal RUN of adjacent swap bit-pairs counts as ONE pass (XLA fuses
+    consecutive transposes into a single copy). DiagProductSteps are
+    excluded (kept out of the bench's historical pass accounting)."""
+    passes = 0
+    prev_swap = False
+    for s in plan.steps:
+        if (isinstance(s, BitPairStep)
+                and plan.bitpair_specs[s.index].is_swap):
+            if not prev_swap:
+                passes += 1
+            prev_swap = True
+            continue
+        prev_swap = False
+        if isinstance(s, (AxisMatmulStep, CrossStep, DiagPairStep,
+                          BitPairStep)):
+            passes += 1
+    return passes
 
 
 # ---------------------------------------------------------------------------

@@ -9,6 +9,7 @@ from quantum_simulator_tpu.models import brickwork_circuit
 from quantum_simulator_tpu.ops import program as prog
 from quantum_simulator_tpu.ops.plan import (
     AxisMatmulStep,
+    BitPairStep,
     CrossStep,
     GenericStep,
     GroupLayout,
@@ -87,11 +88,22 @@ class TestCorrectness:
         both(c)
 
     def test_cross_steps_built(self):
+        # A bare straddling 2q gate (nothing pending to fold) lowers to
+        # the bandwidth-only BitPairStep, not a cross matmul.
         c = QuantumCircuit(10)
         c.add_gate(GateInstance("CNOT", [1, 8], [], column=0))
         p = prog.compile_circuit(c)
         plan = build_group_plan(p)
-        assert any(isinstance(s, CrossStep) for s in plan.steps)
+        assert any(isinstance(s, BitPairStep) for s in plan.steps)
+        assert not any(isinstance(s, CrossStep) for s in plan.steps)
+        # With a conflicting pending on the op axis, the gate folds the
+        # pending into an embedded CrossStep (one pass instead of two).
+        c2 = QuantumCircuit(10)
+        c2.add_gate(GateInstance("Ry", [1], [0.3], column=0))
+        c2.add_gate(GateInstance("CNOT", [1, 8], [], column=1))
+        p2 = prog.compile_circuit(c2)
+        plan2 = build_group_plan(p2)
+        assert any(isinstance(s, CrossStep) for s in plan2.steps)
 
     def test_parameterized_no_recompile(self):
         c = QuantumCircuit(9)
@@ -377,3 +389,67 @@ class TestRealnessAnalysis:
         np.testing.assert_allclose(np.imag(got), 0.0, atol=1e-6)
         np.testing.assert_allclose(np.sum(np.abs(got) ** 2), 1.0,
                                    atol=1e-5)
+
+
+class TestBitPairSteps:
+    """Straddling 2q gates with nothing folded: the BitPairStep lowering
+    (K=4 einsum / pure transpose for exact SWAPs) must match the
+    per-gate engine exactly."""
+
+    def test_straddling_swap_is_transpose_step(self):
+        c = QuantumCircuit(10)
+        c.add_gate(GateInstance("H", [2], [], column=0))
+        c.add_gate(GateInstance("SWAP", [1, 9], [], column=1))
+        p = prog.compile_circuit(c)
+        plan = build_group_plan(p)
+        bps = [s for s in plan.steps if isinstance(s, BitPairStep)]
+        assert len(bps) == 1
+        assert plan.bitpair_specs[bps[0].index].is_swap
+        both(c)
+
+    def test_straddling_cnot_einsum(self):
+        c = QuantumCircuit(10)
+        c.add_gate(GateInstance("H", [9], [], column=0))
+        c.add_gate(GateInstance("CNOT", [9, 1], [], column=1))
+        c.add_gate(GateInstance("CNOT", [1, 8], [], column=2))
+        p = prog.compile_circuit(c)
+        plan = build_group_plan(p)
+        bps = [s for s in plan.steps if isinstance(s, BitPairStep)]
+        assert bps and not any(
+            plan.bitpair_specs[s.index].is_swap for s in bps)
+        both(c)
+
+    def test_qft_final_swaps_all_bitpairs(self):
+        from quantum_simulator_tpu.algorithms import AlgorithmTemplate
+
+        c = AlgorithmTemplate.quantum_fourier_transform(12)
+        p = prog.compile_circuit(c)
+        plan = build_group_plan(p)
+        bps = [s for s in plan.steps if isinstance(s, BitPairStep)]
+        # QFT-12 has 6 final SWAPs; every straddling one must be a
+        # transpose bitpair, none a cross matmul.
+        assert all(plan.bitpair_specs[s.index].is_swap for s in bps)
+        assert len(bps) >= 4
+        assert not any(isinstance(s, CrossStep) for s in plan.steps)
+        both(c)
+
+    def test_swap_run_counts_one_pass(self):
+        from quantum_simulator_tpu.ops.plan import count_state_passes
+
+        c = QuantumCircuit(12)
+        for i, (a, b) in enumerate([(0, 11), (1, 10), (2, 9)]):
+            c.add_gate(GateInstance("SWAP", [a, b], [], column=i))
+        p = prog.compile_circuit(c)
+        plan = build_group_plan(p)
+        bps = [s for s in plan.steps if isinstance(s, BitPairStep)]
+        assert len(bps) == 3
+        assert count_state_passes(plan) == 1  # adjacent swaps fuse
+        both(c)
+
+    def test_bitpair_is_real_flagged(self):
+        c = QuantumCircuit(10)
+        c.add_gate(GateInstance("Ry", [3], [0.7], column=0))
+        c.add_gate(GateInstance("SWAP", [1, 9], [], column=1))
+        p = prog.compile_circuit(c)
+        plan = build_group_plan(p)
+        assert plan.all_real
