@@ -34,6 +34,14 @@ class EngineConfig:
     max_qubits: int = 32
     # Compile-cache size (circuit-structure keyed).
     compile_cache_size: int = 128
+    # In-place Pallas kernels for dense/cross group-plan steps (TPU
+    # only; see ops/pallas_exec.py). Default OFF: measured end-to-end
+    # on chip they LOSE to XLA despite winning in isolation (n=30
+    # brickwork: 416 ms all-XLA vs 505-571 ms with Pallas steps mixed
+    # in) — XLA pipelines consecutive whole-state einsums to ~22 ms/pass
+    # in context, and each pallas_call boundary breaks that scheduling.
+    # Kept as an evaluated option; flip for experimentation.
+    pallas_steps: bool = False
 
     @property
     def real_dtype(self):

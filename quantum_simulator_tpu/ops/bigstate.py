@@ -162,10 +162,21 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
 
     # Lower each step to ("fused", involved_axes, blk->blk) where
     # possible; prod-diags touching every axis and generic fallbacks
-    # stay special.
+    # stay special. Matmul steps with an in-place Pallas lowering bypass
+    # the window/chunk machinery entirely — the kernel grid IS the
+    # chunking (VMEM blocks, output aliased onto the input buffer), so
+    # they pay neither the slice/update round trip nor the 2x-state
+    # einsum peak (ops/pallas_exec.py).
+    from . import pallas_exec
+
+    use_pallas = pallas_exec.enabled()
     items: list[tuple] = []
     for step in plan.steps:
-        if isinstance(step, BitPairStep):
+        pfn = (pallas_exec.maybe_lower_step(plan, step, operands, planar)
+               if use_pallas else None)
+        if pfn is not None:
+            items.append(("pallas", pfn))
+        elif isinstance(step, BitPairStep):
             items.append(("fused", {step.slice_axis, step.op_axis},
                           lambda blk, step=step: apply_bitpair(
                               blk, plan, step, bitpair_ops, planar)))
@@ -225,6 +236,10 @@ def execute_group_plan_chunked(plan, operands, program, params, dtype,
     i = 0
     while i < len(items):
         kind = items[i][0]
+        if kind == "pallas":
+            x = items[i][1](x)
+            i += 1
+            continue
         if kind == "generic":
             # GenericStep: a non-diagonal 3-group gate — whole-state
             # complex fallback. Cannot appear in brickwork/QFT/Grover

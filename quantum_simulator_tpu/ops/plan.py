@@ -1087,14 +1087,21 @@ def execute_group_plan(plan: GroupPlan, operands, program, params, dtype,
     default, or a REAL ``(*axis_sizes,)`` state with ``planar=False``
     (valid only for ``plan.all_real`` — every operator real, so a real
     start stays real; half the bytes and half the FLOPs again)."""
+    from . import pallas_exec
+
     layout = plan.layout
     shape = tuple(layout.axis_sizes)
     rank = len(shape)
     axis_stacks, cross_ops, diag_ops, prod_ops, bitpair_ops = operands
     lead = (2,) if planar else ()
+    use_pallas = pallas_exec.enabled()
 
     for step in plan.steps:
-        if isinstance(step, BitPairStep):
+        pfn = (pallas_exec.maybe_lower_step(plan, step, operands, planar)
+               if use_pallas else None)
+        if pfn is not None:
+            x = pfn(x)
+        elif isinstance(step, BitPairStep):
             x = apply_bitpair(x, plan, step, bitpair_ops, planar)
         elif isinstance(step, AxisMatmulStep):
             real = plan.dense_real[step.axis][step.op_index]
