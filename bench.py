@@ -202,7 +202,15 @@ def bench_secondary():
     def sync(s):
         return float(np.asarray(jnp.sum(jnp.abs(s) ** 2)))
 
-    for n_t, depth_t, batch in ((10, 10, 1024), (20, 8, 256), (24, 8, 64)):
+    # Batch sizes are HBM-bounded: the batched trajectory program keeps
+    # the whole (batch, 2^n) complex state plus temps resident, and a
+    # batch-64 n=24 program needs 16.25 GiB at COMPILE time (measured
+    # allocation dump) — the failed compile then poisons every later
+    # section of the process with RESOURCE_EXHAUSTED. batch=16 at n=24
+    # compiles in ~4 GiB.
+    import gc
+
+    for n_t, depth_t, batch in ((10, 10, 1024), (20, 8, 256), (24, 8, 16)):
         try:
             c = QuantumCircuit.from_dict(
                 build_circuit_dict(n_t, depth_t, SEED))
@@ -218,6 +226,9 @@ def bench_secondary():
         except Exception as e:
             print(f"[bench] trajectory bench n={n_t} failed: {e}",
                   file=sys.stderr)
+        finally:
+            sim = nm = c = None
+            gc.collect()  # release device buffers before the next size
 
     # n=30 noisy single-chip trajectories (ops/bigtraj.py): beyond both
     # the reference's 16-qubit cap and its own 28-qubit memory ceiling.
@@ -252,6 +263,8 @@ def bench_secondary():
               f"256 shots fused)", file=sys.stderr)
     except Exception as e:
         print(f"[bench] n=30 trajectory bench failed: {e}", file=sys.stderr)
+    finally:
+        gc.collect()  # drop the 4 GiB huge-path buffers before forwards
 
 
     # Large-n forward throughput (beyond the reference's 16-qubit cap and,
