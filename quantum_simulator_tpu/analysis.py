@@ -319,6 +319,9 @@ class StateAnalysis:
                 f"{len(qubits)} qubits but {len(paulis)} Paulis")
         if any(p not in _PAULI for p in paulis):
             raise ValueError(f"Paulis must be X/Y/Z, got {paulis!r}")
+        if len(set(qubits)) != len(qubits):
+            raise ValueError("duplicate qubits in Pauli string "
+                             f"{sorted(qubits)}")
         if not qubits:
             return 1.0
         obs = np.array([[1.0]], dtype=np.complex128)

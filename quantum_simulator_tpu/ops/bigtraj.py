@@ -181,6 +181,29 @@ def _valid_chunk_axis(shape: tuple[int, ...], involved: set[int]
     return ax
 
 
+def _norm_sq_chunked(x: jnp.ndarray, lead: int, n_chunks: int):
+    """Read-only ||x||^2 over chunk slices (planar planes included via
+    the leading dim: re^2 + im^2 sums are one f32 reduction)."""
+    shape = x.shape[lead:]
+    ax = _valid_chunk_axis(shape, set())
+    if n_chunks <= 1 or ax is None:
+        return jnp.sum(x * x)
+    size = shape[ax]
+    chunks = min(n_chunks, size)
+    while size % chunks:
+        chunks -= 1
+    width = size // chunks
+    tax = ax + lead
+    sizes = x.shape[:tax] + (width,) + x.shape[tax + 1:]
+    acc = jnp.float32(0.0)
+    for i in range(chunks):
+        starts = [0] * x.ndim
+        starts[tax] = i * width
+        blk = jax.lax.dynamic_slice(x, starts, sizes)
+        acc = acc + jnp.sum(blk * blk)
+    return acc
+
+
 def _rho_standalone(x: jnp.ndarray, lead: int, n_chunks: int, tbits,
                     planar: bool):
     """Read-only chunked rho reduction over the whole state (no update
@@ -191,6 +214,8 @@ def _rho_standalone(x: jnp.ndarray, lead: int, n_chunks: int, tbits,
         return _rho_from(x, lead, tbits, planar)
     size = shape[ax]
     chunks = min(n_chunks, size)
+    while size % chunks:  # powers of two; cover the whole axis
+        chunks -= 1
     width = size // chunks
     tax = ax + lead
     sizes = x.shape[:tax] + (width,) + x.shape[tax + 1:]
@@ -236,6 +261,8 @@ def _apply_pass(x: jnp.ndarray, lead: int, n_chunks: int, involved,
         return blk, rho
     size = shape[ax]
     chunks = min(n_chunks, size)
+    while size % chunks:  # powers of two; cover the whole axis
+        chunks -= 1
     width = size // chunks
     tax = ax + lead
     sizes = x.shape[:tax] + (width,) + x.shape[tax + 1:]
@@ -508,8 +535,12 @@ def huge_trajectory_evolve(program, noise_model, params, key,
     (planar ``(2, *axes)`` or real ``(*axes,)`` — must match
     ``trajectory_is_real``). Draw order and clamping mirror
     ``plan.group_trajectory_body`` exactly (same key-split indices), so
-    the two paths take identical stochastic branches for the same key."""
-    dtype = dtype or CONFIG.dtype
+    the two paths take identical stochastic branches for the same key.
+
+    The executor computes in f32 planes / complex64 only; ``dtype`` is
+    accepted for signature symmetry with the bigstate forwards and
+    canonicalized so duplicate cache entries are never compiled."""
+    dtype = jnp.complex64
     layout = GroupLayout.for_qubits(program.num_qubits)
     planar = not trajectory_is_real(program, noise_model)
     lead = 1 if planar else 0
@@ -524,6 +555,7 @@ def huge_trajectory_evolve(program, noise_model, params, key,
     #   'apply' — bare gate apply (wide ops), draws follow as 'kraus'
     #   'kraus' — one per-qubit draw+apply (needs that qubit's rho)
     units: list[tuple] = []
+    kind_by_op: dict[int, str] = {}
     draw = 0
     stacks_cache: dict[str, list] = {}
     for oi, op in enumerate(program.ops):
@@ -537,6 +569,7 @@ def huge_trajectory_evolve(program, noise_model, params, key,
                     phase_real_stack(st) for st in raw]
         stacks = stacks_cache[op.gate_name]
         kind = _classify(layout, op)
+        kind_by_op[oi] = kind
         k = len(op.targets)
         if kind != 'prod' and k <= _FOLD_MAX_TARGETS:
             units.append(('fold', oi, draw, stacks))
@@ -581,7 +614,7 @@ def huge_trajectory_evolve(program, noise_model, params, key,
             else:
                 rho = _rho_standalone(x, lead, n_chunks, need, planar)
         want_start = False
-        kind_m = _classify(layout, op)
+        kind_m = kind_by_op[oi]
         if kind == 'fold':
             U = op_matrix(op)
             k = len(op.targets)
@@ -623,6 +656,19 @@ def huge_trajectory_evolve(program, noise_model, params, key,
         x, rho = _apply_pass(x, lead, n_chunks, involved, fn,
                              want_start=want_start,
                              reduce_tbits=next_need, planar=planar)
+
+    # Exact final normalization — same contract as
+    # plan.group_trajectory_body: each draw rescaled by 1/sqrt(p_sel)
+    # where p_sel is an f32 trace-algebra ESTIMATE, and the ~1e-5
+    # per-draw systematic error compounds over draws. Branch choices are
+    # scale-invariant, so one exact division restores ||psi|| = 1
+    # without changing any stochastic branch. Chunked read + chunked
+    # scale keep the pass inside the huge-path memory budget.
+    if total_draws:
+        nsq = _norm_sq_chunked(x, lead, n_chunks)
+        inv_n = 1.0 / jnp.sqrt(jnp.maximum(nsq, 1e-30))
+        x, _ = _apply_pass(x, lead, n_chunks, set(),
+                           lambda blk: blk * inv_n, planar=planar)
     return x
 
 
@@ -892,9 +938,14 @@ def _traj_stats_fn(program, noise_model, shots: int, dtype,
         if shots > 0:
             from .bigstate import auto_chunks
 
+            # Chunk for the POST-rotation realness: a Y rotation
+            # planarizes a real state before its per-axis passes, so
+            # the whole-state schedule that fit the 4 GiB real form
+            # would allocate 2x 8 GiB planar temps at n=30.
             xs, pl = apply_basis_rotation(
                 x, basis, layout,
-                auto_chunks(program.num_qubits, planar=planar), planar)
+                auto_chunks(program.num_qubits, planar=sample_planar),
+                planar)
             outs.append(sample_state_indices(xs, key, shots, planar=pl,
                                              probs_dtype=probs_dtype))
         return tuple(outs)
@@ -932,7 +983,7 @@ def huge_trajectory_sample_fn(program, noise_model, shots: int,
     (``keep_state=True``). Compiled once; re-invoked per trajectory with
     fresh keys. ``basis`` rotates before sampling (keep_state=False
     only)."""
-    dtype = dtype or CONFIG.dtype
+    dtype = jnp.complex64  # executor is f32/c64-only; unify cache keys
     if shots <= 0 and not keep_state:
         raise ValueError(
             "shots=0 with keep_state=False would evolve the trajectory "

@@ -452,14 +452,34 @@ class Simulator:
             return self._run_with_noise_huge(circuit, shots, seed, rng,
                                              trajectories)
 
-        states = self.trajectory_states(circuit, shots, rng=rng)
+        # trajectories=None -> reference semantics (one stochastic
+        # trajectory per shot, one draw each). An explicit smaller
+        # count runs the same Monte-Carlo-trajectory estimator the huge
+        # path uses: T trajectories, ~shots/T draws from each.
+        T = shots if trajectories is None \
+            else max(1, min(shots, trajectories))
+        states = self.trajectory_states(circuit, T, rng=rng)
         probs = jnp.abs(states) ** 2
         probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-        draw_key = _key_from_rng(rng)
-        draws = jax.random.categorical(draw_key, jnp.log(probs + 1e-38),
-                                       axis=-1)
-        counts_array = np.bincount(np.asarray(draws),
-                                   minlength=2**circuit.num_qubits)
+        dim = 2**circuit.num_qubits
+        if T == shots:
+            draw_key = _key_from_rng(rng)
+            draws = jax.random.categorical(draw_key,
+                                           jnp.log(probs + 1e-38),
+                                           axis=-1)
+            counts_array = np.bincount(np.asarray(draws), minlength=dim)
+        else:
+            base, extra = divmod(shots, T)
+            counts_array = np.zeros(dim, dtype=np.int64)
+            for i in range(T):
+                take = base + (1 if i < extra else 0)
+                if take == 0:
+                    break
+                draws = jax.random.categorical(
+                    _key_from_rng(rng), jnp.log(probs[i] + 1e-38),
+                    shape=(take,))
+                counts_array += np.bincount(np.asarray(draws),
+                                            minlength=dim)
         all_counts = counts_from_array(counts_array, circuit.num_qubits)
 
         final_state = StateVector.from_initial_states(circuit.initial_states)
