@@ -125,3 +125,25 @@ def test_host_major_bit_to_link_mapping():
                    for d in range(n_devices)}
         assert crosses == ({True} if k < (dcn.bit_length() - 1)
                            else {False}), (k, crosses)
+
+
+class TestProcessMajorOrdering:
+    """The DCN claim in parallel/multihost.py: mesh order must be
+    process-major so device-index bit k < log2(n_hosts) corresponds to
+    DCN links. On this rig every device belongs to process 0 (degenerate
+    group), so the test pins the ORDER INVARIANT the claim rests on:
+    mesh positions follow (process_index, id) sort order, and each
+    DCN-factored row is process-homogeneous."""
+
+    def test_mesh_order_is_process_major(self):
+        mesh = make_multihost_mesh(n_devices=8)
+        devs = list(mesh.devices.ravel())
+        keys = [(d.process_index, d.id) for d in devs]
+        assert keys == sorted(keys)
+
+    def test_dcn_rows_are_process_homogeneous(self):
+        mesh = make_multihost_mesh(n_devices=8)
+        devs = list(mesh.devices.ravel())
+        dcn, ici = amp_axis_split(8, 2)
+        rows = np.array([d.process_index for d in devs]).reshape(dcn, ici)
+        assert all(len(set(row)) == 1 for row in rows.tolist())
