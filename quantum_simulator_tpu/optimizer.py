@@ -208,15 +208,21 @@ class CostFunction:
         terms = [(float(c), str(p).upper(), [int(q) for q in qs])
                  for c, p, qs in terms]
 
-        def host(state: StateVector) -> float:
+        def host(state) -> float:
+            # Unified Pauli-string dispatch: dense StateVector (kron +
+            # gate trick) or n >= 30 PlanarStateVector (chunked signed-
+            # permutation pass) — VQE Hamiltonians work at every n the
+            # engine can hold. Identity factors drop out analytically.
             total = 0.0
             for coeff, pauli_str, qubits in terms:
-                obs = _PAULI_NP[pauli_str[0]]
-                for p in pauli_str[1:]:
-                    obs = np.kron(obs, _PAULI_NP[p])
-                val = float(np.real(
-                    StateAnalysis.expectation_value(state, obs, qubits)))
-                total += coeff * val
+                live = [(p, q) for p, q in zip(pauli_str, qubits)
+                        if p != "I"]
+                if not live:
+                    total += coeff
+                    continue
+                total += coeff * StateAnalysis.pauli_string_expectation(
+                    state, [q for _, q in live],
+                    "".join(p for p, _ in live))
             return total
 
         def device(psi, n):
@@ -318,7 +324,11 @@ class GradientEstimator:
         """Evaluate the cost at each row of ``values_batch``. One device
         launch when the circuit and cost are traceable; falls back to
         per-row re-simulation otherwise (custom gates / Python costs)."""
-        if isinstance(cost_fn, DeviceCost) and cost_fn.device_fn is not None:
+        from .simulator import _is_huge
+
+        huge = _is_huge(config.circuit)
+        if (not huge and isinstance(cost_fn, DeviceCost)
+                and cost_fn.device_fn is not None):
             program, offsets = config.compiled()
             if offsets is not None:
                 fn = _batched_cost_fn(program, cost_fn, offsets)
@@ -331,6 +341,12 @@ class GradientEstimator:
             qc = config.bind_values(vals)
             state = sim.run(qc, shots=0, seed=seed).final_state
             out[i] = cost_fn(state)
+            if huge:
+                # Two 8 GiB states cannot coexist on one chip: release
+                # this row's buffer before the next forward.
+                data = getattr(state, "state_data", None)
+                if data is not None:
+                    data.delete()
         return out
 
     @staticmethod

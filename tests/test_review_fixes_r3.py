@@ -100,3 +100,33 @@ class TestChunkGuards:
             p, nm, jnp.asarray(p.initial_params), jax.random.PRNGKey(2))
         nsq = float(np.asarray(jnp.sum(jnp.asarray(x) ** 2)))
         assert nsq == pytest.approx(1.0, abs=5e-6)
+
+
+class TestVqeCostOnHugeStates:
+    def test_vqe_hamiltonian_host_dispatches_planar(self):
+        """CostFunction.vqe_hamiltonian must evaluate on a
+        PlanarStateVector (the n >= 30 state surface) and match the
+        dense kron path, including identity factors."""
+        from quantum_simulator_tpu.ops import program as prog
+        from quantum_simulator_tpu.ops.bigstate import (
+            PlanarStateVector,
+            group_forward_state_body,
+        )
+        from quantum_simulator_tpu.optimizer import CostFunction
+
+        c = _noisy_brick(10, depth=2, seed=4)
+        p = prog.compile_circuit(c)
+        x, planar = group_forward_state_body(
+            p, jnp.asarray(p.initial_params), jnp.complex64, n_chunks=2)
+        sv = PlanarStateVector(x, 10, planar=planar)
+        terms = [(0.7, "ZZ", [0, 9]), (-0.3, "XIX", [1, 4, 8]),
+                 (0.2, "I", [3]), (1.1, "Y", [5])]
+        cost = CostFunction.vqe_hamiltonian(terms)
+        got = cost(sv)
+
+        dense = np.asarray(prog.forward_fn(p)(
+            jnp.asarray(p.initial_params)))
+        sv_dense = StateVector(10)
+        sv_dense.data = dense
+        want = cost(sv_dense)
+        assert got == pytest.approx(want, abs=1e-4)
