@@ -199,7 +199,9 @@ class CostFunction:
 
     @staticmethod
     def z_expectation(qubit: int) -> DeviceCost:
-        return CostFunction.expectation_value(Z_MATRIX, [qubit])
+        # Via the Pauli-string dispatch so it also evaluates on n >= 30
+        # PlanarStateVector states (same numerics as the dense matrix).
+        return CostFunction.vqe_hamiltonian([(1.0, "Z", [qubit])])
 
     @staticmethod
     def vqe_hamiltonian(terms: list[tuple[float, str, list[int]]]
