@@ -319,41 +319,15 @@ def bench_secondary():
     except Exception as e:
         print(f"[bench] QFT-24 failed: {e}", file=sys.stderr)
 
-def _device_preflight(timeout_s: int = 150) -> bool:
-    """True when JAX device init succeeds within ``timeout_s`` in a
-    subprocess. The axon TPU plugin HANGS FOREVER retrying a dead relay
-    tunnel (measured: the tunnel daemon can be lost to a host OOM kill,
-    after which every connection is refused and ``jax.devices()`` never
-    returns) — probing in a throwaway process keeps the bench itself
-    from hanging under the driver."""
-    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
-        return True  # already pinned to CPU; nothing to probe
-    # NOTE: the environment pins JAX_PLATFORMS=axon by default here, so
-    # a bare truthiness check would skip the probe exactly when it is
-    # needed.
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print('ok')"],
-            capture_output=True, timeout=timeout_s, text=True)
-        return "ok" in r.stdout
-    except (subprocess.TimeoutExpired, OSError):
-        return False
-
-
 def main():
-    if not _device_preflight():
-        # Fall back to an honestly-labeled CPU-vs-CPU comparison rather
-        # than hanging or emitting nothing: both engines on this host's
-        # CPU, same circuit, same best-of-k rule.
-        print("[bench] WARNING: default device init timed out (dead TPU "
-              "tunnel?) — falling back to JAX_PLATFORMS=cpu; numbers "
-              "below are CPU-vs-CPU", file=sys.stderr)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        os.environ["BENCH_CPU_FALLBACK"] = "1"
-        import jax
+    from quantum_simulator_tpu.utils.preflight import require_device_or_cpu
 
-        jax.config.update("jax_platforms", "cpu")
+    if not require_device_or_cpu():
+        # Honestly-labeled CPU-vs-CPU comparison rather than hanging or
+        # emitting nothing: both engines on this host's CPU, same
+        # circuit, same best-of-k rule.
+        print("[bench] numbers below are CPU-vs-CPU", file=sys.stderr)
+        os.environ["BENCH_CPU_FALLBACK"] = "1"
     circuit_dict = build_circuit_dict(N_QUBITS, DEPTH, SEED)
     per_run, passes, ab = bench_tpu_engine(circuit_dict)
     layers_per_sec = DEPTH / per_run

@@ -25,14 +25,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import os
+from quantum_simulator_tpu.utils.preflight import require_device_or_cpu
 
-if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
-    # Honoring JAX_PLATFORMS=cpu on this runtime needs the config update
-    # too (the container's sitecustomize can override the env var).
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
+require_device_or_cpu()  # pins CPU (both knobs) when the TPU tunnel is dead
 
 import numpy as np
 

@@ -52,6 +52,12 @@ def brickwork(n, depth, seed, t_col=False):
 
 
 def main() -> int:
+    from quantum_simulator_tpu.utils.preflight import require_device_or_cpu
+
+    if not require_device_or_cpu():
+        print("huge-state check needs the TPU chip; refusing to run "
+              "8 GiB states on the host CPU", file=sys.stderr)
+        return 2
     import jax
 
     from quantum_simulator_tpu import Simulator

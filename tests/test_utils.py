@@ -1,5 +1,7 @@
 """Utility modules: transfers, profiling, app config, seeding edge cases."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,3 +105,36 @@ class TestAppConfig:
         assert data["theme"] == "light"
         assert data["default_qubits"] == 6
         assert data["recent_files"] == ["/a.qsim", "/b.qsim"]
+
+
+class TestPreflight:
+    """utils/preflight.py — dead-tunnel guard shared by bench, the graft
+    entry, and the TPU-facing scripts/examples."""
+
+    def test_cpu_pin_short_circuits_probe(self, monkeypatch):
+        from quantum_simulator_tpu.utils import preflight
+
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        calls = []
+        monkeypatch.setattr(preflight.subprocess, "run",
+                            lambda *a, **k: calls.append(a))
+        # Explicit CPU request: no subprocess probe, returns usable=True,
+        # and the config knob gets pinned too (sitecustomize override rule).
+        assert preflight.require_device_or_cpu() is True
+        assert calls == []
+        assert jax.config.jax_platforms == "cpu"
+
+    def test_timeout_falls_back_to_cpu(self, monkeypatch, capsys):
+        import subprocess as sp
+
+        from quantum_simulator_tpu.utils import preflight
+
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+
+        def hang(*a, **k):
+            raise sp.TimeoutExpired(cmd="probe", timeout=1)
+
+        monkeypatch.setattr(preflight.subprocess, "run", hang)
+        assert preflight.require_device_or_cpu() is False
+        assert os.environ["JAX_PLATFORMS"] == "cpu"
+        assert "falling back" in capsys.readouterr().err
