@@ -384,6 +384,14 @@ class GradientEstimator:
                  values: np.ndarray) -> tuple[float, np.ndarray]:
         """(cost, grad) by reverse-mode differentiation through the
         compiled circuit — exact, one program, any gate."""
+        # Backend-independent guard (unlike simulator._is_huge, which
+        # routes only on TPU): reverse-mode residuals at n >= 30 need
+        # several whole >= 8 GiB states resident on ANY backend.
+        if config.circuit.num_qubits >= 30:
+            raise ValueError(
+                "autodiff cannot run on n >= 30 circuits: reverse-mode "
+                "residuals need several whole states resident at once "
+                "(>= 2x8 GiB); use parameter_shift, which re-simulates")
         program, offsets = config.compiled()
         if offsets is None or not isinstance(cost_fn, DeviceCost) \
                 or cost_fn.device_fn is None:

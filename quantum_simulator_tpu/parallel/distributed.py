@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..circuit import QuantumCircuit
+from ..circuit import GateInstance, QuantumCircuit
 from ..config import CONFIG
 from ..ops import program as prog
 from ..ops.apply import apply_gate
@@ -605,6 +605,28 @@ def sharded_forward_fn(program: prog.CircuitProgram, mesh: Mesh,
     return jax.jit(fn, out_shardings=out_sharding)
 
 
+def with_basis_rotation(circuit: QuantumCircuit,
+                        basis: str) -> QuantumCircuit:
+    """A copy of ``circuit`` with the measurement-basis rotation appended
+    as gate columns: X = H on every qubit, Y = S_DAG then H (the same
+    unitaries ``measurement.py``'s state rotation applies; reference
+    semantics at ``measurement.py:91-98``)."""
+    basis = str(getattr(basis, "value", basis)).upper()
+    if basis not in ("Z", "X", "Y"):
+        raise ValueError(f"unknown measurement basis {basis!r}")
+    if basis == "Z":
+        return circuit
+    out = QuantumCircuit.from_dict(circuit.to_dict())
+    col = 1 + max((g.column for g in out.gates), default=-1)
+    if basis == "Y":
+        for q in range(out.num_qubits):
+            out.add_gate(GateInstance("S_DAG", [q], [], column=col))
+        col += 1
+    for q in range(out.num_qubits):
+        out.add_gate(GateInstance("H", [q], [], column=col))
+    return out
+
+
 class DistributedStateVector:
     """An n-qubit state sharded across a device mesh."""
 
@@ -854,3 +876,27 @@ class DistributedSimulator:
         values, freq = np.unique(global_idx, return_counts=True)
         return {format(int(v), f"0{n}b"): int(c)
                 for v, c in zip(values, freq)}
+
+    def sample_with_basis(self, circuit: QuantumCircuit, shots: int,
+                          basis: str = "Z",
+                          rng: np.random.Generator | None = None,
+                          readout_error=None) -> dict[str, int]:
+        """Basis-rotated measurement counts on the mesh.
+
+        Mirrors ``MeasurementEngine.sample_with_basis`` semantics
+        (reference ``measurement.py:60-129``: X = H on every qubit,
+        Y = S-dagger then H) by appending the rotation as ordinary gate
+        columns, so the rotated forward runs the same sharded schedule
+        and the sampler stays fully shard-local. Readout error supports
+        only the reference's SHOT mode here (host-side bitstring
+        corruption); distribution mode transforms the full 2^n
+        probability vector, which a sharded state never materializes —
+        a loud error beats silently gathering 32 GiB.
+        """
+        rotated = with_basis_rotation(circuit, basis)
+        state = self.run(rotated)
+        counts = self.sample(state, shots, rng=rng)
+        if readout_error is not None:
+            counts = readout_error.corrupt_counts(
+                counts, rng or np.random.default_rng())
+        return counts

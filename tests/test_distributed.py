@@ -408,3 +408,87 @@ class TestShardedPauliString:
         np.testing.assert_allclose(
             sim.expectation_pauli_string(st, [4], "Z"),
             sim.expectation_z(st, 4), atol=1e-6)
+
+
+class TestBasisSampling:
+    """sample_with_basis: reference X/Y measurement semantics
+    (measurement.py:91-98) on the sharded engine."""
+
+    def _ghz(self, n=6):
+        c = QuantumCircuit(n)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        for q in range(n - 1):
+            c.add_gate(GateInstance("CNOT", [q, q + 1], [], column=q + 1))
+        return c
+
+    def test_rotated_probabilities_match_dense(self):
+        from quantum_simulator_tpu.measurement import (
+            MeasurementBasis,
+            rotate_to_basis,
+        )
+        from quantum_simulator_tpu.parallel.distributed import (
+            with_basis_rotation,
+        )
+
+        rng = np.random.default_rng(11)
+        c = QuantumCircuit(6)
+        for col in range(3):
+            for q in range(6):
+                c.add_gate(GateInstance("Ry", [q],
+                                        [float(rng.uniform(0, 6.28))],
+                                        column=2 * col))
+            for q in range(col % 2, 5, 2):
+                c.add_gate(GateInstance("CNOT", [q, q + 1], [],
+                                        column=2 * col + 1))
+        dist = DistributedSimulator(n_devices=8)
+        for basis in (MeasurementBasis.X, MeasurementBasis.Y):
+            sharded = dist.run(with_basis_rotation(c, basis))
+            dense = rotate_to_basis(
+                Simulator().run(c, shots=0).final_state, basis)
+            np.testing.assert_allclose(
+                np.abs(sharded.data) ** 2, dense.probabilities, atol=1e-5)
+
+    def test_ghz_x_basis_even_parity_only(self):
+        # H^n (|0..0> + |1..1>)/sqrt(2) has support only on even-parity
+        # bitstrings — a physics invariant of the X-basis GHZ measurement.
+        dist = DistributedSimulator(n_devices=8)
+        counts = dist.sample_with_basis(
+            self._ghz(), 2000, basis="X",
+            rng=np.random.default_rng(5))
+        assert sum(counts.values()) == 2000
+        for bits in counts:
+            assert bits.count("1") % 2 == 0, bits
+
+    def test_z_basis_is_passthrough_and_deterministic(self):
+        from quantum_simulator_tpu.parallel.distributed import (
+            with_basis_rotation,
+        )
+
+        c = self._ghz()
+        assert with_basis_rotation(c, "Z") is c
+        dist = DistributedSimulator(n_devices=8)
+        a = dist.sample_with_basis(c, 500, rng=np.random.default_rng(9))
+        b = dist.sample_with_basis(c, 500, rng=np.random.default_rng(9))
+        assert a == b
+        assert set(a) <= {"000000", "111111"}
+
+    def test_shot_mode_readout_error(self):
+        from quantum_simulator_tpu.noise import ReadoutError
+
+        dist = DistributedSimulator(n_devices=8)
+        c = QuantumCircuit(6)  # |000000>
+        counts = dist.sample_with_basis(
+            c, 4000, basis="Z", rng=np.random.default_rng(1),
+            readout_error=ReadoutError(p01=0.2, p10=0.0))
+        assert sum(counts.values()) == 4000
+        # ~20% of bits flip 0->1: the all-zeros string no longer dominates
+        frac_zero = counts.get("000000", 0) / 4000
+        assert 0.15 < frac_zero < 0.4   # (1-0.2)^6 ~ 0.26
+
+    def test_unknown_basis_raises(self):
+        from quantum_simulator_tpu.parallel.distributed import (
+            with_basis_rotation,
+        )
+
+        with pytest.raises(ValueError, match="basis"):
+            with_basis_rotation(self._ghz(), "W")

@@ -154,3 +154,20 @@ class TestBarrenPlateau:
         assert len(bp.per_layer_mean_variance) == len(bp.per_layer_variance)
         assert len(bp.per_qubit_variance) >= 2
         assert bp.threshold == 1e-4
+
+
+def test_autodiff_rejects_huge_circuits():
+    """Reverse-mode through an n>=30 dense program would need several
+    whole 8 GiB states resident; the clear error beats an XLA OOM."""
+    from quantum_simulator_tpu.optimizer import (
+        CostFunction,
+        GradientEstimator,
+        ParameterizedCircuitConfig,
+    )
+
+    c = QuantumCircuit(30)
+    c.add_gate(GateInstance("Ry", [0], [0.3], column=0))
+    cfg = ParameterizedCircuitConfig.auto_detect(c)
+    with pytest.raises(ValueError, match="autodiff cannot run"):
+        GradientEstimator.autodiff(
+            cfg, CostFunction.z_expectation(0), np.array([0.3]))
