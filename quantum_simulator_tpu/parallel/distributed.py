@@ -28,6 +28,7 @@ rule), so distributed VQE gradients flow through the collective schedule.
 from __future__ import annotations
 
 import math
+import time
 from functools import partial
 from typing import Callable
 
@@ -302,7 +303,8 @@ _GROUPED_SHARD_MIN_QUBITS = 14
 
 
 def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
-                      axis: str, dtype) -> Callable:
+                      axis: str, dtype,
+                      take_state: bool = False) -> Callable:
     """Per-shard noiseless body: ``params -> local block (2^(n-g),)``.
 
     Gate runs between ppermute exchanges compose through the group-matmul
@@ -310,6 +312,11 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
     the same composed-operator efficiency as the single-chip path; XLA's
     latency-hiding scheduler overlaps the half-block ppermutes with
     whatever compute is dataflow-independent.
+
+    ``take_state=True`` switches the signature to ``(block, params) ->
+    block``: the program applies to an EXISTING local block instead of
+    initializing |initial_index> — the building block for segmented
+    deep-circuit runs (`sharded_apply_fn`).
     """
     n = program.num_qubits
     n_local = n - g
@@ -324,15 +331,20 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
     grouped = n_local >= _GROUPED_SHARD_MIN_QUBITS
 
     if not grouped:
-        def body(params):
+        def body(*fn_args):
             from ..ops.apply import apply_cphase
 
-            my = jax.lax.axis_index(axis)
-            amp0 = jnp.where(my == init_dev,
-                             jnp.ones((), dtype=dtype),
-                             jnp.zeros((), dtype))
-            block = jnp.zeros(1 << n_local,
-                              dtype=dtype).at[init_local].set(amp0)
+            if take_state:
+                block, params = fn_args
+                block = block.astype(dtype)
+            else:
+                (params,) = fn_args
+                my = jax.lax.axis_index(axis)
+                amp0 = jnp.where(my == init_dev,
+                                 jnp.ones((), dtype=dtype),
+                                 jnp.zeros((), dtype))
+                block = jnp.zeros(1 << n_local,
+                                  dtype=dtype).at[init_local].set(amp0)
             swap_mat = jnp.asarray(_SWAP_MAT, dtype=dtype)
             for item in schedule:
                 if item[0] == "swap":
@@ -414,16 +426,23 @@ def _build_local_body(program: prog.CircuitProgram, g: int, n_devices: int,
             run.append(("gate", -1, (item[1], item[2])))
     close_run()
 
-    def body(params):
-        my = jax.lax.axis_index(axis)
-        amp0 = jnp.where(my == init_dev, jnp.float32(1.0), jnp.float32(0.0))
-        # outer-product one-hot (a scatter into the big planar buffer
-        # blows XLA compile time ~25x at large n — see
-        # ops/plan._planar_basis_state)
-        from ..ops.plan import _planar_basis_state
+    def body(*fn_args):
+        if take_state:
+            block, params = fn_args
+            x = jnp.stack([jnp.real(block), jnp.imag(block)]) \
+                   .astype(jnp.float32)
+        else:
+            (params,) = fn_args
+            my = jax.lax.axis_index(axis)
+            amp0 = jnp.where(my == init_dev, jnp.float32(1.0),
+                             jnp.float32(0.0))
+            # outer-product one-hot (a scatter into the big planar buffer
+            # blows XLA compile time ~25x at large n — see
+            # ops/plan._planar_basis_state)
+            from ..ops.plan import _planar_basis_state
 
-        x = (_planar_basis_state(mini_layout, init_local)
-             .reshape(2, 1 << n_local) * amp0)
+            x = (_planar_basis_state(mini_layout, init_local)
+                 .reshape(2, 1 << n_local) * amp0)
         for seg in segments:
             if seg[0] == "swap":
                 # the complex plane is one extra MSB on the flat planar
@@ -605,6 +624,37 @@ def sharded_forward_fn(program: prog.CircuitProgram, mesh: Mesh,
     return jax.jit(fn, out_shardings=out_sharding)
 
 
+def sharded_apply_fn(program: prog.CircuitProgram, mesh: Mesh,
+                     dtype=None) -> Callable:
+    """jitted ``f(global_state, params) -> global sharded state``:
+    applies an already-compiled program to an EXISTING mesh-sharded
+    state (the state argument is donated).
+
+    This is the segmented-execution primitive: a deep circuit whose
+    columns repeat structurally (brickwork, Trotter steps, ansatz
+    layers) splits into segments that share ONE compiled apply-fn and
+    differ only in their param vectors — giving per-segment progress,
+    checkpointing, and mid-circuit re-entry on runs that take hours
+    (`scripts/mesh_stretch_check.py --segment-cols`). Breaks the
+    reference's whole-circuit-per-process execution model
+    (`/root/reference/quantum_sim/engine/simulator.py` runs start to
+    finish in one call with no state re-entry).
+    """
+    dtype = dtype or CONFIG.dtype
+    axis = mesh.axis_names[0]
+    n_devices = mesh.shape[axis]
+    g = int(math.log2(n_devices))
+    if 2**g != n_devices:
+        raise ValueError("mesh size must be a power of 2")
+
+    body = _build_local_body(program, g, n_devices, axis, dtype,
+                             take_state=True)
+    fn = shard_map_compat(body, mesh=mesh, in_specs=(P(axis), P()),
+                          out_specs=P(axis))
+    out_sharding = NamedSharding(mesh, P(axis))
+    return jax.jit(fn, out_shardings=out_sharding, donate_argnums=0)
+
+
 def with_basis_rotation(circuit: QuantumCircuit,
                         basis: str) -> QuantumCircuit:
     """A copy of ``circuit`` with the measurement-basis rotation appended
@@ -677,6 +727,53 @@ class DistributedSimulator:
         fn = sharded_forward_fn(program, self._mesh)
         state = fn(jnp.asarray(program.initial_params))
         return DistributedStateVector(state, circuit.num_qubits, self._mesh)
+
+    def run_segmented(self, circuit: QuantumCircuit, segment_columns: int,
+                      progress: Callable | None = None
+                      ) -> DistributedStateVector:
+        """``run`` split into column segments of ``segment_columns``.
+
+        Result is identical to ``run``; the point is operational:
+        per-segment progress on multi-hour deep/wide runs, and ONE
+        compile shared by every structurally identical segment
+        (brickwork / Trotter / ansatz layers repeat, so a depth-40
+        circuit compiles its 4-column period once instead of tracing
+        950 schedule items in one program). ``progress(seg_idx,
+        n_segments, wall_s)`` fires after each segment completes
+        (synchronized).
+        """
+        if segment_columns < 1:
+            raise ValueError("segment_columns must be >= 1")
+        n = circuit.num_qubits
+        n_cols = 1 + max((gt.column for gt in circuit.gates), default=-1)
+        bounds = list(range(0, max(n_cols, 1), segment_columns))
+
+        init = QuantumCircuit(n)
+        init.initial_states = list(circuit.initial_states)
+        state = self.run(init).device_data
+
+        fns: dict[int, Callable] = {}
+        n_segments = len(bounds)
+        for si, lo in enumerate(bounds):
+            hi = lo + segment_columns
+            seg = QuantumCircuit(n)
+            for gt in sorted(circuit.gates, key=lambda x: x.column):
+                if lo <= gt.column < hi:
+                    seg.add_gate(GateInstance(
+                        gt.gate_name, list(gt.target_qubits),
+                        list(gt.params), column=gt.column - lo))
+            if not seg.gates:
+                continue
+            program = prog.compile_circuit(seg)
+            key = seg.structure_hash()
+            if key not in fns:
+                fns[key] = sharded_apply_fn(program, self._mesh)
+            t0 = time.perf_counter()
+            state = fns[key](state, jnp.asarray(program.initial_params))
+            if progress is not None:
+                state.block_until_ready()
+                progress(si, n_segments, time.perf_counter() - t0)
+        return DistributedStateVector(state, n, self._mesh)
 
     def run_noisy_trajectory(self, circuit: QuantumCircuit, noise_model,
                              seed: int | None = None

@@ -48,6 +48,12 @@ def main():
     parser.add_argument("--shots", type=int, default=1000)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--virtual-cpu", action="store_true")
+    parser.add_argument("--segment-cols", type=int, default=0,
+                        help="run the brickwork forward in column "
+                        "segments of this size (0 = one program): "
+                        "per-segment progress + ONE compile for the "
+                        "structurally periodic columns; use 4 for the "
+                        "multi-hour n=32 single-core run")
     parser.add_argument("--output", type=str, default=None)
     args = parser.parse_args()
 
@@ -195,7 +201,15 @@ def main():
         kinds = swap_count(circuit)
         print(f"[brickwork32] schedule: {kinds}", flush=True)
         t0 = time.time()
-        state = sim.run(circuit)
+        if args.segment_cols:
+            def _prog_cb(si, n_seg, wall):
+                print(f"[brickwork32] segment {si + 1}/{n_seg} done in "
+                      f"{wall:.0f}s ({time.time() - t0:.0f}s total)",
+                      flush=True)
+            state = sim.run_segmented(circuit, args.segment_cols,
+                                      progress=_prog_cb)
+        else:
+            state = sim.run(circuit)
         norm = state.norm()
         t_run = time.time() - t0
         print(f"[brickwork32] depth-{args.depth} forward done in "

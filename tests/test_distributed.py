@@ -492,3 +492,85 @@ class TestBasisSampling:
 
         with pytest.raises(ValueError, match="basis"):
             with_basis_rotation(self._ghz(), "W")
+
+
+class TestSegmentedExecution:
+    """run_segmented / sharded_apply_fn: segment-wise deep-circuit
+    execution must be bit-identical to the one-program forward, with
+    structurally identical segments sharing ONE compiled apply-fn."""
+
+    def _brickwork(self, n, depth, seed):
+        rng = np.random.default_rng(seed)
+        c = QuantumCircuit(n)
+        for col in range(depth):
+            if col % 2 == 0:
+                for q in range(n):
+                    c.add_gate(GateInstance(
+                        "Ry", [q], [float(rng.uniform(0, 6.28))],
+                        column=col))
+            else:
+                for q in range((col // 2) % 2, n - 1, 2):
+                    c.add_gate(GateInstance("CNOT", [q, q + 1], [],
+                                            column=col))
+        return c
+
+    def test_segmented_matches_whole(self):
+        sim = DistributedSimulator(n_devices=8)
+        c = self._brickwork(9, 12, 3)
+        whole = sim.run(c)
+        calls = []
+        seg = sim.run_segmented(c, 4,
+                                progress=lambda i, ns, w: calls.append(i))
+        np.testing.assert_array_equal(whole.data, seg.data)
+        assert calls == [0, 1, 2]
+
+    def test_nonzero_initial_state_and_ragged_tail(self):
+        sim = DistributedSimulator(n_devices=8)
+        c = self._brickwork(8, 7, 5)
+        c.initial_states = [1, 0, 1, 0, 0, 1, 0, 1]
+        np.testing.assert_array_equal(sim.run(c).data,
+                                      sim.run_segmented(c, 3).data)
+
+    def test_single_segment_covers_everything(self):
+        sim = DistributedSimulator(n_devices=8)
+        c = self._brickwork(8, 5, 7)
+        np.testing.assert_array_equal(sim.run(c).data,
+                                      sim.run_segmented(c, 99).data)
+
+    def test_apply_fn_resumes_mid_circuit(self):
+        # sharded_apply_fn applied to a |+...+> state, not |0>: the
+        # primitive really is state-in/state-out re-entry.
+        from quantum_simulator_tpu.ops import program as prog
+        from quantum_simulator_tpu.parallel.distributed import (
+            sharded_apply_fn,
+        )
+
+        import jax.numpy as jnp
+
+        sim = DistributedSimulator(n_devices=8)
+        pre = QuantumCircuit(8)
+        for q in range(8):
+            pre.add_gate(GateInstance("H", [q], [], column=0))
+        post = self._brickwork(8, 4, 11)
+        state = sim.run(pre).device_data
+        program = prog.compile_circuit(post)
+        fn = sharded_apply_fn(program, sim.mesh)
+        out = fn(state, jnp.asarray(program.initial_params))
+
+        both = QuantumCircuit(8)
+        for q in range(8):
+            both.add_gate(GateInstance("H", [q], [], column=0))
+        for g in sorted(post.gates, key=lambda x: x.column):
+            both.add_gate(GateInstance(g.gate_name,
+                                       list(g.target_qubits),
+                                       list(g.params),
+                                       column=g.column + 1))
+        expected = Simulator().run(both, shots=0).final_state.data
+        from quantum_simulator_tpu.utils.xfer import to_host_complex
+        np.testing.assert_allclose(to_host_complex(out), expected,
+                                   atol=1e-5)
+
+    def test_invalid_segment_size_raises(self):
+        sim = DistributedSimulator(n_devices=8)
+        with pytest.raises(ValueError, match="segment_columns"):
+            sim.run_segmented(self._brickwork(8, 4, 1), 0)
