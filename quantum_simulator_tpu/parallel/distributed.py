@@ -28,6 +28,7 @@ rule), so distributed VQE gradients flow through the collective schedule.
 from __future__ import annotations
 
 import math
+import os
 import time
 from functools import partial
 from typing import Callable
@@ -729,8 +730,9 @@ class DistributedSimulator:
         return DistributedStateVector(state, circuit.num_qubits, self._mesh)
 
     def run_segmented(self, circuit: QuantumCircuit, segment_columns: int,
-                      progress: Callable | None = None
-                      ) -> DistributedStateVector:
+                      progress: Callable | None = None,
+                      checkpoint_dir: str | None = None,
+                      resume: bool = True) -> DistributedStateVector:
         """``run`` split into column segments of ``segment_columns``.
 
         Result is identical to ``run``; the point is operational:
@@ -741,6 +743,14 @@ class DistributedSimulator:
         950 schedule items in one program). ``progress(seg_idx,
         n_segments, wall_s)`` fires after each segment completes
         (synchronized).
+
+        ``checkpoint_dir`` persists the sharded state after every
+        segment (per-shard split-plane files — ``parallel/checkpoint``);
+        with ``resume=True`` a rerun of the SAME circuit/segmenting/mesh
+        picks up from the newest checkpoint instead of |init>. The
+        checkpoint identity is the full ``circuit_hash`` (params
+        included), so a changed circuit restarts from scratch rather
+        than continuing the wrong state.
         """
         if segment_columns < 1:
             raise ValueError("segment_columns must be >= 1")
@@ -748,13 +758,34 @@ class DistributedSimulator:
         n_cols = 1 + max((gt.column for gt in circuit.gates), default=-1)
         bounds = list(range(0, max(n_cols, 1), segment_columns))
 
-        init = QuantumCircuit(n)
-        init.initial_states = list(circuit.initial_states)
-        state = self.run(init).device_data
+        start_seg = 0
+        ck_meta = None
+        if checkpoint_dir:
+            from . import checkpoint as ckpt
+
+            ck_meta = {"circuit_hash": circuit.circuit_hash(),
+                       "segment_columns": segment_columns,
+                       "num_qubits": n,
+                       "n_devices": int(
+                           self._mesh.shape[self._mesh.axis_names[0]])}
+            latest = ckpt.read_latest(checkpoint_dir) if resume and \
+                os.path.isdir(checkpoint_dir) else None
+            if latest is not None:
+                man = ckpt.load_manifest(latest)
+                if man["meta"].get("run") == ck_meta:
+                    state = ckpt.load_sharded_state(latest, self._mesh)
+                    start_seg = int(man["meta"]["next_segment"])
+
+        if start_seg == 0:
+            init = QuantumCircuit(n)
+            init.initial_states = list(circuit.initial_states)
+            state = self.run(init).device_data
 
         fns: dict[int, Callable] = {}
         n_segments = len(bounds)
         for si, lo in enumerate(bounds):
+            if si < start_seg:
+                continue
             hi = lo + segment_columns
             seg = QuantumCircuit(n)
             for gt in sorted(circuit.gates, key=lambda x: x.column):
@@ -773,6 +804,14 @@ class DistributedSimulator:
             if progress is not None:
                 state.block_until_ready()
                 progress(si, n_segments, time.perf_counter() - t0)
+            if checkpoint_dir:
+                from . import checkpoint as ckpt
+
+                seg_name = f"seg_{si}"
+                ckpt.save_sharded_state(
+                    state, os.path.join(checkpoint_dir, seg_name),
+                    meta={"run": ck_meta, "next_segment": si + 1})
+                ckpt.write_latest(checkpoint_dir, seg_name)
         return DistributedStateVector(state, n, self._mesh)
 
     def run_noisy_trajectory(self, circuit: QuantumCircuit, noise_model,

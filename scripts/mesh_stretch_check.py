@@ -54,6 +54,11 @@ def main():
                         "per-segment progress + ONE compile for the "
                         "structurally periodic columns; use 4 for the "
                         "multi-hour n=32 single-core run")
+    parser.add_argument("--checkpoint-dir", type=str, default=None,
+                        help="with --segment-cols: persist the sharded "
+                        "state after every segment and auto-resume from "
+                        "the newest checkpoint on rerun (per-shard "
+                        "split-plane files; ~2x state bytes on disk)")
     parser.add_argument("--output", type=str, default=None)
     args = parser.parse_args()
 
@@ -207,7 +212,8 @@ def main():
                       f"{wall:.0f}s ({time.time() - t0:.0f}s total)",
                       flush=True)
             state = sim.run_segmented(circuit, args.segment_cols,
-                                      progress=_prog_cb)
+                                      progress=_prog_cb,
+                                      checkpoint_dir=args.checkpoint_dir)
         else:
             state = sim.run(circuit)
         norm = state.norm()

@@ -574,3 +574,89 @@ class TestSegmentedExecution:
         sim = DistributedSimulator(n_devices=8)
         with pytest.raises(ValueError, match="segment_columns"):
             sim.run_segmented(self._brickwork(8, 4, 1), 0)
+
+
+class TestSegmentedCheckpointing:
+    """parallel/checkpoint: per-shard split-plane persistence + resume."""
+
+    def _brickwork(self, n, depth, seed):
+        rng = np.random.default_rng(seed)
+        c = QuantumCircuit(n)
+        for col in range(depth):
+            if col % 2 == 0:
+                for q in range(n):
+                    c.add_gate(GateInstance(
+                        "Ry", [q], [float(rng.uniform(0, 6.28))],
+                        column=col))
+            else:
+                for q in range((col // 2) % 2, n - 1, 2):
+                    c.add_gate(GateInstance("CNOT", [q, q + 1], [],
+                                            column=col))
+        return c
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from quantum_simulator_tpu.parallel import checkpoint as ckpt
+
+        sim = DistributedSimulator(n_devices=8)
+        state = sim.run(self._brickwork(8, 4, 1))
+        ckpt.save_sharded_state(state.device_data, str(tmp_path / "s"),
+                                meta={"tag": 7})
+        loaded = ckpt.load_sharded_state(str(tmp_path / "s"), sim.mesh)
+        np.testing.assert_array_equal(np.asarray(jax.device_get(loaded)),
+                                      np.asarray(
+                                          jax.device_get(
+                                              state.device_data)))
+        assert ckpt.load_manifest(str(tmp_path / "s"))["meta"]["tag"] == 7
+
+    def test_mesh_size_mismatch_raises(self, tmp_path):
+        from quantum_simulator_tpu.parallel import checkpoint as ckpt
+        from quantum_simulator_tpu.parallel.distributed import make_mesh
+
+        sim = DistributedSimulator(n_devices=8)
+        state = sim.run(self._brickwork(8, 2, 1))
+        ckpt.save_sharded_state(state.device_data, str(tmp_path / "s"))
+        with pytest.raises(ValueError, match="reshard"):
+            ckpt.load_sharded_state(str(tmp_path / "s"), make_mesh(4))
+
+    def test_crash_resume_skips_completed_segments(self, tmp_path):
+        sim = DistributedSimulator(n_devices=8)
+        c = self._brickwork(9, 12, 3)
+        whole = sim.run(c)
+
+        class Boom(Exception):
+            pass
+
+        def killer(i, ns, w):
+            if i == 1:
+                raise Boom()
+
+        with pytest.raises(Boom):
+            sim.run_segmented(c, 4, progress=killer,
+                              checkpoint_dir=str(tmp_path))
+        done = []
+        out = sim.run_segmented(c, 4,
+                                progress=lambda i, ns, w: done.append(i),
+                                checkpoint_dir=str(tmp_path))
+        assert done == [1, 2]   # segment 0 came from the checkpoint
+        np.testing.assert_array_equal(whole.data, out.data)
+
+    def test_changed_circuit_restarts_from_scratch(self, tmp_path):
+        sim = DistributedSimulator(n_devices=8)
+        sim.run_segmented(self._brickwork(9, 8, 3), 4,
+                          checkpoint_dir=str(tmp_path))
+        c2 = self._brickwork(9, 8, 99)   # same structure, new params
+        done = []
+        out = sim.run_segmented(c2, 4,
+                                progress=lambda i, ns, w: done.append(i),
+                                checkpoint_dir=str(tmp_path))
+        assert done == [0, 1]   # circuit_hash mismatch -> full rerun
+        np.testing.assert_array_equal(sim.run(c2).data, out.data)
+
+    def test_old_checkpoints_pruned(self, tmp_path):
+        import os
+
+        sim = DistributedSimulator(n_devices=8)
+        sim.run_segmented(self._brickwork(8, 12, 5), 4,
+                          checkpoint_dir=str(tmp_path))
+        segs = [d for d in os.listdir(tmp_path) if d.startswith("seg_")]
+        assert segs == ["seg_2"]
