@@ -825,6 +825,47 @@ class DistributedSimulator:
         state = fn(jnp.asarray(program.initial_params), key)
         return DistributedStateVector(state, circuit.num_qubits, self._mesh)
 
+    def run_with_noise(self, circuit: QuantumCircuit, noise_model,
+                       shots: int = 1024,
+                       trajectories: int | None = None,
+                       seed: int | None = None,
+                       rng: np.random.Generator | None = None
+                       ) -> dict[str, int]:
+        """Noisy measurement counts on the mesh: the Monte-Carlo
+        trajectory estimator ``Simulator.run_with_noise`` uses for huge
+        states (``simulator.py:440-446``), at mesh scale.
+
+        T stochastic-Kraus trajectories run through ONE compiled sharded
+        trajectory program (fresh key per trajectory, params fixed) and
+        each is sampled ~shots/T times shard-locally — no full-state
+        gather anywhere. Default T = min(shots, 16): every trajectory
+        is a full sharded forward, so shot-per-trajectory (reference
+        semantics, ``/root/reference/quantum_sim/engine/simulator.py:
+        134-145``) is the ``trajectories=shots`` extreme of the same
+        estimator.
+        """
+        if rng is None:
+            rng = np.random.default_rng(seed)
+        if noise_model is None or not noise_model.has_channels():
+            return self.sample(self.run(circuit), shots, rng=rng)
+        T = max(1, min(shots,
+                       16 if trajectories is None else trajectories))
+        program = prog.compile_circuit(circuit)
+        fn = sharded_trajectory_fn(program, noise_model, self._mesh)
+        params = jnp.asarray(program.initial_params)
+        base, extra = divmod(shots, T)
+        total: dict[str, int] = {}
+        for i in range(T):
+            take = base + (1 if i < extra else 0)
+            if take == 0:
+                break
+            key = key_from_seed(int(rng.integers(0, 2**63)))
+            state = DistributedStateVector(fn(params, key),
+                                           circuit.num_qubits, self._mesh)
+            for bits, cnt in self.sample(state, take, rng=rng).items():
+                total[bits] = total.get(bits, 0) + cnt
+        return total
+
     def expectation_z(self, state: DistributedStateVector,
                       qubit: int) -> float:
         """<Z_qubit> on a sharded state — shard-local Z-parity signs

@@ -660,3 +660,71 @@ class TestSegmentedCheckpointing:
                           checkpoint_dir=str(tmp_path))
         segs = [d for d in os.listdir(tmp_path) if d.startswith("seg_")]
         assert segs == ["seg_2"]
+
+
+class TestDistributedRunWithNoise:
+    """Mesh run_with_noise: the Monte-Carlo trajectory estimator at
+    mesh scale (one compiled sharded trajectory program, fresh keys)."""
+
+    def _circuit(self, n=6):
+        c = QuantumCircuit(n)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        for q in range(n - 1):
+            c.add_gate(GateInstance("CNOT", [q, q + 1], [], column=q + 1))
+        return c
+
+    def test_distribution_matches_exact_density_matrix(self):
+        from quantum_simulator_tpu import DepolarizingNoise, NoiseModel
+        from quantum_simulator_tpu.density import DensityMatrixSimulator
+
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.08))
+        c = self._circuit(6)
+        shots, T = 9600, 192
+        exact = DensityMatrixSimulator(noise_model=nm).run(c).probabilities
+        dist = DistributedSimulator(n_devices=8)
+        mesh_counts = dist.run_with_noise(c, nm, shots, trajectories=T,
+                                          seed=3)
+        assert sum(mesh_counts.values()) == shots
+        emp = np.zeros(1 << 6)
+        for bits, cnt in mesh_counts.items():
+            emp[int(bits, 2)] = cnt / shots
+        # Monte-Carlo trajectory estimator noise is O(1/sqrt(T)) ~ 0.07;
+        # measured 0.099 at this seed (single-chip T=96 shows 0.080 —
+        # same estimator class, same scale)
+        tvd = 0.5 * np.sum(np.abs(emp - exact))
+        assert tvd < 0.15, tvd
+        # GHZ + depolarizing keeps the two GHZ strings dominant
+        top = sorted(mesh_counts, key=mesh_counts.get, reverse=True)[:2]
+        assert set(top) == {"000000", "111111"}
+
+    def test_seed_determinism(self):
+        from quantum_simulator_tpu import BitFlipNoise, NoiseModel
+
+        nm = NoiseModel()
+        nm.add_global_noise(BitFlipNoise(0.05))
+        c = self._circuit(6)
+        dist = DistributedSimulator(n_devices=8)
+        a = dist.run_with_noise(c, nm, 400, trajectories=8, seed=11)
+        b = dist.run_with_noise(c, nm, 400, trajectories=8, seed=11)
+        assert a == b
+        assert sum(a.values()) == 400
+
+    def test_noiseless_model_is_plain_sampling(self):
+        from quantum_simulator_tpu import NoiseModel
+
+        c = self._circuit(6)
+        dist = DistributedSimulator(n_devices=8)
+        counts = dist.run_with_noise(c, NoiseModel(), 500, seed=2)
+        assert set(counts) <= {"000000", "111111"}
+        assert sum(counts.values()) == 500
+
+    def test_trajectories_capped_by_shots(self):
+        from quantum_simulator_tpu import DepolarizingNoise, NoiseModel
+
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.02))
+        dist = DistributedSimulator(n_devices=8)
+        counts = dist.run_with_noise(self._circuit(6), nm, 5,
+                                     trajectories=64, seed=1)
+        assert sum(counts.values()) == 5
