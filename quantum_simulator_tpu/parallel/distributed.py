@@ -625,6 +625,54 @@ def sharded_forward_fn(program: prog.CircuitProgram, mesh: Mesh,
     return jax.jit(fn, out_shardings=out_sharding)
 
 
+def _qubit_bloch_body(n: int, g: int, axis: str,
+                      n_devices: int) -> Callable:
+    """Per-shard body computing every qubit's (z, Re c, Im c) in ONE
+    program, where z = <Z_q> and c = sum_{j: bit_q=0} conj(x_j) x_{j^m}
+    (so <X_q> = 2 Re c, <Y_q> = 2 Im c, and the reduced rho_q is
+    [[ (1+z)/2, conj(c) ], [ c, (1-z)/2 ]]).
+
+    Local qubits pair within the shard (zero communication); device-bit
+    qubits pair across ONE ppermute of the block each. Output is float
+    (n, 3) — complex never crosses the host boundary (axon DMA rule).
+    """
+    n_local = n - g
+
+    def body(block):
+        my = jax.lax.axis_index(axis)
+        abs2 = jnp.abs(block) ** 2
+        shard_prob = jnp.sum(abs2)
+        rows = []
+        for q in range(n):
+            if q < g:
+                bit_shift = g - 1 - q
+                my_bit = (my >> bit_shift) & 1
+                sign = 1.0 - 2.0 * my_bit.astype(jnp.float32)
+                z = jax.lax.psum(sign * shard_prob, axis)
+                perm = [(d, d ^ (1 << bit_shift))
+                        for d in range(n_devices)]
+                partner = jax.lax.ppermute(block, axis, perm)
+                pair = jnp.sum(jnp.conj(block) * partner)
+                zero = jnp.zeros((), pair.dtype)
+                contrib = jnp.where(my_bit == 0, pair, zero)
+                c = jax.lax.psum(contrib, axis)
+            else:
+                l_idx = q - g
+                a = 1 << l_idx
+                b = 1 << (n_local - l_idx - 1)
+                b3 = block.reshape(a, 2, b)
+                x0, x1 = b3[:, 0, :], b3[:, 1, :]
+                z = jax.lax.psum(
+                    jnp.sum(jnp.abs(x0) ** 2 - jnp.abs(x1) ** 2), axis)
+                c = jax.lax.psum(jnp.sum(jnp.conj(x0) * x1), axis)
+            rows.append(jnp.stack([z.astype(jnp.float32),
+                                   jnp.real(c).astype(jnp.float32),
+                                   jnp.imag(c).astype(jnp.float32)]))
+        return jnp.stack(rows)
+
+    return body
+
+
 def sharded_apply_fn(program: prog.CircuitProgram, mesh: Mesh,
                      dtype=None) -> Callable:
     """jitted ``f(global_state, params) -> global sharded state``:
@@ -865,6 +913,64 @@ class DistributedSimulator:
             for bits, cnt in self.sample(state, take, rng=rng).items():
                 total[bits] = total.get(bits, 0) + cnt
         return total
+
+    def qubit_density_matrices(self, state: DistributedStateVector
+                               ) -> np.ndarray:
+        """(n, 2, 2) single-qubit reduced density matrices of a sharded
+        pure state, all qubits in ONE compiled program: local qubits
+        pair in-shard, device-bit qubits pair across one ppermute each.
+        No full-state gather; O(n) floats cross to the host.
+
+        Reference analog: per-qubit ``partial_trace``
+        (``/root/reference/quantum_sim/engine/state_vector.py:121-140``),
+        which materializes rho on one host — impossible at mesh n.
+        """
+        n = state.num_qubits
+        if not hasattr(self, "_bloch_fns"):
+            self._bloch_fns = {}
+        if n not in self._bloch_fns:   # one compile per qubit count
+            axis = self._mesh.axis_names[0]
+            n_devices = int(self._mesh.shape[axis])
+            g = int(math.log2(n_devices))
+            body = _qubit_bloch_body(n, g, axis, n_devices)
+            self._bloch_fns[n] = jax.jit(shard_map_compat(
+                body, mesh=self._mesh, in_specs=(P(axis),),
+                out_specs=P()))
+        zc = np.asarray(self._bloch_fns[n](state.device_data),
+                        dtype=np.float64)
+        rhos = np.empty((n, 2, 2), dtype=np.complex128)
+        for q in range(n):
+            z, cr, ci = zc[q]
+            c = cr + 1j * ci          # sum_{j0} conj(x_j0) x_j1
+            rhos[q] = [[(1 + z) / 2, np.conj(c)], [c, (1 - z) / 2]]
+        return rhos
+
+    def ensemble_qubit_density_matrices(self, circuit: QuantumCircuit,
+                                        noise_model,
+                                        n_trials: int = 50,
+                                        seed: int | None = None
+                                        ) -> np.ndarray:
+        """(n, 2, 2) ensemble-averaged single-qubit reduced density
+        matrices over stochastic-Kraus trajectories, at mesh scale —
+        the sharded twin of ``Simulator.ensemble_qubit_density_matrices``
+        (reference analog ``ensemble_density_matrix``,
+        ``simulator.py:155-199``, which is 4^n and single-host). One
+        compiled trajectory program + one compiled reduction program,
+        reused across trials.
+        """
+        rng = np.random.default_rng(seed)
+        n = circuit.num_qubits
+        if noise_model is None or not noise_model.has_channels():
+            return self.qubit_density_matrices(self.run(circuit))
+        program = prog.compile_circuit(circuit)
+        fn = sharded_trajectory_fn(program, noise_model, self._mesh)
+        params = jnp.asarray(program.initial_params)
+        acc = np.zeros((n, 2, 2), dtype=np.complex128)
+        for _ in range(max(1, n_trials)):
+            key = key_from_seed(int(rng.integers(0, 2**63)))
+            state = DistributedStateVector(fn(params, key), n, self._mesh)
+            acc += self.qubit_density_matrices(state)
+        return acc / max(1, n_trials)
 
     def expectation_z(self, state: DistributedStateVector,
                       qubit: int) -> float:
