@@ -1,0 +1,427 @@
+"""Pauli-frame QEC engine: threshold sweeps as pure GF(2) bit algebra.
+
+The statevector QEC cycle (``qec.py``) is exact but costs O(2^n) per
+trial.  For the workloads the reference's threshold sweep actually runs
+(``/root/reference/quantum_sim/engine/qec.py:551-622``: stabilizer
+codewords + stochastic Pauli noise + parity-check syndromes + Pauli
+corrections) the entire cycle is determined by binary linear algebra on
+the error bits alone — the stabilizer-frame ("Pauli-frame") reduction
+used by large-scale QEC samplers.  This module implements that reduction
+TPU-natively: a trial is a row of X/Z error bits, a syndrome is a
+parity-check matmul, a decode is a lookup-table gather (or a cumsum for
+repetition codes), and a sweep over millions of trials is one batched
+VPU/MXU launch with no 2^n state anywhere.
+
+Exactness contract (locked in by ``tests/test_qec_frame.py``): for the
+three reference codes, ``FrameQECSimulator.threshold_sweep`` consumes
+PRNG keys and per-qubit uniform draws in EXACTLY the order
+``QECSimulator.threshold_sweep`` does (``qec.py:454`` — one
+``uniform(key, (data_qubits,))`` per trial, identical X/Z thresholds per
+noise type), so with the same seed the two engines produce identical
+per-trial success flags and Z_L signs — not merely matching statistics.
+
+Why the 0/1 reduction is exact, not approximate: the sweep's ideal
+states are logical-basis (Z_L- or X_L-eigenstate) stabilizer states, so
+the corrected state is ``X^rx Z^rz |ideal>`` for residual bit-vectors
+``rx = ex ^ cx``, ``rz = ez ^ cz``, and ``|<ideal| X^rx Z^rz |ideal>|^2``
+is exactly 1 when the residual Pauli stabilizes the ideal state (zero
+syndrome and trivial logical action on the readout component) and
+exactly 0 otherwise.  ``<Z_L>`` after correction is exactly
+``expected_sign * (-1)^parity(residual & L)``.  The statevector engine
+computes these same values through 2^n-dimensional inner products; the
+frame engine reads them off the bits.
+
+Beyond parity, the frame engine scales where the statevector cannot:
+``repetition_frame_spec(distance)`` builds bit-flip/phase-flip
+repetition codes of ANY odd distance (the reference caps at d=3 / 5
+qubits; the statevector engine at ~n=30), with a maximum-likelihood
+prefix-parity decoder, and trials shard over a device mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .qec import QECCode, ThresholdPoint
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Frame spec
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FrameSpec:
+    """Static GF(2) structure of a code, as consumed by the sweep kernel.
+
+    ``comp_checks`` rows are parity checks over the X-error bits (the
+    computational-frame syndrome, ``qec.py:458-460``); ``h_checks`` rows
+    are parity checks over the Z-error bits (the H-rotated-frame
+    syndrome, ``qec.py:461-466``).  ``logical_support`` is the qubit
+    support of the logical readout operator; ``logical_in_h_frame``
+    selects which residual component (X bits in the computational frame,
+    Z bits in the H frame) flips that readout — mirroring
+    ``QECCode.logical_z_in_h_frame`` (``qec.py:129``).
+
+    ``decode`` is a traceable batched decoder:
+    ``(syn_comp[T, nc], syn_h[T, nh]) -> (x_corr[T, dq], z_corr[T, dq])``
+    with int32 0/1 entries.
+    """
+
+    name: str
+    data_qubits: int
+    comp_checks: np.ndarray          # (nc, dq) uint8
+    h_checks: np.ndarray             # (nh, dq) uint8
+    logical_support: np.ndarray      # (dq,) uint8
+    logical_in_h_frame: bool
+    decode: Callable = field(compare=False)
+
+    def __post_init__(self):
+        dq = self.data_qubits
+        for mat, label in ((self.comp_checks, "comp_checks"),
+                           (self.h_checks, "h_checks")):
+            if mat.ndim != 2 or mat.shape[1] != dq:
+                raise ValueError(f"{label} must be (n_checks, {dq}), "
+                                 f"got {mat.shape}")
+        if self.logical_support.shape != (dq,):
+            raise ValueError("logical_support must be shape "
+                             f"({dq},), got {self.logical_support.shape}")
+
+
+def _checks_matrix(checks: list[list[int]], dq: int) -> np.ndarray:
+    mat = np.zeros((len(checks), dq), dtype=np.uint8)
+    for i, qubits in enumerate(checks):
+        for q in qubits:
+            if q >= dq:
+                raise ValueError(f"check {qubits} touches non-data qubit {q}")
+            mat[i, q] = 1
+    return mat
+
+
+def frame_spec_from_code(code: QECCode) -> FrameSpec:
+    """Lift a statevector ``QECCode`` into a frame spec.
+
+    The decoder is materialized as a lookup table by enumerating every
+    syndrome through the code's own host decode table
+    (``QECCode.decode_syndrome``), so frame decodes agree with
+    statevector decodes by construction.
+    """
+    dq = code.data_qubits
+    comp = _checks_matrix(code.comp_frame_checks(), dq)
+    h = _checks_matrix(code.h_frame_checks(), dq)
+    nc, nh = comp.shape[0], h.shape[0]
+    n_syn = nc + nh
+    lut_x = np.zeros((2 ** n_syn, dq), dtype=np.int32)
+    lut_z = np.zeros((2 ** n_syn, dq), dtype=np.int32)
+    for s in range(2 ** n_syn):
+        bits = [(s >> i) & 1 for i in range(n_syn)]
+        for gate_name, qubit in code.decode_syndrome(bits):
+            if gate_name == "X":
+                lut_x[s, qubit] = 1
+            elif gate_name == "Z":
+                lut_z[s, qubit] = 1
+
+    pow_c = np.asarray([1 << i for i in range(nc)], dtype=np.int32)
+    pow_h = np.asarray([1 << (nc + i) for i in range(nh)], dtype=np.int32)
+
+    def decode(syn_comp, syn_h):
+        idx = jnp.zeros(syn_comp.shape[:1], jnp.int32)
+        if nc:
+            idx = idx + syn_comp @ jnp.asarray(pow_c)
+        if nh:
+            idx = idx + syn_h @ jnp.asarray(pow_h)
+        return (jnp.asarray(lut_x)[idx], jnp.asarray(lut_z)[idx])
+
+    support = np.zeros(dq, dtype=np.uint8)
+    for q in code.logical_z_operators():
+        support[q] = 1
+    return FrameSpec(
+        name=code.name,
+        data_qubits=dq,
+        comp_checks=comp,
+        h_checks=h,
+        logical_support=support,
+        logical_in_h_frame=code.logical_z_in_h_frame(),
+        decode=decode,
+    )
+
+
+def repetition_frame_spec(distance: int,
+                          kind: str = "bit_flip") -> FrameSpec:
+    """Distance-``d`` repetition code, frame-native.
+
+    ``kind="bit_flip"``: |0>_L = |0...0>, adjacent ZZ checks, corrects
+    X errors — the d=3 case is exactly ``BitFlipCode`` (``qec.py:191``),
+    and the two specs decode identically (tested).  ``kind="phase_flip"``
+    is the H-conjugated twin (``qec.py:243``).  Decoding is maximum
+    likelihood: the prefix-parity candidate consistent with the syndrome
+    or its complement, whichever is lighter.  Odd distance keeps the
+    decision unambiguous.
+    """
+    if distance < 3 or distance % 2 == 0:
+        raise ValueError("distance must be odd and >= 3")
+    if kind not in ("bit_flip", "phase_flip"):
+        raise ValueError(f"unknown repetition kind: {kind}")
+    d = distance
+    checks = [[i, i + 1] for i in range(d - 1)]
+    mat = _checks_matrix(checks, d)
+
+    def _ml_error(syn):
+        # Candidate error with bit 0 clear: e[i] = s[0] ^ ... ^ s[i-1].
+        prefix = jnp.cumsum(syn, axis=1) & 1
+        e0 = jnp.concatenate(
+            [jnp.zeros_like(prefix[:, :1]), prefix], axis=1)
+        weight = jnp.sum(e0, axis=1, keepdims=True)
+        return jnp.where(2 * weight > d, 1 - e0, e0).astype(jnp.int32)
+
+    if kind == "bit_flip":
+        def decode(syn_comp, syn_h):
+            ex = _ml_error(syn_comp)
+            return ex, jnp.zeros_like(ex)
+        comp, h = mat, np.zeros((0, d), np.uint8)
+        in_h = False
+    else:
+        def decode(syn_comp, syn_h):
+            ez = _ml_error(syn_h)
+            return jnp.zeros_like(ez), ez
+        comp, h = np.zeros((0, d), np.uint8), mat
+        in_h = True
+
+    return FrameSpec(
+        name=f"Repetition-{kind} [{d},1,{d}]",
+        data_qubits=d,
+        comp_checks=comp,
+        h_checks=h,
+        logical_support=np.ones(d, dtype=np.uint8),
+        logical_in_h_frame=in_h,
+        decode=decode,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sweep kernel
+# ---------------------------------------------------------------------------
+
+def _draw_error_bits(r, p, noise_type: str):
+    """Uniform draws -> (x_bits, z_bits); thresholds match
+    ``qec._pauli_masks_from_draws`` (``qec.py:404-417``) exactly."""
+    if noise_type == "bit_flip":
+        x = r < p
+        z = jnp.zeros_like(x)
+    elif noise_type == "phase_flip":
+        x = jnp.zeros_like(r < p)
+        z = r < p
+    elif noise_type == "depolarizing":
+        x = r < 2 * p / 3
+        z = (r >= p / 3) & (r < p)
+    else:
+        raise ValueError(f"Unknown noise type: {noise_type}")
+    return x.astype(jnp.int32), z.astype(jnp.int32)
+
+
+def build_frame_sweep_fn(spec: FrameSpec, noise_type: str):
+    """jitted ``(p, keys[T, key_dim]) -> (ok_before, ok_after, flip)``.
+
+    Per-trial int32 flags: ``ok_*`` is the exact 0/1 fidelity of the
+    noisy/corrected state against the logical-basis ideal; ``flip`` is
+    whether the corrected state's logical readout sign is inverted.
+    ``p`` is a runtime scalar — one compile serves a whole sweep, same
+    as ``build_cycle_fn`` (``qec.py:473``).  All parity reductions run
+    at ``Precision.HIGHEST``: the TPU default bf16 matmul error would
+    corrupt parities for wide codes.
+    """
+    dq = spec.data_qubits
+    comp = jnp.asarray(spec.comp_checks, jnp.float32)
+    h = jnp.asarray(spec.h_checks, jnp.float32)
+    support = jnp.asarray(spec.logical_support, jnp.float32)
+    decode = spec.decode
+    in_h = spec.logical_in_h_frame
+
+    def _syndrome(bits, checks):
+        if checks.shape[0] == 0:
+            return jnp.zeros((bits.shape[0], 0), jnp.int32)
+        odd = jnp.matmul(bits.astype(jnp.float32), checks.T,
+                         precision=_HI)
+        return odd.astype(jnp.int32) & 1
+
+    def _logical_parity(bits):
+        overlap = jnp.matmul(bits.astype(jnp.float32), support,
+                             precision=_HI)
+        return overlap.astype(jnp.int32) & 1
+
+    def _ok(x_bits, z_bits):
+        """1 iff X^x Z^z fixes the logical-basis ideal up to phase:
+        zero syndrome in both frames and trivial action on the logical
+        readout.  The non-readout component needs only zero syndrome —
+        its logical part acts as a phase on an eigenstate ideal (this
+        is why a pure-Z residual never hurts bit-flip fidelity, matching
+        the statevector engine's |<psi|P|psi>|^2)."""
+        syn_ok = (jnp.all(_syndrome(x_bits, comp) == 0, axis=1)
+                  & jnp.all(_syndrome(z_bits, h) == 0, axis=1))
+        readout = z_bits if in_h else x_bits
+        return (syn_ok & (_logical_parity(readout) == 0)).astype(jnp.int32)
+
+    def sweep(p, keys):
+        r = jax.vmap(lambda k: jax.random.uniform(k, (dq,)))(keys)
+        ex, ez = _draw_error_bits(r, p, noise_type)
+        ok_before = _ok(ex, ez)
+        syn_c = _syndrome(ex, comp)
+        syn_h = _syndrome(ez, h)
+        cx, cz = decode(syn_c, syn_h)
+        rx = ex ^ cx
+        rz = ez ^ cz
+        ok_after = _ok(rx, rz)
+        flip = _logical_parity(rz if in_h else rx)
+        return ok_before, ok_after, flip
+
+    return jax.jit(sweep)
+
+
+# ---------------------------------------------------------------------------
+# Simulator
+# ---------------------------------------------------------------------------
+
+class FrameQECSimulator:
+    """``QECSimulator``'s sweep surface on the Pauli-frame kernel.
+
+    ``threshold_sweep`` mirrors ``QECSimulator.threshold_sweep``
+    (``qec.py:585-619``) in API, RNG sequence, and every
+    ``ThresholdPoint`` field; for the three reference codes the per-trial
+    outcomes are bit-identical to the statevector engine under the same
+    seed.  Unlike the statevector engine it runs arbitrary-distance
+    repetition codes and millions of trials per launch.
+    """
+
+    def __init__(self, spec: FrameSpec):
+        self._spec = spec
+        self._sweep_fns: dict[str, Callable] = {}
+
+    @classmethod
+    def from_code(cls, code: QECCode) -> "FrameQECSimulator":
+        return cls(frame_spec_from_code(code))
+
+    @property
+    def spec(self) -> FrameSpec:
+        return self._spec
+
+    def _sweep_fn(self, noise_type: str):
+        fn = self._sweep_fns.get(noise_type)
+        if fn is None:
+            fn = build_frame_sweep_fn(self._spec, noise_type)
+            self._sweep_fns[noise_type] = fn
+        return fn
+
+    def sweep_raw(self, noise_prob: float, n_trials: int,
+                  noise_type: str = "bit_flip",
+                  keys: jnp.ndarray | None = None,
+                  seed: int | None = None,
+                  mesh: jax.sharding.Mesh | None = None):
+        """One batched launch -> per-trial (ok_before, ok_after, flip).
+
+        ``keys`` (T, key_dim) overrides seeding for draw-exact
+        comparisons.  With ``mesh``, trials shard over the mesh's first
+        axis (embarrassingly parallel — no collectives in the program).
+        """
+        if keys is None:
+            rng = np.random.default_rng(seed)
+            seeds = rng.integers(0, 2 ** 63, size=n_trials)
+            keys = jnp.stack(
+                [jax.random.PRNGKey(int(s)) for s in seeds])
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(axis))
+            keys = jax.device_put(keys, sharding)
+        fn = self._sweep_fn(noise_type)
+        return fn(jnp.float32(noise_prob), keys)
+
+    def threshold_sweep(self, noise_probs: list[float], n_trials: int = 100,
+                        noise_type: str = "bit_flip",
+                        seed: int | None = None,
+                        mesh: jax.sharding.Mesh | None = None
+                        ) -> list[ThresholdPoint]:
+        """Physical vs logical error rate, |0>_L / |1>_L alternating.
+
+        RNG sequence matches the statevector sweep: one
+        ``default_rng(seed)`` stream, ``n_trials`` 63-bit seeds drawn per
+        ``p`` in order, one PRNG key per trial."""
+        rng = np.random.default_rng(seed)
+        fn = self._sweep_fn(noise_type)
+        logicals = np.arange(n_trials) % 2
+        expected_signs = np.where(logicals == 0, 1.0, -1.0)
+
+        results = []
+        for p in noise_probs:
+            seeds = rng.integers(0, 2 ** 63, size=n_trials)
+            keys = jnp.stack(
+                [jax.random.PRNGKey(int(s)) for s in seeds])
+            if mesh is not None:
+                axis = mesh.axis_names[0]
+                keys = jax.device_put(
+                    keys, jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec(axis)))
+            _, ok_after, flip = fn(jnp.float32(p), keys)
+            ok_after = np.asarray(ok_after, dtype=np.float64)
+            flip = np.asarray(flip, dtype=np.float64)
+
+            z_exp = expected_signs * (1.0 - 2.0 * flip)
+            successes = int(ok_after.sum())
+            z_sign_correct = int(((z_exp * expected_signs) >= 0).sum())
+            results.append(ThresholdPoint(
+                physical_rate=float(p),
+                logical_rate=1.0 - successes / n_trials,
+                success_rate=successes / n_trials,
+                avg_fidelity=float(ok_after.mean()),
+                logical_z_fidelity=float(np.abs(z_exp).mean()),
+                decoder_success_rate=z_sign_correct / n_trials,
+                projection_logical_rate=float(1.0 - ok_after.mean()),
+            ))
+        return results
+
+    def projection_logical_error(self, logical_state: int, noise_type: str,
+                                 noise_prob: float, n_trials: int = 100,
+                                 seed: int | None = None) -> dict:
+        """Mirror of ``QECSimulator.projection_logical_error``
+        (``qec.py:621-641``) — same RNG sequence, same report keys."""
+        rng = np.random.default_rng(seed)
+        seeds = rng.integers(0, 2 ** 63, size=n_trials)
+        keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+        fn = self._sweep_fn(noise_type)
+        _, ok_after, flip = fn(jnp.float32(noise_prob), keys)
+        ok_after = np.asarray(ok_after, dtype=np.float64)
+        flip = np.asarray(flip, dtype=np.float64)
+        expected_sign = 1.0 if logical_state == 0 else -1.0
+        z_exp = expected_sign * (1.0 - 2.0 * flip)
+        mean_fid = float(ok_after.mean())
+        return {
+            "mean_fidelity": mean_fid,
+            "logical_error_rate": 1.0 - mean_fid,
+            "z_sign_error_rate": float(((z_exp * expected_sign) < 0).mean()),
+            "n_trials": n_trials,
+        }
+
+    def throughput_sweep(self, noise_prob: float, n_trials: int,
+                         noise_type: str = "bit_flip",
+                         seed: int = 0,
+                         mesh: jax.sharding.Mesh | None = None):
+        """Max-rate variant for benchmarking: ONE key fans out to all
+        trials via ``jax.random.split`` on device (host-side per-trial
+        PRNGKey construction dominates at millions of trials).  Returns
+        (logical_error_rate, success_count)."""
+        fn = self._sweep_fn(noise_type)
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            keys = jax.device_put(
+                keys, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(axis)))
+        _, ok_after, _ = fn(jnp.float32(noise_prob), keys)
+        successes = int(np.asarray(jnp.sum(ok_after)))
+        return 1.0 - successes / n_trials, successes

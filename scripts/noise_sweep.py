@@ -86,6 +86,10 @@ def run_sweep(circuit: QuantumCircuit, noise_cls, probabilities: np.ndarray,
 
 
 def main():
+    # Bounded device-init probe: fall back to CPU instead of hanging
+    # forever when the TPU relay tunnel is dead (utils/preflight.py).
+    from quantum_simulator_tpu.utils.preflight import require_device_or_cpu
+    require_device_or_cpu()
     parser = argparse.ArgumentParser(
         description="Noise probability sweep experiment")
     parser.add_argument("--circuit", choices=list(CIRCUITS), default="bell")

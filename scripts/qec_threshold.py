@@ -7,6 +7,13 @@ device launch and the noise probability is a runtime scalar, so the whole
 
 Usage:
     python scripts/qec_threshold.py --codes bit_flip,steane --noise bit_flip
+
+TPU extension (defaults unchanged): ``--engine frame`` runs the sweep on
+the Pauli-frame engine (``quantum_simulator_tpu/qec_frame.py``) — same
+per-trial outcomes for the reference codes under the same seed, but pure
+GF(2) bit algebra, so it also accepts arbitrary-odd-distance repetition
+codes the statevector engine cannot hold: ``--codes repetition:25`` /
+``phase_repetition:25``.
 """
 
 from __future__ import annotations
@@ -34,10 +41,52 @@ CODE_MAP = {
 }
 
 
-def run_threshold(code_name: str, noise_type: str, n_trials: int,
-                  seed: int) -> dict:
+def _parse_code(name: str):
+    """'bit_flip' -> (class, None) | 'repetition:11' -> (kind, distance)."""
+    if name in CODE_MAP:
+        return name, None
+    for prefix, kind in (("repetition:", "bit_flip"),
+                         ("phase_repetition:", "phase_flip")):
+        if name.startswith(prefix):
+            try:
+                distance = int(name[len(prefix):])
+            except ValueError:
+                return None, None
+            if distance < 3 or distance % 2 == 0:
+                return None, None
+            return kind, distance
+    return None, None
+
+
+def _make_sim(code_name: str, engine: str):
+    """-> (simulator, metadata dict). Frame engine mirrors the sweep API."""
+    from quantum_simulator_tpu.qec_frame import (
+        FrameQECSimulator, frame_spec_from_code, repetition_frame_spec)
+
+    kind, distance = _parse_code(code_name)
+    if distance is not None:
+        if engine != "frame":
+            raise SystemExit(
+                f"{code_name} requires --engine frame (the statevector "
+                "engine cannot hold arbitrary-distance codes)")
+        spec = repetition_frame_spec(distance, kind)
+        meta = {"code": spec.name, "data_qubits": spec.data_qubits,
+                "total_qubits": spec.data_qubits + distance - 1,
+                "code_distance": distance}
+        return FrameQECSimulator(spec), meta
+
     code = CODE_MAP[code_name]()
-    sim = QECSimulator(code)
+    meta = {"code": code.name, "data_qubits": code.data_qubits,
+            "total_qubits": code.total_qubits,
+            "code_distance": code.code_distance}
+    if engine == "frame":
+        return FrameQECSimulator(frame_spec_from_code(code)), meta
+    return QECSimulator(code), meta
+
+
+def run_threshold(code_name: str, noise_type: str, n_trials: int,
+                  seed: int, engine: str = "statevector") -> dict:
+    sim, meta = _make_sim(code_name, engine)
     noise_probs = np.linspace(0.001, 0.3, 15).tolist()
 
     results = sim.threshold_sweep(noise_probs, n_trials=n_trials,
@@ -58,19 +107,23 @@ def run_threshold(code_name: str, noise_type: str, n_trials: int,
             threshold_p = tp.physical_rate
 
     return {
-        "code": code.name,
+        "code": meta["code"],
         "code_key": code_name,
         "noise_type": noise_type,
         "n_trials": n_trials,
-        "data_qubits": code.data_qubits,
-        "total_qubits": code.total_qubits,
-        "code_distance": code.code_distance,
+        "data_qubits": meta["data_qubits"],
+        "total_qubits": meta["total_qubits"],
+        "code_distance": meta["code_distance"],
         "estimated_threshold": threshold_p,
         "sweep": sweep_data,
     }
 
 
 def main():
+    # Bounded device-init probe: fall back to CPU instead of hanging
+    # forever when the TPU relay tunnel is dead (utils/preflight.py).
+    from quantum_simulator_tpu.utils.preflight import require_device_or_cpu
+    require_device_or_cpu()
     parser = argparse.ArgumentParser(description="QEC threshold analysis")
     parser.add_argument(
         "--codes", type=str, default="bit_flip,steane",
@@ -80,21 +133,29 @@ def main():
     parser.add_argument("--trials", type=int, default=100)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output", type=str, default=None)
+    parser.add_argument(
+        "--engine", type=str, default="statevector",
+        choices=["statevector", "frame"],
+        help="frame = Pauli-frame GF(2) engine (draw-exact vs statevector "
+             "for the reference codes; required for repetition:D codes)")
     args = parser.parse_args()
 
     code_names = [c.strip() for c in args.codes.split(",")]
     for name in code_names:
-        if name not in CODE_MAP:
-            print(f"Unknown code: {name}. Available: {list(CODE_MAP)}")
+        kind, distance = _parse_code(name)
+        if kind is None:
+            print(f"Unknown code: {name}. Available: {list(CODE_MAP)} "
+                  "or repetition:D / phase_repetition:D (odd D >= 3)")
             sys.exit(1)
 
     print(f"Running QEC threshold: codes={code_names}, noise={args.noise}, "
-          f"trials={args.trials}, seed={args.seed}")
+          f"trials={args.trials}, seed={args.seed}, engine={args.engine}")
 
     all_results = []
     for code_name in code_names:
         print(f"  Sweeping {code_name}...")
-        result = run_threshold(code_name, args.noise, args.trials, args.seed)
+        result = run_threshold(code_name, args.noise, args.trials, args.seed,
+                               engine=args.engine)
         all_results.append(result)
         est = result["estimated_threshold"]
         print(f"    {result['code']}: threshold ~ {est if est else 'N/A'}")
@@ -103,6 +164,7 @@ def main():
         "experiment": "qec_threshold",
         "noise_type": args.noise,
         "seed": args.seed,
+        "engine": args.engine,
         "codes": all_results,
     }
 

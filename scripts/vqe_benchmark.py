@@ -103,6 +103,10 @@ def run_benchmark(n_qubits: int, n_layers: int, hamiltonian_name: str,
 
 
 def main():
+    # Bounded device-init probe: fall back to CPU instead of hanging
+    # forever when the TPU relay tunnel is dead (utils/preflight.py).
+    from quantum_simulator_tpu.utils.preflight import require_device_or_cpu
+    require_device_or_cpu()
     parser = argparse.ArgumentParser(description="VQE optimization benchmark")
     parser.add_argument("--qubits", type=int, default=2)
     parser.add_argument("--layers", type=int, default=2)

@@ -1,0 +1,176 @@
+"""Pauli-frame QEC engine vs the statevector engine: draw-exact parity.
+
+The frame engine consumes PRNG keys in the statevector sweep's exact
+order, so under the same seed the two must agree per-trial, not just in
+aggregate (see quantum_simulator_tpu/qec_frame.py docstring)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quantum_simulator_tpu.qec import (
+    BitFlipCode, PhaseFlipCode, SteaneCode, QECSimulator, build_cycle_fn,
+)
+from quantum_simulator_tpu.qec_frame import (
+    FrameQECSimulator, frame_spec_from_code, repetition_frame_spec,
+    build_frame_sweep_fn,
+)
+
+
+CASES = [
+    (BitFlipCode, "bit_flip"),
+    (BitFlipCode, "depolarizing"),
+    (PhaseFlipCode, "phase_flip"),
+    (PhaseFlipCode, "depolarizing"),
+    (SteaneCode, "depolarizing"),
+    (SteaneCode, "bit_flip"),
+]
+
+
+@pytest.mark.parametrize("code_cls,noise_type", CASES)
+def test_threshold_sweep_matches_statevector(code_cls, noise_type):
+    code = code_cls()
+    sv = QECSimulator(code)
+    fr = FrameQECSimulator.from_code(code)
+    probs = [0.05, 0.2]
+    n_trials = 32
+    pts_sv = sv.threshold_sweep(probs, n_trials=n_trials,
+                                noise_type=noise_type, seed=7)
+    pts_fr = fr.threshold_sweep(probs, n_trials=n_trials,
+                                noise_type=noise_type, seed=7)
+    for a, b in zip(pts_sv, pts_fr):
+        assert a.physical_rate == b.physical_rate
+        assert a.success_rate == b.success_rate
+        assert a.logical_rate == b.logical_rate
+        assert a.decoder_success_rate == b.decoder_success_rate
+        assert abs(a.avg_fidelity - b.avg_fidelity) < 1e-5
+        assert abs(a.logical_z_fidelity - b.logical_z_fidelity) < 1e-5
+        assert abs(a.projection_logical_rate
+                   - b.projection_logical_rate) < 1e-5
+
+
+def test_per_trial_outcomes_match_statevector_cycle():
+    """Same keys into both kernels -> identical per-trial flags."""
+    code = SteaneCode()
+    noise_type = "depolarizing"
+    p = 0.15
+    n_trials = 24
+    keys = jnp.stack([jax.random.PRNGKey(1000 + i) for i in range(n_trials)])
+
+    sim = QECSimulator(code)
+    ideal0 = sim._encoded(0).device_data
+    ideals = jnp.broadcast_to(ideal0, (n_trials, ideal0.shape[0]))
+    fb, fa, z_exp, _, _, _ = build_cycle_fn(code, noise_type)(
+        jnp.float32(p), ideals, keys)
+
+    fn = build_frame_sweep_fn(frame_spec_from_code(code), noise_type)
+    ok_before, ok_after, flip = fn(jnp.float32(p), keys)
+
+    np.testing.assert_array_equal(
+        np.asarray(fa) > 0.5, np.asarray(ok_after).astype(bool))
+    np.testing.assert_array_equal(
+        np.asarray(fb) > 0.5, np.asarray(ok_before).astype(bool))
+    # z_exp is +-1 for the |0>_L ideal; its sign is the flip bit.
+    np.testing.assert_array_equal(
+        np.asarray(z_exp) < 0, np.asarray(flip).astype(bool))
+    np.testing.assert_allclose(np.abs(np.asarray(z_exp)), 1.0, atol=1e-5)
+
+
+def test_repetition_d3_equals_bitflip_code():
+    """The d=3 repetition spec IS the BitFlipCode (same checks, same
+    ML decode) — outcomes must be identical under shared keys."""
+    keys = jax.random.split(jax.random.PRNGKey(5), 64)
+    p = jnp.float32(0.2)
+    out_rep = build_frame_sweep_fn(
+        repetition_frame_spec(3, "bit_flip"), "bit_flip")(p, keys)
+    out_code = build_frame_sweep_fn(
+        frame_spec_from_code(BitFlipCode()), "bit_flip")(p, keys)
+    for a, b in zip(out_rep, out_code):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_repetition_ml_decoder_corrects_minority_patterns():
+    """Any weight-<=(d-1)/2 error must decode to zero residual."""
+    d = 7
+    spec = repetition_frame_spec(d, "bit_flip")
+    checks = jnp.asarray(spec.comp_checks, jnp.int32)
+    errors = []
+    for w in range(0, (d - 1) // 2 + 1):
+        rng = np.random.default_rng(w)
+        for _ in range(8):
+            e = np.zeros(d, np.int32)
+            e[rng.choice(d, size=w, replace=False)] = 1
+            errors.append(e)
+    ex = jnp.asarray(np.stack(errors))
+    syn = (ex @ checks.T) & 1
+    cx, cz = spec.decode(syn, jnp.zeros((ex.shape[0], 0), jnp.int32))
+    np.testing.assert_array_equal(np.asarray(ex ^ cx),
+                                  np.zeros_like(np.asarray(ex)))
+    np.testing.assert_array_equal(np.asarray(cz), 0)
+
+
+def test_majority_failure_patterns_flip_logical():
+    """A weight-(d+1)/2 contiguous error decodes to the complement ->
+    logical flip, detected by ok_after=0 and flip=1 via the predicate."""
+    d = 5
+    spec = repetition_frame_spec(d, "bit_flip")
+    checks = jnp.asarray(spec.comp_checks, jnp.int32)
+    e = np.zeros((1, d), np.int32)
+    e[0, :3] = 1  # weight 3 > d/2
+    ex = jnp.asarray(e)
+    syn = (ex @ checks.T) & 1
+    cx, _ = spec.decode(syn, jnp.zeros((1, 0), jnp.int32))
+    residual = np.asarray(ex ^ cx)
+    np.testing.assert_array_equal(residual, np.ones((1, d), np.int32))
+
+
+def test_logical_rate_improves_with_distance():
+    p, trials = 0.05, 4096
+    rates = []
+    for d in (3, 9):
+        fr = FrameQECSimulator(repetition_frame_spec(d, "bit_flip"))
+        rate, _ = fr.throughput_sweep(p, trials, "bit_flip", seed=3)
+        rates.append(rate)
+    assert rates[1] < rates[0]
+
+
+def test_phase_flip_repetition_suppresses_z_noise():
+    fr = FrameQECSimulator(repetition_frame_spec(9, "phase_flip"))
+    rate_z, _ = fr.throughput_sweep(0.05, 4096, "phase_flip", seed=11)
+    assert rate_z < 0.01
+    # ...and is blind to X noise (X acts trivially on |+...+>):
+    rate_x, _ = fr.throughput_sweep(0.3, 1024, "bit_flip", seed=11)
+    assert rate_x == 0.0
+
+
+def test_projection_logical_error_matches_statevector():
+    code = BitFlipCode()
+    sv = QECSimulator(code).projection_logical_error(
+        0, "bit_flip", 0.1, n_trials=40, seed=13)
+    fr = FrameQECSimulator.from_code(code).projection_logical_error(
+        0, "bit_flip", 0.1, n_trials=40, seed=13)
+    assert abs(sv["mean_fidelity"] - fr["mean_fidelity"]) < 1e-5
+    assert sv["z_sign_error_rate"] == fr["z_sign_error_rate"]
+    assert sv["n_trials"] == fr["n_trials"]
+
+
+def test_mesh_sharded_sweep_matches_single_device():
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("trials",))
+    fr = FrameQECSimulator(repetition_frame_spec(5, "bit_flip"))
+    keys = jax.random.split(jax.random.PRNGKey(9), 64)
+    plain = fr.sweep_raw(0.1, 64, "bit_flip", keys=keys)
+    sharded = fr.sweep_raw(0.1, 64, "bit_flip", keys=keys, mesh=mesh)
+    for a, b in zip(plain, sharded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_invalid_specs_rejected():
+    with pytest.raises(ValueError):
+        repetition_frame_spec(4)
+    with pytest.raises(ValueError):
+        repetition_frame_spec(3, "amplitude")
+    fr = FrameQECSimulator(repetition_frame_spec(3))
+    with pytest.raises(ValueError):
+        fr.sweep_raw(0.1, 8, "amplitude_damping")
