@@ -284,6 +284,92 @@ def build_frame_sweep_fn(spec: FrameSpec, noise_type: str):
     return jax.jit(sweep)
 
 
+def build_memory_fn(spec: FrameSpec, noise_type: str, n_rounds: int,
+                    meas_error_prob: float = 0.0):
+    """jitted ``(p, keys[T, key_dim]) -> failed[T]`` — an R-round memory
+    experiment: each round injects fresh data errors, extracts the
+    syndrome (optionally through a noisy readout that flips each
+    syndrome bit with ``meas_error_prob``), decodes, and corrects; a
+    final noiseless round closes the experiment.  ``failed`` is 1 when
+    the surviving residual acts as a logical operator on the ideal
+    state (the decode tables always return a correction with the
+    observed syndrome, so after the final clean round the residual is
+    in the normalizer and failure is a pure logical flip).
+
+    Decoding is per-round (each round sees only its own syndrome) — the
+    natural extension of the reference's single-cycle semantics
+    (``/root/reference/quantum_sim/engine/qec.py:497-549``) to R rounds,
+    not a space-time decoder: under measurement noise it is the
+    uncorrelated-decoding baseline a matching decoder would be compared
+    against.  The round loop is a ``lax.scan`` carrying the residual
+    error bits; per-round randomness forks from each trial key via
+    ``fold_in``."""
+    dq = spec.data_qubits
+    comp = jnp.asarray(spec.comp_checks, jnp.float32)
+    h = jnp.asarray(spec.h_checks, jnp.float32)
+    support = jnp.asarray(spec.logical_support, jnp.float32)
+    decode = spec.decode
+    in_h = spec.logical_in_h_frame
+    nc, nh = comp.shape[0], h.shape[0]
+    q = float(meas_error_prob)
+
+    def _syndrome(bits, checks):
+        if checks.shape[0] == 0:
+            return jnp.zeros((bits.shape[0], 0), jnp.int32)
+        odd = jnp.matmul(bits.astype(jnp.float32), checks.T,
+                         precision=_HI)
+        return odd.astype(jnp.int32) & 1
+
+    def _logical_parity(bits):
+        overlap = jnp.matmul(bits.astype(jnp.float32), support,
+                             precision=_HI)
+        return overlap.astype(jnp.int32) & 1
+
+    def _decode_and_correct(rx, rz, key):
+        syn_c = _syndrome(rx, comp)
+        syn_h = _syndrome(rz, h)
+        if q > 0.0:
+            kc, kh = jax.random.split(key)
+            syn_c = syn_c ^ (jax.random.uniform(kc, syn_c.shape) < q
+                             ).astype(jnp.int32)
+            syn_h = syn_h ^ (jax.random.uniform(kh, syn_h.shape) < q
+                             ).astype(jnp.int32)
+        cx, cz = decode(syn_c, syn_h)
+        return rx ^ cx, rz ^ cz
+
+    def memory(p, keys):
+        T = keys.shape[0]
+        rx0 = jnp.zeros((T, dq), jnp.int32)
+        rz0 = jnp.zeros((T, dq), jnp.int32)
+
+        def round_body(carry, r):
+            rx, rz = carry
+            round_keys = jax.vmap(jax.random.fold_in, (0, None))(keys, r)
+            draw_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, 1))(round_keys)
+            r_uniform = jax.vmap(
+                lambda k: jax.random.uniform(k, (dq,)))(draw_keys)
+            ex, ez = _draw_error_bits(r_uniform, p, noise_type)
+            rx = rx ^ ex
+            rz = rz ^ ez
+            meas_key = jax.random.fold_in(
+                jax.random.fold_in(keys[0], r), 2)
+            rx, rz = _decode_and_correct(rx, rz, meas_key)
+            return (rx, rz), None
+
+        (rx, rz), _ = jax.lax.scan(
+            round_body, (rx0, rz0), jnp.arange(n_rounds))
+        # Final noiseless round: exact syndrome, decode, correct.
+        syn_c = _syndrome(rx, comp)
+        syn_h = _syndrome(rz, h)
+        cx, cz = decode(syn_c, syn_h)
+        rx = rx ^ cx
+        rz = rz ^ cz
+        return _logical_parity(rz if in_h else rx)
+
+    return jax.jit(memory)
+
+
 # ---------------------------------------------------------------------------
 # Simulator
 # ---------------------------------------------------------------------------
@@ -302,6 +388,7 @@ class FrameQECSimulator:
     def __init__(self, spec: FrameSpec):
         self._spec = spec
         self._sweep_fns: dict[str, Callable] = {}
+        self._memory_fns: dict[tuple, Callable] = {}
 
     @classmethod
     def from_code(cls, code: QECCode) -> "FrameQECSimulator":
@@ -405,6 +492,41 @@ class FrameQECSimulator:
             "logical_error_rate": 1.0 - mean_fid,
             "z_sign_error_rate": float(((z_exp * expected_sign) < 0).mean()),
             "n_trials": n_trials,
+        }
+
+    def memory_experiment(self, noise_prob: float, n_rounds: int,
+                          n_trials: int = 1000,
+                          noise_type: str = "bit_flip",
+                          meas_error_prob: float = 0.0,
+                          seed: int = 0,
+                          mesh: jax.sharding.Mesh | None = None) -> dict:
+        """R-round memory experiment (see ``build_memory_fn``).
+
+        Returns the end-to-end logical failure probability and the
+        per-round rate ``1 - (1 - P)**(1/R)`` (the standard conversion
+        for fitting logical-error-per-round / Lambda scaling)."""
+        key = (n_rounds, noise_type, float(meas_error_prob))
+        fn = self._memory_fns.get(key)
+        if fn is None:
+            fn = build_memory_fn(self._spec, noise_type, n_rounds,
+                                 meas_error_prob)
+            self._memory_fns[key] = fn
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            keys = jax.device_put(
+                keys, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(axis)))
+        failed = np.asarray(fn(jnp.float32(noise_prob), keys),
+                            dtype=np.float64)
+        p_fail = float(failed.mean())
+        per_round = 1.0 - (1.0 - min(p_fail, 1.0 - 1e-12)) ** (1.0 / n_rounds)
+        return {
+            "logical_failure_probability": p_fail,
+            "per_round_logical_rate": per_round,
+            "n_rounds": n_rounds,
+            "n_trials": n_trials,
+            "meas_error_prob": float(meas_error_prob),
         }
 
     def throughput_sweep(self, noise_prob: float, n_trials: int,

@@ -166,6 +166,54 @@ def test_mesh_sharded_sweep_matches_single_device():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestMemoryExperiment:
+    def test_distance_suppresses_multi_round_failure(self):
+        p, rounds, trials = 0.02, 10, 2048
+        rates = []
+        for d in (3, 7):
+            fr = FrameQECSimulator(repetition_frame_spec(d, "bit_flip"))
+            res = fr.memory_experiment(p, rounds, trials, "bit_flip",
+                                       seed=21)
+            rates.append(res["logical_failure_probability"])
+        assert rates[1] < rates[0]
+
+    def test_failure_accumulates_with_rounds(self):
+        fr = FrameQECSimulator(repetition_frame_spec(3, "bit_flip"))
+        p5 = fr.memory_experiment(0.08, 5, 2048, seed=2)
+        p40 = fr.memory_experiment(0.08, 40, 2048, seed=2)
+        assert (p40["logical_failure_probability"]
+                > p5["logical_failure_probability"])
+        # ...while the per-round rate stays comparable (memoryless-ish).
+        assert p40["per_round_logical_rate"] == pytest.approx(
+            p5["per_round_logical_rate"], rel=0.6)
+
+    def test_measurement_noise_degrades_per_round_decoding(self):
+        fr = FrameQECSimulator(repetition_frame_spec(5, "bit_flip"))
+        clean = fr.memory_experiment(0.02, 8, 2048, seed=4)
+        noisy = fr.memory_experiment(0.02, 8, 2048, seed=4,
+                                     meas_error_prob=0.3)
+        assert (noisy["logical_failure_probability"]
+                > clean["logical_failure_probability"])
+
+    def test_zero_noise_never_fails(self):
+        fr = FrameQECSimulator(repetition_frame_spec(3, "bit_flip"))
+        res = fr.memory_experiment(0.0, 12, 256, seed=5)
+        assert res["logical_failure_probability"] == 0.0
+
+    def test_steane_memory_runs_via_lut_decode(self):
+        fr = FrameQECSimulator.from_code(SteaneCode())
+        res = fr.memory_experiment(0.01, 4, 512, "depolarizing", seed=6)
+        assert 0.0 <= res["logical_failure_probability"] < 0.2
+
+    def test_mesh_sharded_memory_matches_single_device(self):
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("trials",))
+        fr = FrameQECSimulator(repetition_frame_spec(5, "bit_flip"))
+        a = fr.memory_experiment(0.05, 6, 64, seed=8)
+        fr2 = FrameQECSimulator(repetition_frame_spec(5, "bit_flip"))
+        b = fr2.memory_experiment(0.05, 6, 64, seed=8, mesh=mesh)
+        assert a == b
+
+
 def test_invalid_specs_rejected():
     with pytest.raises(ValueError):
         repetition_frame_spec(4)
