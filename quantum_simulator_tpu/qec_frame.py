@@ -371,8 +371,146 @@ def build_memory_fn(spec: FrameSpec, noise_type: str, n_rounds: int,
 
 
 # ---------------------------------------------------------------------------
+# Exact ML space-time decoder (repetition codes)
+# ---------------------------------------------------------------------------
+
+def _wht(a, d: int):
+    """Walsh-Hadamard transform over the trailing 2^d axis of (T, 2^d)."""
+    T = a.shape[0]
+    for q in range(d):
+        a = a.reshape(T, 2 ** (d - q - 1), 2, 2 ** q)
+        a0, a1 = a[:, :, 0, :], a[:, :, 1, :]
+        a = jnp.stack([a0 + a1, a0 - a1], axis=2)
+    return a.reshape(T, 2 ** d)
+
+
+def build_ml_memory_fn(distance: int, n_rounds: int,
+                       return_trace: bool = False):
+    """jitted ``(p, q, keys[T, key_dim]) -> (fail_ml, fail_final)`` —
+    a distance-``d`` repetition-code memory experiment decoded by EXACT
+    maximum likelihood over the full space-time error history.
+
+    Protocol (the standard memory experiment, no mid-run correction):
+    ``n_rounds`` rounds of [each data bit flips w.p. ``p``, then the
+    d-1 adjacent-pair syndromes are read with each bit flipped w.p.
+    ``q``], followed by a perfect data readout.  The decoder sees the
+    noisy syndrome records plus the exact final syndrome and must
+    predict the logical observable (data bit 0 of the cumulative error);
+    ``fail_ml`` is 1 when the prediction is wrong.  ``fail_final`` is
+    the single-shot baseline that ignores the history and min-weight
+    decodes the final syndrome alone.
+
+    Exactness: the posterior over cumulative-error strings X_r in
+    GF(2)^d is a hidden Markov chain — the data-noise transition kernel
+    ``K[X^Y] = prod_q p^{z_q}(1-p)^{1-z_q}`` is a convolution over
+    GF(2)^d, which the Walsh-Hadamard transform diagonalizes with
+    eigenvalues ``(1-2p)^popcount(w)``; the measurement likelihood is
+    diagonal in X.  One forward pass is therefore R rounds of
+    [WHT -> elementwise decay -> inverse WHT -> elementwise syndrome
+    likelihood] on a (trials, 2^d) tensor — exact inference, shaped as
+    the same batched transforms the simulator itself runs.  The final
+    exact syndrome confines X_R to two candidates (the prefix-parity
+    coset representatives); the decoder compares their forward
+    posteriors.  Verified against brute-force posterior enumeration
+    (``tests/test_qec_frame.py``).  Requires ``p < 0.5``; memory is
+    O(trials * 2^d), so ``distance <= 16``.
+
+    The phase-flip repetition code is the H-conjugated mirror: identical
+    bit algebra with (p, syndromes) read in the H frame.
+    """
+    if distance < 3 or distance % 2 == 0:
+        raise ValueError("distance must be odd and >= 3")
+    if distance > 16:
+        raise ValueError("ML decoder state is 2^d; distance capped at 16")
+    d = distance
+    dim = 2 ** d
+
+    # Bit q of basis index i <-> data qubit q (internal convention).
+    idx = np.arange(dim, dtype=np.int64)
+    idx_bits = ((idx[:, None] >> np.arange(d)) & 1).astype(np.int8)
+    # Syndrome parity of each basis string: par[i, c] = bit_c ^ bit_{c+1}.
+    par = (idx_bits[:, :-1] ^ idx_bits[:, 1:]).astype(np.float32)
+    popcount = idx_bits.sum(axis=1).astype(np.float32)
+    pow2 = (2 ** np.arange(d)).astype(np.int32)
+
+    def _prefix_candidate(syn):
+        """Final-syndrome coset representative with bit 0 clear."""
+        prefix = jnp.cumsum(syn, axis=1) & 1
+        return jnp.concatenate(
+            [jnp.zeros_like(prefix[:, :1]), prefix], axis=1)
+
+    def run(p, q, keys):
+        T = keys.shape[0]
+        w_meas = q / (1.0 - q)          # q=0 -> 0; 0**0 == 1 below
+        decay = jnp.power(1.0 - 2.0 * p, jnp.asarray(popcount))
+        par_j = jnp.asarray(par)        # (dim, d-1)
+
+        def gen_round(carry, r):
+            X = carry
+            round_keys = jax.vmap(jax.random.fold_in, (0, None))(keys, r)
+            data_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, 1))(round_keys)
+            meas_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, 2))(round_keys)
+            flips = (jax.vmap(lambda k: jax.random.uniform(k, (d,)))(
+                data_keys) < p).astype(jnp.int32)
+            X = X ^ flips
+            syn_true = X[:, :-1] ^ X[:, 1:]
+            meas = (jax.vmap(lambda k: jax.random.uniform(k, (d - 1,)))(
+                meas_keys) < q).astype(jnp.int32)
+            return X, syn_true ^ meas
+
+        X0 = jnp.zeros((T, d), jnp.int32)
+        X_final, syndromes = jax.lax.scan(
+            gen_round, X0, jnp.arange(n_rounds))       # (R, T, d-1)
+
+        def decode_round(alpha, s_r):
+            # GF(2) convolution with the data-noise kernel (WHT pair)...
+            alpha = _wht(alpha, d) * decay
+            alpha = _wht(alpha, d) / dim
+            # ...then the diagonal measurement likelihood w^{#mismatches},
+            # with #mismatches[t,i] = sum_c s[t,c] ^ par[i,c]
+            #                       = sum_c (s + par - 2 s*par).
+            s_sum = jnp.sum(s_r, axis=1, dtype=jnp.float32)[:, None]
+            par_sum = jnp.sum(par_j, axis=1)[None, :]
+            cross = jnp.matmul(s_r.astype(jnp.float32), par_j.T,
+                               precision=_HI)
+            n_mis = s_sum + par_sum - 2.0 * cross
+            alpha = alpha * jnp.power(w_meas, n_mis)
+            alpha = alpha / (jnp.sum(alpha, axis=1, keepdims=True) + 1e-30)
+            return alpha, None
+
+        alpha0 = jnp.zeros((T, dim), jnp.float32).at[:, 0].set(1.0)
+        alpha, _ = jax.lax.scan(decode_round, alpha0, syndromes)
+
+        syn_final = X_final[:, :-1] ^ X_final[:, 1:]
+        e0 = _prefix_candidate(syn_final)               # bit 0 clear
+        e1 = 1 - e0
+        i0 = e0 @ jnp.asarray(pow2)
+        i1 = e1 @ jnp.asarray(pow2)
+        a0 = jnp.take_along_axis(alpha, i0[:, None], axis=1)[:, 0]
+        a1 = jnp.take_along_axis(alpha, i1[:, None], axis=1)[:, 0]
+        pred_ml = jnp.where(a0 >= a1, e0[:, 0], e1[:, 0])
+
+        w0 = jnp.sum(e0, axis=1)
+        pred_final = jnp.where(2 * w0 <= d, e0[:, 0], e1[:, 0])
+
+        actual = X_final[:, 0]
+        fails = ((pred_ml != actual).astype(jnp.int32),
+                 (pred_final != actual).astype(jnp.int32))
+        if return_trace:
+            return fails + (syndromes, X_final)
+        return fails
+
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
 # Simulator
 # ---------------------------------------------------------------------------
+
+_ml_fn_cache: dict[tuple, Callable] = {}
+
 
 class FrameQECSimulator:
     """``QECSimulator``'s sweep surface on the Pauli-frame kernel.
@@ -526,6 +664,41 @@ class FrameQECSimulator:
             "per_round_logical_rate": per_round,
             "n_rounds": n_rounds,
             "n_trials": n_trials,
+            "meas_error_prob": float(meas_error_prob),
+        }
+
+    @staticmethod
+    def ml_memory_experiment(distance: int, noise_prob: float,
+                             n_rounds: int, n_trials: int = 1000,
+                             meas_error_prob: float = 0.0,
+                             seed: int = 0,
+                             mesh: jax.sharding.Mesh | None = None) -> dict:
+        """Repetition-code memory decoded by the exact space-time ML
+        decoder (``build_ml_memory_fn``), with the single-shot
+        final-syndrome baseline measured on the SAME trials. ``p`` and
+        ``q`` are runtime scalars — one compile serves a sweep."""
+        fn = _ml_fn_cache.get((distance, n_rounds))
+        if fn is None:
+            fn = build_ml_memory_fn(distance, n_rounds)
+            _ml_fn_cache[(distance, n_rounds)] = fn
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            keys = jax.device_put(
+                keys, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(axis)))
+        fail_ml, fail_final = fn(jnp.float32(noise_prob),
+                                 jnp.float32(meas_error_prob), keys)
+        p_ml = float(np.asarray(fail_ml, dtype=np.float64).mean())
+        p_fin = float(np.asarray(fail_final, dtype=np.float64).mean())
+        return {
+            "ml_failure_probability": p_ml,
+            "final_syndrome_failure_probability": p_fin,
+            "per_round_ml_rate":
+                1.0 - (1.0 - min(p_ml, 1.0 - 1e-12)) ** (1.0 / n_rounds),
+            "n_rounds": n_rounds,
+            "n_trials": n_trials,
+            "distance": distance,
             "meas_error_prob": float(meas_error_prob),
         }
 

@@ -214,6 +214,99 @@ class TestMemoryExperiment:
         assert a == b
 
 
+class TestMLSpaceTimeDecoder:
+    def test_matches_brute_force_posterior(self):
+        """The WHT transfer-matrix decoder must reproduce the exact
+        enumerated posterior argmax on every (non-tied) trial."""
+        from quantum_simulator_tpu.qec_frame import build_ml_memory_fn
+        import itertools
+
+        d, R, p, q, T = 3, 2, 0.15, 0.12, 64
+        fn = build_ml_memory_fn(d, R, return_trace=True)
+        keys = jax.random.split(jax.random.PRNGKey(17), T)
+        fail_ml, _, syndromes, X_final = fn(
+            jnp.float32(p), jnp.float32(q), keys)
+        syndromes = np.asarray(syndromes)      # (R, T, d-1)
+        X_final = np.asarray(X_final)          # (T, d)
+        fail_ml = np.asarray(fail_ml)
+
+        def h(x):
+            return x[:-1] ^ x[1:]
+
+        flip_sets = [np.array(f, np.int32)
+                     for f in itertools.product((0, 1), repeat=d)]
+        for t in range(T):
+            obs = syndromes[:, t, :]
+            post = {}
+            for f1 in flip_sets:
+                for f2 in flip_sets:
+                    x1, x2 = f1, f1 ^ f2
+                    w = 1.0
+                    for f in (f1, f2):
+                        k = int(f.sum())
+                        w *= p ** k * (1 - p) ** (d - k)
+                    for x, o in ((x1, obs[0]), (x2, obs[1])):
+                        m = int((h(x) ^ o).sum())
+                        w *= q ** m * (1 - q) ** (d - 1 - m)
+                    key = tuple(x2)
+                    post[key] = post.get(key, 0.0) + w
+            s_fin = h(X_final[t])
+            e0 = np.concatenate([[0], np.cumsum(s_fin) % 2]).astype(np.int32)
+            e1 = 1 - e0
+            p0, p1 = post.get(tuple(e0), 0.0), post.get(tuple(e1), 0.0)
+            if abs(p0 - p1) < 1e-12 * max(p0, p1, 1e-300):
+                continue  # tie — decoder's choice is arbitrary
+            brute_pred = e0[0] if p0 > p1 else e1[0]
+            dec_pred = X_final[t, 0] ^ fail_ml[t]
+            assert dec_pred == brute_pred, f"trial {t}"
+
+    def test_ml_beats_single_shot_under_measurement_noise(self):
+        from quantum_simulator_tpu.qec_frame import FrameQECSimulator
+        res = FrameQECSimulator.ml_memory_experiment(
+            distance=5, noise_prob=0.05, n_rounds=8, n_trials=4096,
+            meas_error_prob=0.1, seed=23)
+        assert (res["ml_failure_probability"]
+                <= res["final_syndrome_failure_probability"])
+        # With q=0.1 the history matters: strict improvement expected.
+        assert (res["ml_failure_probability"]
+                < res["final_syndrome_failure_probability"])
+
+    def test_ml_uses_history_even_with_perfect_measurements(self):
+        """Two single errors in different rounds can cumulate to a
+        majority-weight pattern the single-shot decoder mispredicts;
+        the history resolves it — strictly fewer failures."""
+        from quantum_simulator_tpu.qec_frame import FrameQECSimulator
+        res = FrameQECSimulator.ml_memory_experiment(
+            distance=3, noise_prob=0.15, n_rounds=6, n_trials=8192,
+            meas_error_prob=0.0, seed=31)
+        assert (res["ml_failure_probability"]
+                < res["final_syndrome_failure_probability"])
+
+    def test_distance_suppression_with_ml(self):
+        from quantum_simulator_tpu.qec_frame import FrameQECSimulator
+        rates = []
+        for d in (3, 7):
+            res = FrameQECSimulator.ml_memory_experiment(
+                distance=d, noise_prob=0.03, n_rounds=5, n_trials=4096,
+                meas_error_prob=0.03, seed=37)
+            rates.append(res["ml_failure_probability"])
+        assert rates[1] < rates[0]
+
+    def test_zero_noise_perfect(self):
+        from quantum_simulator_tpu.qec_frame import FrameQECSimulator
+        res = FrameQECSimulator.ml_memory_experiment(
+            distance=5, noise_prob=0.0, n_rounds=4, n_trials=128, seed=2)
+        assert res["ml_failure_probability"] == 0.0
+        assert res["final_syndrome_failure_probability"] == 0.0
+
+    def test_invalid_distance_rejected(self):
+        from quantum_simulator_tpu.qec_frame import build_ml_memory_fn
+        with pytest.raises(ValueError):
+            build_ml_memory_fn(4, 2)
+        with pytest.raises(ValueError):
+            build_ml_memory_fn(17, 2)
+
+
 def test_invalid_specs_rejected():
     with pytest.raises(ValueError):
         repetition_frame_spec(4)
