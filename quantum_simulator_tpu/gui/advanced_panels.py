@@ -39,6 +39,11 @@ from ..optimizer import (
     ParameterizedCircuitConfig,
 )
 from ..qec import AVAILABLE_CODES, QECSimulator
+from ..qec_frame import (
+    FrameQECSimulator,
+    frame_spec_from_code,
+    repetition_frame_spec,
+)
 
 
 class _Canvas(QWidget):
@@ -484,11 +489,22 @@ class QECPanel(_Canvas):
     """QEC cycle + threshold curves (panel 12)."""
 
     sweep_done = pyqtSignal(object)
+    memory_done = pyqtSignal(object)
+
+    REPETITION_CODES = ("Repetition (distance d)",
+                        "Phase-flip repetition (distance d)")
 
     def __init__(self, parent=None):
         super().__init__(parent)
         self.code_combo = QComboBox()
-        self.code_combo.addItems(list(AVAILABLE_CODES))
+        self.code_combo.addItems(list(AVAILABLE_CODES)
+                                 + list(self.REPETITION_CODES))
+        self.engine_combo = QComboBox()
+        self.engine_combo.addItems(["statevector", "frame"])
+        self.d_spin = QSpinBox()
+        self.d_spin.setRange(3, 25)
+        self.d_spin.setSingleStep(2)
+        self.d_spin.setValue(5)
         self.noise_combo = QComboBox()
         self.noise_combo.addItems(["bit_flip", "phase_flip",
                                    "depolarizing"])
@@ -502,49 +518,94 @@ class QECPanel(_Canvas):
         cycle_btn.clicked.connect(self.run_cycle)
         sweep_btn = QPushButton("Threshold Sweep")
         sweep_btn.clicked.connect(self.run_sweep)
+        memory_btn = QPushButton("Memory (ML)")
+        memory_btn.clicked.connect(self.run_memory)
         layout_btn = QPushButton("Code Layout")
         layout_btn.clicked.connect(self.show_layout)
         self.status = QLabel("")
-        for w in (QLabel("Code:"), self.code_combo, QLabel("Noise:"),
+        for w in (QLabel("Code:"), self.code_combo,
+                  QLabel("Engine:"), self.engine_combo,
+                  QLabel("d:"), self.d_spin, QLabel("Noise:"),
                   self.noise_combo, QLabel("p:"), self.p_spin,
-                  self.logical_combo, cycle_btn, sweep_btn, layout_btn,
-                  self.status):
+                  self.logical_combo, cycle_btn, sweep_btn, memory_btn,
+                  layout_btn, self.status):
             self.controls.addWidget(w)
         self.controls.addStretch(1)
         self.sweep_done.connect(self._plot_sweep)
+        self.memory_done.connect(self._plot_memory)
+
+    def _repetition_kind(self) -> str | None:
+        """'bit_flip' / 'phase_flip' when a repetition code is selected."""
+        text = self.code_combo.currentText()
+        if text == self.REPETITION_CODES[0]:
+            return "bit_flip"
+        if text == self.REPETITION_CODES[1]:
+            return "phase_flip"
+        return None
+
+    def _distance(self) -> int:
+        d = int(self.d_spin.value())
+        return d if d % 2 else d + 1  # repetition specs require odd d
 
     def show_layout(self) -> None:
         """Code-layout diagram: data qubits (circles) in a row, one row
         per parity check below, with edges to the check's members
         (the reference's Code Layout tab, ``qec_panel.py:32-483``)."""
-        code = AVAILABLE_CODES[self.code_combo.currentText()]()
+        kind = self._repetition_kind()
+        if kind is not None:
+            spec = repetition_frame_spec(self._distance(), kind)
+            nd = spec.data_qubits
+            mat = spec.comp_checks if kind == "bit_flip" else spec.h_checks
+            checks = [("Z" if kind == "bit_flip" else "X",
+                       list(np.nonzero(row)[0])) for row in mat]
+            name = spec.name
+            n_anc = mat.shape[0]
+        else:
+            code = AVAILABLE_CODES[self.code_combo.currentText()]()
+            nd = code.data_qubits
+            checks = ([("Z", c) for c in code.comp_frame_checks()]
+                      + [("X", c) for c in code.h_frame_checks()])
+            name = code.name
+            n_anc = code.ancilla_qubits
         ax = self.axes()
-        nd = code.data_qubits
         for q in range(nd):
             ax.scatter(q, 0, s=600, c="#89b4fa", zorder=3)
             ax.text(q, 0, f"d{q}", ha="center", va="center", zorder=4,
                     fontsize=9, color="#11111b")
-        checks = ([("Z", c) for c in code.comp_frame_checks()]
-                  + [("X", c) for c in code.h_frame_checks()])
-        for i, (kind, members) in enumerate(checks):
+        for i, (kind_label, members) in enumerate(checks):
             y = -1.0 - i * 0.8
-            color = "#a6e3a1" if kind == "Z" else "#fab387"
+            color = "#a6e3a1" if kind_label == "Z" else "#fab387"
             ax.scatter(-1.2, y, s=450, marker="s", c=color, zorder=3)
-            ax.text(-1.2, y, f"{kind}{i}", ha="center", va="center",
+            ax.text(-1.2, y, f"{kind_label}{i}", ha="center", va="center",
                     zorder=4, fontsize=8, color="#11111b")
             for q in members:
                 ax.plot([-1.2, q], [y, 0], color=color, lw=1.2,
                         alpha=0.6, zorder=1)
-        ax.set_title(f"{code.name}: {nd} data + "
-                     f"{code.ancilla_qubits} ancilla, "
+        ax.set_title(f"{name}: {nd} data + {n_anc} ancilla, "
                      f"{len(checks)} stabilizer checks", fontsize=9)
         ax.set_axis_off()
         self.redraw()
 
-    def _sim(self) -> QECSimulator:
-        return QECSimulator(AVAILABLE_CODES[self.code_combo.currentText()]())
+    def _sim(self):
+        """Simulator for sweeps, honoring the engine selector. The frame
+        engine is draw-exact vs the statevector one for the reference
+        codes and is the only engine that holds repetition codes."""
+        kind = self._repetition_kind()
+        if kind is not None:
+            return FrameQECSimulator(
+                repetition_frame_spec(self._distance(), kind))
+        code = AVAILABLE_CODES[self.code_combo.currentText()]()
+        if self.engine_combo.currentText() == "frame":
+            return FrameQECSimulator(frame_spec_from_code(code))
+        return QECSimulator(code)
 
     def run_cycle(self) -> None:
+        if (self._repetition_kind() is not None
+                or self.engine_combo.currentText() == "frame"):
+            self.status.setText(
+                "Cycle view needs the statevector engine (state plots); "
+                "use Threshold Sweep / Memory (ML) on the frame engine")
+            return
         logical = self.logical_combo.currentIndex()
         result = self._sim().run_cycle(
             logical, self.noise_combo.currentText(), self.p_spin.value(),
@@ -571,6 +632,40 @@ class QECPanel(_Canvas):
             self.sweep_done.emit(points)
 
         threading.Thread(target=work, daemon=True).start()
+
+    def run_memory(self) -> None:
+        """R-round memory experiment with the exact space-time ML
+        decoder (repetition codes; ``qec_frame.build_ml_memory_fn``)."""
+        kind = self._repetition_kind()
+        if kind is None:
+            self.status.setText(
+                "Memory (ML) runs on repetition codes — select "
+                "'Repetition (distance d)' and the frame engine")
+            return
+        d = self._distance()
+        p = self.p_spin.value()
+
+        def work():
+            res = FrameQECSimulator.ml_memory_experiment(
+                distance=d, noise_prob=p, n_rounds=10, n_trials=2048,
+                meas_error_prob=p, seed=42)
+            self.memory_done.emit(res)
+
+        threading.Thread(target=work, daemon=True).start()
+
+    def _plot_memory(self, res) -> None:
+        ax = self.axes()
+        ax.bar(["space-time ML", "single-shot"],
+               [res["ml_failure_probability"],
+                res["final_syndrome_failure_probability"]],
+               color=["#a6e3a1", "#f38ba8"])
+        ax.set_ylabel(f"Logical failure ({res['n_rounds']} rounds, "
+                      f"d={res['distance']}, p=q)")
+        self.status.setText(
+            f"ML {res['ml_failure_probability']:.4f} vs single-shot "
+            f"{res['final_syndrome_failure_probability']:.4f} "
+            f"({res['n_trials']} trials)")
+        self.redraw()
 
     def _plot_sweep(self, points) -> None:
         ax = self.axes()
