@@ -306,6 +306,64 @@ def _value_and_grad_fn(program, cost: DeviceCost, offsets: np.ndarray):
     return fn
 
 
+def _multi_start_fn(program, cost: DeviceCost, offsets: np.ndarray,
+                    n_iter: int):
+    """jitted ``f(inits[S, K], lr, beta1, beta2) -> (best_values[S, K],
+    best_costs[S], cost_histories[S, n_iter])`` — the ENTIRE Adam
+    optimization of every start runs as one device program: a
+    ``lax.scan`` over iterations of autodiff value_and_grad, vmapped
+    over starts.  Best-iterate selection happens in-carry (matching
+    ``CircuitOptimizer.run``'s best-of-history semantics).  The
+    hyperparameters are runtime scalars; only (program, cost, offsets,
+    n_iter) fork compiles."""
+    key = ("mstart", program.compile_key, cost.key, offsets.tobytes(),
+           n_iter)
+    fn = _BATCH_COST_CACHE.get(key)
+    if fn is None:
+        base = jnp.asarray(program.initial_params)
+        off = jnp.asarray(offsets)
+        n = program.num_qubits
+
+        def scalar(values):
+            params = base.at[off].set(values.astype(base.dtype)) \
+                if offsets.size else base
+            psi = prog.forward_body(program, params)
+            return cost.device_fn(psi, n)
+
+        vag = jax.value_and_grad(scalar)
+
+        def one_start(v0, lr, beta1, beta2):
+            def body(carry, t):
+                values, m, v, best_c, best_v = carry
+                c, g = vag(values)
+                better = c < best_c
+                best_c = jnp.where(better, c, best_c)
+                best_v = jnp.where(better, values, best_v)
+                m = beta1 * m + (1 - beta1) * g
+                v = beta2 * v + (1 - beta2) * g * g
+                t1 = (t + 1).astype(jnp.float32)
+                m_hat = m / (1 - jnp.power(beta1, t1))
+                v_hat = v / (1 - jnp.power(beta2, t1))
+                values = values - lr * m_hat / (jnp.sqrt(v_hat) + 1e-8)
+                return (values, m, v, best_c, best_v), c
+
+            zeros = jnp.zeros_like(v0)
+            carry0 = (v0, zeros, zeros, jnp.float32(jnp.inf), v0)
+            (values, _, _, best_c, best_v), costs = jax.lax.scan(
+                body, carry0, jnp.arange(n_iter))
+            final_c = scalar(values)
+            better = final_c < best_c
+            best_c = jnp.where(better, final_c, best_c)
+            best_v = jnp.where(better, values, best_v)
+            return best_v, best_c, costs
+
+        fn = jax.jit(jax.vmap(one_start, in_axes=(0, None, None, None)))
+        if len(_BATCH_COST_CACHE) > 64:
+            _BATCH_COST_CACHE.pop(next(iter(_BATCH_COST_CACHE)))
+        _BATCH_COST_CACHE[key] = fn
+    return fn
+
+
 def _shift_matrix(values: np.ndarray, shift: float) -> np.ndarray:
     """(2P, P) matrix of ±shift perturbed parameter vectors:
     rows [0..P) are +shift on param i, rows [P..2P) are -shift."""
@@ -432,6 +490,24 @@ class OptimizationResult:
     iterations: int
 
 
+@dataclass
+class MultiStartResult:
+    """Result of a batched multi-start optimization.
+
+    ``cost_histories[s, t]`` is start ``s``'s cost at its t-th visited
+    point (pre-update, so ``cost_histories[s, 0]`` is the cost at the
+    initialization)."""
+
+    optimal_values: np.ndarray          # (K,) best parameters overall
+    optimal_cost: float
+    best_start: int
+    start_values: np.ndarray            # (S, K) per-start best params
+    start_costs: np.ndarray             # (S,) per-start best costs
+    cost_histories: np.ndarray          # (S, iterations)
+    iterations: int
+    n_starts: int
+
+
 # ---------------------------------------------------------------------------
 # Adam optimizer
 # ---------------------------------------------------------------------------
@@ -540,6 +616,69 @@ class CircuitOptimizer:
             history=self._history,
             converged=converged,
             iterations=len(self._history),
+        )
+
+    @classmethod
+    def multi_start(cls, config: ParameterizedCircuitConfig,
+                    cost_fn: DeviceCost, n_starts: int = 8,
+                    max_iterations: int = 100,
+                    learning_rate: float = 0.1,
+                    beta1: float = 0.9, beta2: float = 0.999,
+                    seed: int | None = None,
+                    init_values: np.ndarray | None = None
+                    ) -> MultiStartResult:
+        """Optimize from ``n_starts`` random initializations IN ONE
+        DEVICE LAUNCH: every start's full Adam loop (autodiff gradients,
+        ``lax.scan`` over iterations) runs vmapped on the device, and
+        the global best is selected on the host.  This is the batched
+        escape hatch for the multi-modal/barren landscapes the
+        reference's plateau analysis diagnoses
+        (``/root/reference/quantum_sim/engine/optimizer.py:423-460``) —
+        it can only detect them; this restarts through them.
+
+        Initializations are uniform in [-pi, pi) (or ``init_values``
+        of shape (n_starts, num_params)).  Requires traceable gates and
+        a DeviceCost (same contract as ``gradient_method="autodiff"``).
+        """
+        if config.num_params == 0:
+            raise ValueError("circuit has no parameters to optimize")
+        if config.circuit.num_qubits >= 30:
+            raise ValueError(
+                "autodiff cannot run on n >= 30 circuits: reverse-mode "
+                "residuals need several whole states resident at once")
+        program, offsets = config.compiled()
+        if offsets is None or not isinstance(cost_fn, DeviceCost) \
+                or cost_fn.device_fn is None:
+            raise ValueError(
+                "multi_start requires traceable gates and a DeviceCost")
+        if init_values is None:
+            rng = np.random.default_rng(seed)
+            init_values = rng.uniform(
+                -np.pi, np.pi, size=(n_starts, config.num_params))
+        else:
+            init_values = np.asarray(init_values, dtype=np.float64)
+            if init_values.shape != (n_starts, config.num_params):
+                raise ValueError(
+                    f"init_values must be ({n_starts}, "
+                    f"{config.num_params}), got {init_values.shape}")
+        fn = _multi_start_fn(program, cost_fn, offsets, max_iterations)
+        best_v, best_c, costs = fn(
+            jnp.asarray(init_values, dtype=jnp.float32),
+            jnp.float32(learning_rate), jnp.float32(beta1),
+            jnp.float32(beta2))
+        best_v = np.asarray(best_v, dtype=np.float64)
+        best_c = np.asarray(best_c, dtype=np.float64)
+        costs = np.asarray(costs, dtype=np.float64)    # (S, n_iter)
+        k = int(np.argmin(best_c))
+        return MultiStartResult(
+            optimal_values=best_v[k],
+            optimal_cost=float(best_c[k]),
+            best_start=k,
+            start_values=best_v,
+            start_costs=best_c,
+            cost_histories=costs,
+            iterations=max_iterations,
+            n_starts=n_starts,
         )
 
     # --- barren plateau analysis ------------------------------------------

@@ -171,3 +171,73 @@ def test_autodiff_rejects_huge_circuits():
     with pytest.raises(ValueError, match="autodiff cannot run"):
         GradientEstimator.autodiff(
             cfg, CostFunction.z_expectation(0), np.array([0.3]))
+
+
+class TestMultiStart:
+    def test_finds_minimum_and_shapes(self):
+        from quantum_simulator_tpu.optimizer import (CircuitOptimizer,
+                                                     MultiStartResult)
+        cfg = ParameterizedCircuitConfig.auto_detect(ansatz(2, 2))
+        cost = CostFunction.vqe_hamiltonian(
+            [(1.0, "ZZ", [0, 1]), (0.5, "X", [0])])
+        res = CircuitOptimizer.multi_start(
+            cfg, cost, n_starts=6, max_iterations=60,
+            learning_rate=0.2, seed=11)
+        assert isinstance(res, MultiStartResult)
+        assert res.optimal_cost < -0.9
+        assert res.start_costs.shape == (6,)
+        assert res.start_values.shape == (6, cfg.num_params)
+        assert res.cost_histories.shape == (6, 60)
+        assert res.optimal_cost == pytest.approx(
+            res.start_costs.min(), abs=1e-9)
+        assert res.best_start == int(np.argmin(res.start_costs))
+        # per-start best must beat (or tie) that start's initialization
+        assert (res.start_costs <= res.cost_histories[:, 0] + 1e-6).all()
+
+    def test_adam_trajectory_matches_sequential_optimizer(self):
+        """Same init, lr, iteration count: the scanned on-device Adam
+        must track the host-loop Adam (f32 vs f64 accumulation only)."""
+        from quantum_simulator_tpu.optimizer import CircuitOptimizer
+        cfg = ParameterizedCircuitConfig.auto_detect(ansatz(2, 1, 0.3))
+        cost = CostFunction.z_expectation(0)
+        init = cfg.get_values()[None, :]
+        res = CircuitOptimizer.multi_start(
+            cfg, cost, n_starts=1, max_iterations=10,
+            learning_rate=0.15, init_values=init)
+
+        opt = CircuitOptimizer(cfg, cost, learning_rate=0.15,
+                               max_iterations=10, tolerance=0.0,
+                               gradient_method="autodiff")
+        seq = opt.run()
+        assert seq.iterations == 10
+        # cost_histories[0, t] is the cost at the t-th visited point;
+        # the sequential history records post-update costs, so compare
+        # the sequential step-t cost with the scanned step-(t+1) visit.
+        for t in range(9):
+            assert res.cost_histories[0, t + 1] == pytest.approx(
+                seq.history[t][1], abs=2e-3)
+        assert res.optimal_cost == pytest.approx(seq.optimal_cost,
+                                                 abs=2e-3)
+
+    def test_multi_start_beats_worst_single_start(self):
+        from quantum_simulator_tpu.optimizer import CircuitOptimizer
+        cfg = ParameterizedCircuitConfig.auto_detect(ry_circuit(0.0))
+        res = CircuitOptimizer.multi_start(
+            cfg, CostFunction.z_expectation(0), n_starts=8,
+            max_iterations=50, learning_rate=0.3, seed=3)
+        assert res.optimal_cost < -0.99
+        assert res.optimal_cost <= res.start_costs.max()
+
+    def test_rejects_parameterless_and_bad_inits(self):
+        from quantum_simulator_tpu.optimizer import CircuitOptimizer
+        c = QuantumCircuit(1)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        cfg = ParameterizedCircuitConfig.auto_detect(c)
+        with pytest.raises(ValueError):
+            CircuitOptimizer.multi_start(
+                cfg, CostFunction.z_expectation(0))
+        cfg2 = ParameterizedCircuitConfig.auto_detect(ry_circuit())
+        with pytest.raises(ValueError):
+            CircuitOptimizer.multi_start(
+                cfg2, CostFunction.z_expectation(0), n_starts=2,
+                init_values=np.zeros((3, 1)))
