@@ -58,7 +58,7 @@ HAMILTONIANS = {
 
 def run_benchmark(n_qubits: int, n_layers: int, hamiltonian_name: str,
                   lr: float, max_iters: int, seed: int,
-                  grad_method: str = "autodiff") -> dict:
+                  grad_method: str = "autodiff", n_starts: int = 1) -> dict:
     circuit = _build_ansatz(n_qubits, n_layers)
     config = ParameterizedCircuitConfig.auto_detect(circuit)
     cost_fn = HAMILTONIANS[hamiltonian_name](n_qubits)
@@ -69,6 +69,42 @@ def run_benchmark(n_qubits: int, n_layers: int, hamiltonian_name: str,
         circuit.gates[b.gate_index].params[b.param_index] = float(
             init_vals[i])
     config = ParameterizedCircuitConfig.auto_detect(circuit)
+
+    if n_starts > 1:
+        # Batched multi-start: every start's full Adam loop runs in one
+        # vmapped device launch. Start 0 uses the same initialization as
+        # the single-start path; the JSON keeps its shape, plus the
+        # per-start summary.
+        inits = np.vstack(
+            [init_vals[None, :],
+             rng.uniform(-np.pi, np.pi,
+                         size=(n_starts - 1, config.num_params))])
+        t0 = time.perf_counter()
+        ms = CircuitOptimizer.multi_start(
+            config, cost_fn, n_starts=n_starts, max_iterations=max_iters,
+            learning_rate=lr, init_values=inits)
+        elapsed = time.perf_counter() - t0
+        cost_trace = [float(c) for c in ms.cost_histories[ms.best_start]]
+        return {
+            "n_qubits": n_qubits,
+            "n_layers": n_layers,
+            "n_params": config.num_params,
+            "hamiltonian": hamiltonian_name,
+            "learning_rate": lr,
+            "max_iterations": max_iters,
+            "actual_iterations": ms.iterations,
+            "converged": False,
+            "optimal_cost": float(ms.optimal_cost),
+            "initial_cost": cost_trace[0] if cost_trace else None,
+            "cost_improvement": ((cost_trace[0] - ms.optimal_cost)
+                                 if cost_trace else 0),
+            "elapsed_seconds": round(elapsed, 3),
+            "gradient_method": "autodiff",
+            "cost_trace": cost_trace,
+            "n_starts": n_starts,
+            "best_start": ms.best_start,
+            "start_costs": [float(c) for c in ms.start_costs],
+        }
 
     optimizer = CircuitOptimizer(
         config=config,
@@ -118,6 +154,10 @@ def main():
     parser.add_argument("--grad", choices=["autodiff", "parameter_shift",
                                            "finite_difference"],
                         default="autodiff")
+    parser.add_argument(
+        "--starts", type=int, default=1,
+        help="multi-start: N full Adam loops in one vmapped device "
+             "launch (forces autodiff; start 0 = the --seed init)")
     parser.add_argument("--output", type=str, default=None)
     args = parser.parse_args()
 
@@ -126,7 +166,8 @@ def main():
           f"iters={args.iters}, seed={args.seed}, grad={args.grad}")
 
     result = run_benchmark(args.qubits, args.layers, args.hamiltonian,
-                           args.lr, args.iters, args.seed, args.grad)
+                           args.lr, args.iters, args.seed, args.grad,
+                           n_starts=args.starts)
 
     output = {
         "experiment": "vqe_benchmark",
