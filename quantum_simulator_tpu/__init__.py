@@ -22,6 +22,7 @@ from .noise import (
     ReadoutError,
 )
 from .registry import GateRegistry
+from .clifford import CliffordSimulator
 from .density import DensityMatrixResult, DensityMatrixSimulator
 from .simulator import SimulationResult, Simulator
 from .state import StateVector
@@ -30,6 +31,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "DensityMatrixResult",
+    "CliffordSimulator",
     "DensityMatrixSimulator",
     "CONFIG",
     "EngineConfig",

@@ -58,8 +58,12 @@ class GateInstance:
 
 
 def _validated_qubit_count(n: int) -> int:
-    if n < 1 or n > CONFIG.max_qubits:
-        raise ValueError(f"num_qubits must be 1-{CONFIG.max_qubits}, got {n}")
+    # Structural cap only: amplitude engines re-validate against
+    # CONFIG.max_qubits at their own entries (simulator.py, state.py);
+    # the tableau/frame engines legitimately run hundreds of qubits.
+    if n < 1 or n > CONFIG.max_circuit_qubits:
+        raise ValueError(
+            f"num_qubits must be 1-{CONFIG.max_circuit_qubits}, got {n}")
     return n
 
 

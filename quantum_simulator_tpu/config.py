@@ -32,6 +32,12 @@ class EngineConfig:
     # Hard cap on single-host qubit count (2**30 complex64 = 8 GiB; a v5e
     # chip has 16 GiB HBM). Sharded states may exceed this per-mesh.
     max_qubits: int = 32
+    # Structural cap on the circuit IR itself. Non-amplitude engines
+    # (the Clifford tableau engine, the Pauli-frame QEC engine) hold
+    # hundreds of qubits in O(n^2) bits, so the IR accepts far more than
+    # the amplitude engines do; every amplitude path validates against
+    # ``max_qubits`` at its own entry.
+    max_circuit_qubits: int = 4096
     # Compile-cache size (circuit-structure keyed).
     compile_cache_size: int = 128
     # In-place Pallas kernels for dense/cross group-plan steps (TPU

@@ -760,6 +760,22 @@ class DistributedStateVector:
         return float(jnp.sum(jnp.abs(self._data) ** 2))
 
 
+def _check_mesh_amplitude_cap(circuit: QuantumCircuit, mesh: Mesh) -> None:
+    """Per-mesh amplitude cap: each device holds 2^n / D amplitudes, so a
+    D-device mesh extends the single-chip cap by log2(D) qubits. The
+    circuit IR's own cap is structural only (config.max_circuit_qubits
+    admits Clifford-engine widths); amplitude engines validate here."""
+    from ..config import CONFIG
+
+    n_dev = int(mesh.devices.size)
+    cap = CONFIG.max_qubits + max(0, n_dev.bit_length() - 1)
+    if circuit.num_qubits > cap:
+        raise ValueError(
+            f"num_qubits must be <= {cap} on a {n_dev}-device mesh "
+            f"(= max_qubits {CONFIG.max_qubits} + log2(devices)), got "
+            f"{circuit.num_qubits}")
+
+
 class DistributedSimulator:
     """Circuit execution over a device mesh (forward path + sampling)."""
 
@@ -772,6 +788,7 @@ class DistributedSimulator:
         return self._mesh
 
     def run(self, circuit: QuantumCircuit) -> DistributedStateVector:
+        _check_mesh_amplitude_cap(circuit, self._mesh)
         program = prog.compile_circuit(circuit)
         fn = sharded_forward_fn(program, self._mesh)
         state = fn(jnp.asarray(program.initial_params))
@@ -800,6 +817,7 @@ class DistributedSimulator:
         included), so a changed circuit restarts from scratch rather
         than continuing the wrong state.
         """
+        _check_mesh_amplitude_cap(circuit, self._mesh)
         if segment_columns < 1:
             raise ValueError("segment_columns must be >= 1")
         n = circuit.num_qubits
@@ -866,6 +884,7 @@ class DistributedSimulator:
                              seed: int | None = None
                              ) -> DistributedStateVector:
         """One stochastic-Kraus trajectory over the mesh."""
+        _check_mesh_amplitude_cap(circuit, self._mesh)
         program = prog.compile_circuit(circuit)
         fn = sharded_trajectory_fn(program, noise_model, self._mesh)
         rng = np.random.default_rng(seed)
@@ -892,6 +911,7 @@ class DistributedSimulator:
         134-145``) is the ``trajectories=shots`` extreme of the same
         estimator.
         """
+        _check_mesh_amplitude_cap(circuit, self._mesh)
         if rng is None:
             rng = np.random.default_rng(seed)
         if noise_model is None or not noise_model.has_channels():

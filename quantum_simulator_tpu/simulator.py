@@ -114,6 +114,18 @@ def _is_huge(circuit: QuantumCircuit) -> bool:
             and jax.default_backend() == "tpu")
 
 
+def _check_amplitude_cap(circuit: QuantumCircuit) -> None:
+    """Amplitude engines hold 2^n states; the circuit IR's structural cap
+    is far looser (Clifford/frame engines). Enforce the memory cap here."""
+    from .config import CONFIG
+
+    if circuit.num_qubits > CONFIG.max_qubits:
+        raise ValueError(
+            f"num_qubits must be 1-{CONFIG.max_qubits} for amplitude "
+            f"simulation, got {circuit.num_qubits} (Clifford circuits "
+            "this wide can run on clifford.CliffordSimulator)")
+
+
 class Simulator:
     """Executes a QuantumCircuit via compiled device programs."""
 
@@ -136,6 +148,7 @@ class Simulator:
         (reference `run` semantics); use ``run_with_noise`` for per-shot
         trajectory sampling.
         """
+        _check_amplitude_cap(circuit)
         if rng is None:
             rng = np.random.default_rng(seed)
 
@@ -372,6 +385,7 @@ class Simulator:
         column is structurally impossible on a single chip. The whole
         stepped run is ONE compiled program; the state evolves in place
         and only the tiny marginals cross to host."""
+        _check_amplitude_cap(circuit)
         if _is_huge(circuit):
             if self._noise_model is not None \
                     and self._noise_model.has_channels():
@@ -543,6 +557,7 @@ class Simulator:
     ) -> np.ndarray:
         """rho = (1/N) sum_i |psi_i><psi_i| over N stochastic trajectories,
         accumulated on device in one einsum."""
+        _check_amplitude_cap(circuit)
         rng = np.random.default_rng(seed)
         states = self.trajectory_states(circuit, n_trials, rng=rng)
         rho = jnp.einsum("ti,tj->ij", states, jnp.conj(states),
@@ -565,6 +580,7 @@ class Simulator:
         (``state_vector.py:121-140``); here the partial trace is fused
         into the trajectory batch (n <= 29) or computed from per-axis
         Gram reductions on the chunked huge path (n >= 30)."""
+        _check_amplitude_cap(circuit)
         rng = np.random.default_rng(seed)
         n = circuit.num_qubits
         if _is_huge(circuit):

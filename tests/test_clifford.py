@@ -1,0 +1,172 @@
+"""Clifford tableau engine vs the statevector engine, plus at-scale runs
+no statevector can hold (GHZ-200)."""
+
+import numpy as np
+import pytest
+
+from quantum_simulator_tpu import GateInstance, QuantumCircuit, Simulator
+from quantum_simulator_tpu.clifford import (
+    CliffordSimulator, compile_clifford, identity_tableau,
+    is_clifford_circuit, _apply_gate,
+)
+
+
+def ghz(n):
+    c = QuantumCircuit(n)
+    c.add_gate(GateInstance("H", [0], [], column=0))
+    for i in range(n - 1):
+        c.add_gate(GateInstance("CNOT", [i, i + 1], [], column=i + 1))
+    return c
+
+
+def random_clifford_circuit(n, depth, rng):
+    c = QuantumCircuit(n)
+    one_q = ["H", "S", "S_DAG", "X", "Y", "Z"]
+    for col in range(depth):
+        kind = rng.integers(0, 2)
+        if kind == 0 or n == 1:
+            q = int(rng.integers(0, n))
+            c.add_gate(GateInstance(
+                str(rng.choice(one_q)), [q], [], column=col))
+        else:
+            a, b = rng.choice(n, size=2, replace=False)
+            name = str(rng.choice(["CNOT", "CZ", "SWAP"]))
+            c.add_gate(GateInstance(name, [int(a), int(b)], [],
+                                    column=col))
+    return c
+
+
+class TestGateAlgebra:
+    def test_is_clifford_detection(self):
+        c = ghz(3)
+        assert is_clifford_circuit(c)
+        c.add_gate(GateInstance("T", [0], [], column=5))
+        assert not is_clifford_circuit(c)
+
+    def test_s_sdag_inverse(self):
+        tab = identity_tableau(2)
+        t2 = _apply_gate(_apply_gate(tab, "H", [0]), "S", [0])
+        t3 = _apply_gate(t2, "S_DAG", [0])
+        t4 = _apply_gate(t3, "H", [0])
+        ref = identity_tableau(2)
+        np.testing.assert_array_equal(np.asarray(t4.x), np.asarray(ref.x))
+        np.testing.assert_array_equal(np.asarray(t4.z), np.asarray(ref.z))
+        np.testing.assert_array_equal(np.asarray(t4.r), np.asarray(ref.r))
+
+    def test_ssss_is_identity(self):
+        tab = _apply_gate(identity_tableau(1), "H", [0])
+        t = tab
+        for _ in range(4):
+            t = _apply_gate(t, "S", [0])
+        np.testing.assert_array_equal(np.asarray(t.x), np.asarray(tab.x))
+        np.testing.assert_array_equal(np.asarray(t.r), np.asarray(tab.r))
+
+
+class TestDeterministicCounts:
+    def test_basis_state_counts(self):
+        c = QuantumCircuit(3)
+        c.add_gate(GateInstance("X", [1], [], column=0))
+        counts, _ = CliffordSimulator().run(c, shots=64, seed=1)
+        assert counts == {"010": 64}
+
+    def test_y_flips_like_x(self):
+        c = QuantumCircuit(1)
+        c.add_gate(GateInstance("Y", [0], [], column=0))
+        counts, _ = CliffordSimulator().run(c, shots=16, seed=2)
+        assert counts == {"1": 16}
+
+    def test_cnot_ladder(self):
+        c = QuantumCircuit(4)
+        c.add_gate(GateInstance("X", [0], [], column=0))
+        for i in range(3):
+            c.add_gate(GateInstance("CNOT", [i, i + 1], [], column=i + 1))
+        counts, _ = CliffordSimulator().run(c, shots=32, seed=3)
+        assert counts == {"1111": 32}
+
+    def test_matches_statevector_exactly_when_deterministic(self):
+        c = QuantumCircuit(3)
+        c.add_gate(GateInstance("X", [0], [], column=0))
+        c.add_gate(GateInstance("CZ", [0, 1], [], column=1))
+        c.add_gate(GateInstance("SWAP", [1, 2], [], column=2))
+        sv = Simulator().run(c, shots=50, seed=5).measurement_counts
+        cl, _ = CliffordSimulator().run(c, shots=50, seed=5)
+        assert sv == cl
+
+
+class TestRandomOutcomes:
+    def test_ghz_support_and_balance(self):
+        counts, tab = CliffordSimulator().run(ghz(5), shots=2000, seed=7)
+        assert set(counts) == {"00000", "11111"}
+        assert abs(counts["00000"] - 1000) < 150
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_tvd_vs_statevector_random_clifford(self, seed):
+        rng = np.random.default_rng(seed)
+        n, shots = 4, 4000
+        c = random_clifford_circuit(n, 12, rng)
+        sv = Simulator().run(c, shots=shots, seed=seed).measurement_counts
+        cl, _ = CliffordSimulator().run(c, shots=shots, seed=seed + 1)
+        tvd = 0.0
+        for k in set(sv) | set(cl):
+            tvd += abs(sv.get(k, 0) - cl.get(k, 0)) / shots
+        assert tvd / 2 < 0.06
+
+    def test_z_string_expectations_match_statevector(self):
+        rng = np.random.default_rng(11)
+        for trial in range(4):
+            n = 4
+            c = random_clifford_circuit(n, 10, rng)
+            state = Simulator().run(c, shots=0).final_state
+            probs = state.probabilities
+            _, tab = CliffordSimulator().run(c, shots=0)
+            idx = np.arange(2 ** n)
+            for mask_bits in range(1, 2 ** n):
+                qubits = [q for q in range(n) if (mask_bits >> q) & 1]
+                # qubit 0 = MSB convention for basis indices
+                parity = np.zeros(2 ** n)
+                for q in qubits:
+                    parity += (idx >> (n - 1 - q)) & 1
+                expect_sv = float(probs @ (1.0 - 2.0 * (parity % 2)))
+                expect_cl = CliffordSimulator.expectation_z_string(
+                    tab, qubits)
+                assert expect_cl == pytest.approx(expect_sv, abs=1e-5), \
+                    (trial, qubits)
+
+
+class TestAtScale:
+    def test_ghz_200(self):
+        counts, tab = CliffordSimulator().run(ghz(200), shots=200, seed=9)
+        assert set(counts) == {"0" * 200, "1" * 200}
+        assert CliffordSimulator.expectation_z_string(
+            tab, [0, 199]) == 1.0
+        assert CliffordSimulator.expectation_z_string(tab, [0]) == 0.0
+
+    def test_stabilizer_strings_ghz(self):
+        _, tab = CliffordSimulator().run(ghz(3), shots=0)
+        stabs = CliffordSimulator.stabilizers(tab)
+        assert len(stabs) == 3
+        assert all(s[0] in "+-" and len(s) == 4 for s in stabs)
+        # the group stabilizes GHZ: X-type generator exists (H spread)
+        assert any("X" in s for s in stabs)
+
+    def test_rejects_non_clifford(self):
+        c = QuantumCircuit(2)
+        c.add_gate(GateInstance("T", [0], [], column=0))
+        with pytest.raises(ValueError):
+            compile_clifford(c)
+
+    def test_duplicate_z_string_rejected(self):
+        _, tab = CliffordSimulator().run(ghz(2), shots=0)
+        with pytest.raises(ValueError):
+            CliffordSimulator.expectation_z_string(tab, [0, 0])
+
+
+def test_amplitude_engines_reject_clifford_widths():
+    """The IR admits wide circuits; amplitude engines refuse at entry."""
+    from quantum_simulator_tpu.parallel.distributed import (
+        DistributedSimulator)
+    wide = ghz(40)
+    with pytest.raises(ValueError, match="amplitude"):
+        Simulator().run(wide, shots=0)
+    with pytest.raises(ValueError, match="mesh"):
+        DistributedSimulator().run(ghz(50))

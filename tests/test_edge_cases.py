@@ -45,10 +45,18 @@ class TestBounds:
     def test_qubit_count_bounds(self):
         with pytest.raises(ValueError):
             QuantumCircuit(0)
+        # The IR cap is structural (Clifford widths allowed)...
         with pytest.raises(ValueError):
-            QuantumCircuit(CONFIG.max_qubits + 1)
+            QuantumCircuit(CONFIG.max_circuit_qubits + 1)
+        # ...but amplitude engines enforce the memory cap at entry.
+        from quantum_simulator_tpu.simulator import Simulator
+        wide = QuantumCircuit(CONFIG.max_qubits + 1)
+        with pytest.raises(ValueError, match="amplitude"):
+            Simulator().run(wide, shots=0)
         with pytest.raises(ValueError):
             StateVector(0)
+        with pytest.raises(ValueError):
+            StateVector(CONFIG.max_qubits + 1)
 
     def test_set_num_qubits_bounds(self):
         c = QuantumCircuit(2)
