@@ -251,6 +251,79 @@ def compile_clifford(circuit: QuantumCircuit):
     return evolve
 
 
+_PAULI_CHANNELS = {"BitFlipNoise", "PhaseFlipNoise", "DepolarizingNoise"}
+
+
+def compile_clifford_noisy(circuit: QuantumCircuit, noise_model):
+    """Circuit + Pauli noise -> jitted ``(key) -> Tableau`` — ONE
+    stochastic trajectory.
+
+    Pauli channels commute with the tableau representation: a stochastic
+    Kraus draw is exactly an iid Pauli insertion (the branch norms
+    ``||K_i psi||^2`` are state-independent for Pauli Kraus operators,
+    so the statevector engine's state-dependent selection
+    (``noise.py:224-260`` in the reference) reduces to the channel
+    probabilities).  A conditional Pauli with runtime bits (a, b) is two
+    sign updates — ``r ^= a & z[:, q] ^ b & x[:, q]`` — so the noisy
+    program stays pure tensor algebra and trajectories vmap.
+
+    Channels fire after every gate on that gate's target qubits, the
+    reference semantics.  AmplitudeDamping is not a Pauli channel and is
+    rejected (use the statevector engine at amplitude widths)."""
+    if not is_clifford_circuit(circuit):
+        raise ValueError(
+            "circuit contains non-Clifford gates; use Simulator instead")
+    registry = GateRegistry.instance()
+    n = circuit.num_qubits
+
+    schedule: list[tuple] = []   # ("gate", name, qubits) | ("pauli", q, kind, p)
+    n_events = 0
+    for column in circuit.get_ordered_gates():
+        for g in column:
+            gdef = registry.get(g.gate_name)
+            if gdef.gate_type in (GateType.MEASUREMENT, GateType.BARRIER):
+                continue
+            schedule.append(("gate", g.gate_name, list(g.target_qubits)))
+            for ch in noise_model.channels_for_gate(g.gate_name):
+                kind = type(ch).__name__
+                if kind not in _PAULI_CHANNELS:
+                    raise ValueError(
+                        f"{kind} is not a Pauli channel; the Clifford "
+                        "engine supports bit_flip/phase_flip/depolarizing")
+                for q in g.target_qubits:
+                    schedule.append(("pauli", q, kind, ch.probability))
+                    n_events += 1
+
+    @jax.jit
+    def evolve(key):
+        u = jax.random.uniform(key, (max(1, n_events),))
+        tab = identity_tableau(n)
+        ei = 0
+        for item in schedule:
+            if item[0] == "gate":
+                tab = _apply_gate(tab, item[1], item[2])
+                continue
+            _, q, kind, p = item
+            r_draw = u[ei]
+            ei += 1
+            if kind == "BitFlipNoise":
+                a = (r_draw < p)
+                b = jnp.zeros((), bool)
+            elif kind == "PhaseFlipNoise":
+                a = jnp.zeros((), bool)
+                b = (r_draw < p)
+            else:  # depolarizing: X | Y | Z at p/3 each
+                a = r_draw < 2 * p / 3
+                b = (r_draw >= p / 3) & (r_draw < p)
+            x, z, r = tab
+            sign = (a.astype(jnp.int32) & z[:, q]) \
+                ^ (b.astype(jnp.int32) & x[:, q])
+            tab = Tableau(x, z, r ^ sign)
+        return tab
+
+    return evolve
+
+
 class CliffordSimulator:
     """Run Clifford circuits on the tableau engine at any width.
 
@@ -289,6 +362,44 @@ class CliffordSimulator:
             counts = {"".join("1" if b else "0" for b in row): int(c)
                       for row, c in zip(uniq, cnts)}
         return counts, tab
+
+    def run_with_noise(self, circuit: QuantumCircuit, noise_model,
+                       shots: int = 1000, seed: int | None = None):
+        """Noisy counts: one stochastic Pauli trajectory per shot, all
+        trajectories AND their measurement cascades vmapped into one
+        device launch (reference semantics: re-simulate per shot,
+        ``simulator.py:116-153``; here that is actually affordable at
+        n=100+). Readout error (shot mode) applies if configured.
+
+        Memory: shots x tableau = S * 2n * n ints; chunk shots for
+        n in the thousands."""
+        n = circuit.num_qubits
+        key = (circuit.structure_hash(), str(noise_model.spec_key()))
+        entry = self._compiled.get(key)
+        if entry is None:
+            traj = compile_clifford_noisy(circuit, noise_model)
+            sampler_one = _sample_fn(n)
+
+            def one(k):
+                k_traj, k_meas = jax.random.split(k)
+                tab = traj(k_traj)
+                rand = jax.random.bernoulli(
+                    k_meas, 0.5, (1, n)).astype(jnp.int32)
+                return sampler_one(tab, rand)[0]
+
+            entry = jax.jit(jax.vmap(one))
+            self._compiled[key] = entry
+        rng = np.random.default_rng(seed)
+        keys = jax.random.split(
+            jax.random.PRNGKey(int(rng.integers(0, 2 ** 63))), shots)
+        bits = np.asarray(entry(keys)).astype(np.uint8)   # (S, n)
+        uniq, cnts = np.unique(bits, axis=0, return_counts=True)
+        counts = {"".join("1" if b else "0" for b in row): int(c)
+                  for row, c in zip(uniq, cnts)}
+        ro = getattr(noise_model, "readout_error", None)
+        if ro is not None:
+            counts = ro.corrupt_counts(counts, rng)
+        return counts
 
     @staticmethod
     def stabilizers(tab: Tableau) -> list[str]:

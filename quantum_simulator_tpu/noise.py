@@ -167,14 +167,12 @@ class ReadoutError:
         flip_p = np.where(expanded == 0, self.p01, self.p10)
         flips = rng.random(expanded.shape) < flip_p
         noisy = expanded ^ flips
-        # Pack rows to integer codes, then histogram.
-        weights = (1 << np.arange(n - 1, -1, -1)).astype(np.int64)
-        codes = noisy @ weights
-        out: dict[str, int] = {}
-        uniq, cnt = np.unique(codes, return_counts=True)
-        for code, c in zip(uniq, cnt):
-            out[format(int(code), f"0{n}b")] = int(c)
-        return out
+        # Row-wise unique (integer packing would overflow past n=63,
+        # reachable via the wide Clifford engine's counts).
+        uniq, cnt = np.unique(noisy.astype(np.uint8), axis=0,
+                              return_counts=True)
+        return {"".join("1" if b else "0" for b in row): int(c)
+                for row, c in zip(uniq, cnt)}
 
     # --- distribution mode -------------------------------------------------
 

@@ -170,3 +170,48 @@ def test_amplitude_engines_reject_clifford_widths():
         Simulator().run(wide, shots=0)
     with pytest.raises(ValueError, match="mesh"):
         DistributedSimulator().run(ghz(50))
+
+
+class TestNoisyClifford:
+    def test_zero_noise_matches_ideal(self):
+        from quantum_simulator_tpu.noise import NoiseModel, BitFlipNoise
+        nm = NoiseModel()
+        nm.add_global_noise(BitFlipNoise(0.0))
+        counts = CliffordSimulator().run_with_noise(ghz(4), nm, shots=400,
+                                                    seed=3)
+        assert set(counts) == {"0000", "1111"}
+
+    def test_distribution_matches_statevector_run_with_noise(self):
+        from quantum_simulator_tpu.noise import NoiseModel, DepolarizingNoise
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.1))
+        c = ghz(3)
+        shots = 4000
+        sv = Simulator(noise_model=nm).run_with_noise(
+            c, shots=shots, seed=11).measurement_counts
+        cl = CliffordSimulator().run_with_noise(c, nm, shots=shots, seed=12)
+        tvd = sum(abs(sv.get(k, 0) - cl.get(k, 0))
+                  for k in set(sv) | set(cl)) / (2 * shots)
+        assert tvd < 0.05
+
+    def test_wide_noisy_run_beyond_statevector(self):
+        from quantum_simulator_tpu.noise import (NoiseModel, BitFlipNoise,
+                                                 ReadoutError)
+        nm = NoiseModel()
+        nm.add_global_noise(BitFlipNoise(0.02))
+        nm.set_readout_error(ReadoutError(p01=0.01, p10=0.01))
+        counts = CliffordSimulator().run_with_noise(ghz(60), nm, shots=200,
+                                                    seed=5)
+        assert sum(counts.values()) == 200
+        assert all(len(k) == 60 for k in counts)
+        # noise spreads support beyond the two GHZ strings
+        assert len(counts) > 2
+
+    def test_amplitude_damping_rejected(self):
+        from quantum_simulator_tpu.noise import (NoiseModel,
+                                                 AmplitudeDampingNoise)
+        from quantum_simulator_tpu.clifford import compile_clifford_noisy
+        nm = NoiseModel()
+        nm.add_global_noise(AmplitudeDampingNoise(0.1))
+        with pytest.raises(ValueError, match="Pauli"):
+            compile_clifford_noisy(ghz(2), nm)
