@@ -319,6 +319,47 @@ def bench_secondary():
     except Exception as e:
         print(f"[bench] QFT-24 failed: {e}", file=sys.stderr)
 
+
+def bench_bit_engines():
+    """Frame-QEC and Clifford throughput -> stderr (no 2^n state; these
+    run on any backend, so they are reported even on the CPU fallback)."""
+    import time as _time
+
+    try:
+        from quantum_simulator_tpu.qec_frame import (
+            FrameQECSimulator, repetition_frame_spec)
+
+        fr = FrameQECSimulator(repetition_frame_spec(25, "bit_flip"))
+        T = 1 << 20
+        fr.throughput_sweep(0.05, T, "bit_flip", seed=0)  # compile
+        t0 = _time.perf_counter()
+        fr.throughput_sweep(0.05, T, "bit_flip", seed=1)
+        dt = _time.perf_counter() - t0
+        print(f"[bench] frame-QEC threshold trials/sec (repetition d=25): "
+              f"{T / dt / 1e6:.2f}M", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] frame-QEC bench failed: {e}", file=sys.stderr)
+
+    try:
+        from quantum_simulator_tpu.circuit import GateInstance, QuantumCircuit
+        from quantum_simulator_tpu.clifford import CliffordSimulator
+
+        n = 100
+        c = QuantumCircuit(n)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        for i in range(n - 1):
+            c.add_gate(GateInstance("CNOT", [i, i + 1], [], column=i + 1))
+        sim = CliffordSimulator()
+        sim.run(c, shots=256, seed=0)  # compile
+        t0 = _time.perf_counter()
+        counts, _ = sim.run(c, shots=256, seed=1)
+        dt = _time.perf_counter() - t0
+        print(f"[bench] Clifford GHZ-100 sample: {256 / dt:.0f} shots/s "
+              f"(full n-qubit measurement cascades)", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] Clifford bench failed: {e}", file=sys.stderr)
+
+
 def main():
     from quantum_simulator_tpu.utils.preflight import require_device_or_cpu
 
@@ -351,6 +392,7 @@ def main():
               "diagnostics (host-RAM bound)", file=sys.stderr)
     else:
         bench_secondary()
+    bench_bit_engines()
 
     line = {
         "metric": f"gate-layers/sec, n={N_QUBITS} depth-{DEPTH} "

@@ -620,4 +620,9 @@ class ResourceMonitorModel:
              "method": "Density Matrix", "max_qubits": dm_max,
              "memory_bytes": (2 ** (2 * dm_max)) * 8,
              "note": "2^2n scaling"},
+            {"simulator": "This (Clifford tableau engine)",
+             "method": "Stabilizer Tableau", "max_qubits": 4096,
+             "memory_bytes": 2 * 4096 * 4096 * 4,
+             "note": "O(n^2) bits — Clifford circuits only "
+                     "(clifford.CliffordSimulator)"},
         ]

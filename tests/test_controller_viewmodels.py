@@ -246,8 +246,10 @@ class TestViewModels:
         model.record_simulation("bell", 2, 0.01)
         assert model.timings[0].num_qubits == 2
         table = ResourceMonitorModel.comparison_table()
-        sv_row, dm_row = table
+        sv_row, dm_row, clifford_row = table
         assert sv_row["max_qubits"] > dm_row["max_qubits"]
+        assert clifford_row["max_qubits"] > sv_row["max_qubits"]
+        assert "Clifford" in str(clifford_row["note"])
         assert ResourceMonitorModel.max_qubits_for_ram(
             16 * 1024**3, "sv") == 30  # complex64 on a 16 GiB chip
 
