@@ -417,6 +417,43 @@ class CliffordSimulator:
         return out
 
     @staticmethod
+    def entanglement_entropy(tab: Tableau, subsystem: list[int]) -> float:
+        """Exact entanglement entropy (in bits) of a stabilizer state:
+        S_A = rank_GF2 of the stabilizer generators restricted to A
+        minus |A| (Fattal et al., quant-ph/0406168).  Lets the analysis
+        library's entropy surface (``analysis.py:107-116`` parity) run
+        at hundreds of qubits — validated against the statevector
+        entropy for n <= 6 in tests."""
+        x = np.asarray(tab.x)
+        z = np.asarray(tab.z)
+        n = x.shape[1]
+        A = sorted(set(subsystem))
+        if any(q < 0 or q >= n for q in A):
+            raise ValueError(f"subsystem out of range for n={n}")
+        if not A or len(A) == n:
+            return 0.0
+        # Stabilizer rows restricted to A as [X_A | Z_A] over GF(2).
+        m = np.concatenate([x[n:, A], z[n:, A]], axis=1).astype(np.uint8)
+        rank = 0
+        rows, cols = m.shape
+        r = 0
+        for c in range(cols):
+            pivot = None
+            for i in range(r, rows):
+                if m[i, c]:
+                    pivot = i
+                    break
+            if pivot is None:
+                continue
+            m[[r, pivot]] = m[[pivot, r]]
+            for i in range(rows):
+                if i != r and m[i, c]:
+                    m[i] ^= m[r]
+            r += 1
+        rank = r
+        return float(rank - len(A))
+
+    @staticmethod
     def expectation_z_string(tab: Tableau, qubits: list[int]) -> float:
         """<prod_q Z_q> on the tableau state: exactly +1, -1, or 0.
 

@@ -215,3 +215,37 @@ class TestNoisyClifford:
         nm.add_global_noise(AmplitudeDampingNoise(0.1))
         with pytest.raises(ValueError, match="Pauli"):
             compile_clifford_noisy(ghz(2), nm)
+
+
+class TestEntanglementEntropy:
+    def test_matches_statevector_on_random_cliffords(self):
+        from quantum_simulator_tpu.analysis import StateAnalysis
+        rng = np.random.default_rng(19)
+        for trial in range(4):
+            n = 5
+            c = random_clifford_circuit(n, 14, rng)
+            state = Simulator().run(c, shots=0).final_state
+            _, tab = CliffordSimulator().run(c, shots=0)
+            for mask in (1, 2, 3, 7, 11):
+                sub = [q for q in range(n) if (mask >> q) & 1]
+                s_sv = StateAnalysis.entanglement_entropy(state, sub)
+                s_cl = CliffordSimulator.entanglement_entropy(tab, sub)
+                assert s_cl == pytest.approx(s_sv, abs=1e-5), (trial, sub)
+
+    def test_ghz_cut_entropy_is_one_bit_at_any_scale(self):
+        _, tab = CliffordSimulator().run(ghz(120), shots=0)
+        assert CliffordSimulator.entanglement_entropy(
+            tab, list(range(60))) == 1.0
+        assert CliffordSimulator.entanglement_entropy(tab, [0]) == 1.0
+
+    def test_product_state_entropy_zero(self):
+        c = QuantumCircuit(6)
+        c.add_gate(GateInstance("H", [2], [], column=0))
+        _, tab = CliffordSimulator().run(c, shots=0)
+        assert CliffordSimulator.entanglement_entropy(tab, [0, 2]) == 0.0
+
+    def test_bounds_checked(self):
+        _, tab = CliffordSimulator().run(ghz(3), shots=0)
+        with pytest.raises(ValueError):
+            CliffordSimulator.entanglement_entropy(tab, [5])
+        assert CliffordSimulator.entanglement_entropy(tab, []) == 0.0
