@@ -223,35 +223,222 @@ def _sample_fn(n: int):
     return jax.jit(jax.vmap(one_shot, in_axes=(None, 0)))
 
 
-# --- compiled circuit -------------------------------------------------------
+# --- compiled circuit: schedule-as-data scan engine -------------------------
+#
+# The whole circuit lowers to four integer/float arrays (opcode, qubit a,
+# qubit b, channel prob) consumed by ONE lax.scan step containing a
+# lax.switch — so XLA compiles each op KIND once and compile time is
+# independent of circuit depth (a 600-measurement monitored circuit
+# previously inlined 600 measurement bodies and took minutes to compile).
 
-def compile_clifford(circuit: QuantumCircuit):
-    """Circuit -> jitted ``() -> Tableau`` (gates dispatched at trace
-    time; MEASUREMENT/BARRIER skipped, reference simulator semantics)."""
+_OP_I, _OP_H, _OP_S, _OP_SDAG, _OP_X, _OP_Y, _OP_Z = range(7)
+_OP_CNOT, _OP_SWAP, _OP_MEASURE = 7, 8, 9
+_OP_NOISE_BF, _OP_NOISE_PF, _OP_NOISE_DEPOL = 10, 11, 12
+
+_GATE_OPCODES = {"I": _OP_I, "H": _OP_H, "S": _OP_S, "S_DAG": _OP_SDAG,
+                 "X": _OP_X, "Y": _OP_Y, "Z": _OP_Z, "CNOT": _OP_CNOT,
+                 "SWAP": _OP_SWAP}
+_NOISE_OPCODES = {"BitFlipNoise": _OP_NOISE_BF,
+                  "PhaseFlipNoise": _OP_NOISE_PF,
+                  "DepolarizingNoise": _OP_NOISE_DEPOL}
+
+
+def _build_branches(n: int):
+    """lax.switch branches: ``(tab, a, b, u, p) -> (tab, out)`` with
+    dynamic qubit indices (jnp.take / .at scatter on traced columns)."""
+
+    def _i(tab, a, b, u, p):
+        return tab, jnp.int32(0)
+
+    def _h(tab, a, b, u, p):
+        x, z, r = tab
+        xq, zq = jnp.take(x, a, axis=1), jnp.take(z, a, axis=1)
+        return Tableau(x.at[:, a].set(zq), z.at[:, a].set(xq),
+                       r ^ (xq & zq)), jnp.int32(0)
+
+    def _s(tab, a, b, u, p):
+        x, z, r = tab
+        xq, zq = jnp.take(x, a, axis=1), jnp.take(z, a, axis=1)
+        return Tableau(x, z.at[:, a].set(zq ^ xq),
+                       r ^ (xq & zq)), jnp.int32(0)
+
+    def _sdag(tab, a, b, u, p):
+        x, z, r = tab
+        xq, zq = jnp.take(x, a, axis=1), jnp.take(z, a, axis=1)
+        return Tableau(x, z.at[:, a].set(zq ^ xq),
+                       r ^ (xq & zq) ^ xq), jnp.int32(0)
+
+    def _px(tab, a, b, u, p):
+        x, z, r = tab
+        return Tableau(x, z, r ^ jnp.take(z, a, axis=1)), jnp.int32(0)
+
+    def _py(tab, a, b, u, p):
+        x, z, r = tab
+        return Tableau(x, z, r ^ jnp.take(x, a, axis=1)
+                       ^ jnp.take(z, a, axis=1)), jnp.int32(0)
+
+    def _pz(tab, a, b, u, p):
+        x, z, r = tab
+        return Tableau(x, z, r ^ jnp.take(x, a, axis=1)), jnp.int32(0)
+
+    def _cnot(tab, a, b, u, p):
+        x, z, r = tab
+        xc, zc = jnp.take(x, a, axis=1), jnp.take(z, a, axis=1)
+        xt, zt = jnp.take(x, b, axis=1), jnp.take(z, b, axis=1)
+        r = r ^ (xc & zt & (xt ^ zc ^ 1))
+        return Tableau(x.at[:, b].set(xt ^ xc),
+                       z.at[:, a].set(zc ^ zt), r), jnp.int32(0)
+
+    def _swap(tab, a, b, u, p):
+        x, z, r = tab
+        xa, xb = jnp.take(x, a, axis=1), jnp.take(x, b, axis=1)
+        za, zb = jnp.take(z, a, axis=1), jnp.take(z, b, axis=1)
+        x = x.at[:, a].set(xb).at[:, b].set(xa)
+        z = z.at[:, a].set(zb).at[:, b].set(za)
+        return Tableau(x, z, r), jnp.int32(0)
+
+    def _meas(tab, a, b, u, p):
+        tab, out = _measure_z(tab, a, (u < 0.5).astype(jnp.int32))
+        return tab, out
+
+    def _pauli(tab, a, x_bit, z_bit):
+        x, z, r = tab
+        sign = (x_bit & jnp.take(z, a, axis=1)) \
+            ^ (z_bit & jnp.take(x, a, axis=1))
+        return Tableau(x, z, r ^ sign), jnp.int32(0)
+
+    def _nbf(tab, a, b, u, p):
+        return _pauli(tab, a, (u < p).astype(jnp.int32), jnp.int32(0))
+
+    def _npf(tab, a, b, u, p):
+        return _pauli(tab, a, jnp.int32(0), (u < p).astype(jnp.int32))
+
+    def _ndepol(tab, a, b, u, p):
+        xb = (u < 2 * p / 3).astype(jnp.int32)
+        zb = ((u >= p / 3) & (u < p)).astype(jnp.int32)
+        return _pauli(tab, a, xb, zb)
+
+    return [_i, _h, _s, _sdag, _px, _py, _pz, _cnot, _swap, _meas,
+            _nbf, _npf, _ndepol]
+
+
+def _lower(circuit: QuantumCircuit, noise_model=None,
+           collapse_measures: bool = False):
+    """Circuit (+ optional Pauli noise) -> static schedule arrays
+    (codes, qa, qb, pp) and the (column, qubit) site per Measure.
+    CZ lowers to H CNOT H."""
     if not is_clifford_circuit(circuit):
         raise ValueError(
             "circuit contains non-Clifford gates; use Simulator instead")
     registry = GateRegistry.instance()
-    n = circuit.num_qubits
-    ops = []
+    codes: list[int] = []
+    qa: list[int] = []
+    qb: list[int] = []
+    pp: list[float] = []
+    sites: list[tuple[int, int]] = []
+
+    def emit(code, a, b=0, p=0.0):
+        codes.append(code)
+        qa.append(a)
+        qb.append(b)
+        pp.append(p)
+
     for column in circuit.get_ordered_gates():
         for g in column:
             gdef = registry.get(g.gate_name)
-            if gdef.gate_type in (GateType.MEASUREMENT, GateType.BARRIER):
+            if gdef.gate_type == GateType.BARRIER:
                 continue
-            ops.append((g.gate_name, list(g.target_qubits)))
+            if gdef.gate_type == GateType.MEASUREMENT:
+                if collapse_measures:
+                    emit(_OP_MEASURE, g.target_qubits[0])
+                    sites.append((g.column, g.target_qubits[0]))
+                continue
+            if g.gate_name == "CZ":
+                c, t = g.target_qubits
+                emit(_OP_H, t)
+                emit(_OP_CNOT, c, t)
+                emit(_OP_H, t)
+            else:
+                ts = list(g.target_qubits)
+                emit(_GATE_OPCODES[g.gate_name], ts[0],
+                     ts[1] if len(ts) > 1 else 0)
+            if noise_model is not None:
+                for ch in noise_model.channels_for_gate(g.gate_name):
+                    kind = type(ch).__name__
+                    if kind not in _NOISE_OPCODES:
+                        raise ValueError(
+                            f"{kind} is not a Pauli channel; the Clifford "
+                            "engine supports bit_flip/phase_flip/"
+                            "depolarizing")
+                    for q in g.target_qubits:
+                        emit(_NOISE_OPCODES[kind], q, 0, ch.probability)
+
+    return (np.asarray(codes, np.int32), np.asarray(qa, np.int32),
+            np.asarray(qb, np.int32), np.asarray(pp, np.float32), sites)
+
+
+def _scan_evolve_fn(n: int, codes, qa, qb, pp, n_outcomes: int):
+    """jitted ``(key) -> (Tableau, outcomes[M])`` over the static
+    schedule arrays. ``outcomes`` are the per-Measure results in
+    schedule order (empty when the schedule has no measurements)."""
+    branches = _build_branches(n)
+    L = len(codes)
+    measure_idx = np.nonzero(codes == _OP_MEASURE)[0]
 
     @jax.jit
+    def evolve(key):
+        if L == 0:
+            return identity_tableau(n), jnp.zeros(0, jnp.int32)
+        u = jax.random.uniform(key, (L,))
+
+        def body(tab, xs):
+            code, a, b, uu, p = xs
+            tab, out = jax.lax.switch(code, branches, tab, a, b, uu, p)
+            return tab, out
+
+        tab, outs = jax.lax.scan(
+            body, identity_tableau(n),
+            (jnp.asarray(codes), jnp.asarray(qa), jnp.asarray(qb), u,
+             jnp.asarray(pp)))
+        outcomes = (outs[jnp.asarray(measure_idx)] if len(measure_idx)
+                    else jnp.zeros(0, jnp.int32))
+        return tab, outcomes
+
+    return evolve
+
+
+def compile_clifford(circuit: QuantumCircuit):
+    """Circuit -> jitted ``() -> Tableau`` (MEASUREMENT/BARRIER skipped,
+    reference simulator semantics; schedule-as-data scan engine)."""
+    codes, qa, qb, pp, _ = _lower(circuit)
+    fn = _scan_evolve_fn(circuit.num_qubits, codes, qa, qb, pp, 0)
+
     def evolve():
-        tab = identity_tableau(n)
-        for name, qubits in ops:
-            tab = _apply_gate(tab, name, qubits)
+        tab, _ = fn(jax.random.PRNGKey(0))
         return tab
 
     return evolve
 
 
-_PAULI_CHANNELS = {"BitFlipNoise", "PhaseFlipNoise", "DepolarizingNoise"}
+def compile_clifford_monitored(circuit: QuantumCircuit):
+    """Circuit -> jitted ``(key) -> (Tableau, outcomes[M])`` where every
+    MEASUREMENT gate COLLAPSES its qubit at its column position (instead
+    of the reference's skip-and-sample-at-the-end semantics, which
+    ``compile_clifford`` keeps).  ``outcomes[i]`` is the i-th Measure
+    gate's result in column order; also returns the measured-site list
+    via the companion ``monitored_sites``.
+
+    This is the monitored-circuit primitive: unitaries + mid-circuit
+    measurements + tableau entropy = measurement-induced entanglement
+    physics at widths no amplitude engine reaches. Trajectories vmap
+    over keys."""
+    codes, qa, qb, pp, sites = _lower(circuit, collapse_measures=True)
+    fn = _scan_evolve_fn(circuit.num_qubits, codes, qa, qb, pp,
+                         len(sites))
+    return fn, sites
+
+
+_PAULI_CHANNELS = frozenset(_NOISE_OPCODES)
 
 
 def compile_clifford_noisy(circuit: QuantumCircuit, noise_model):
@@ -270,55 +457,11 @@ def compile_clifford_noisy(circuit: QuantumCircuit, noise_model):
     Channels fire after every gate on that gate's target qubits, the
     reference semantics.  AmplitudeDamping is not a Pauli channel and is
     rejected (use the statevector engine at amplitude widths)."""
-    if not is_clifford_circuit(circuit):
-        raise ValueError(
-            "circuit contains non-Clifford gates; use Simulator instead")
-    registry = GateRegistry.instance()
-    n = circuit.num_qubits
+    codes, qa, qb, pp, _ = _lower(circuit, noise_model=noise_model)
+    fn = _scan_evolve_fn(circuit.num_qubits, codes, qa, qb, pp, 0)
 
-    schedule: list[tuple] = []   # ("gate", name, qubits) | ("pauli", q, kind, p)
-    n_events = 0
-    for column in circuit.get_ordered_gates():
-        for g in column:
-            gdef = registry.get(g.gate_name)
-            if gdef.gate_type in (GateType.MEASUREMENT, GateType.BARRIER):
-                continue
-            schedule.append(("gate", g.gate_name, list(g.target_qubits)))
-            for ch in noise_model.channels_for_gate(g.gate_name):
-                kind = type(ch).__name__
-                if kind not in _PAULI_CHANNELS:
-                    raise ValueError(
-                        f"{kind} is not a Pauli channel; the Clifford "
-                        "engine supports bit_flip/phase_flip/depolarizing")
-                for q in g.target_qubits:
-                    schedule.append(("pauli", q, kind, ch.probability))
-                    n_events += 1
-
-    @jax.jit
     def evolve(key):
-        u = jax.random.uniform(key, (max(1, n_events),))
-        tab = identity_tableau(n)
-        ei = 0
-        for item in schedule:
-            if item[0] == "gate":
-                tab = _apply_gate(tab, item[1], item[2])
-                continue
-            _, q, kind, p = item
-            r_draw = u[ei]
-            ei += 1
-            if kind == "BitFlipNoise":
-                a = (r_draw < p)
-                b = jnp.zeros((), bool)
-            elif kind == "PhaseFlipNoise":
-                a = jnp.zeros((), bool)
-                b = (r_draw < p)
-            else:  # depolarizing: X | Y | Z at p/3 each
-                a = r_draw < 2 * p / 3
-                b = (r_draw >= p / 3) & (r_draw < p)
-            x, z, r = tab
-            sign = (a.astype(jnp.int32) & z[:, q]) \
-                ^ (b.astype(jnp.int32) & x[:, q])
-            tab = Tableau(x, z, r ^ sign)
+        tab, _ = fn(key)
         return tab
 
     return evolve
@@ -362,6 +505,32 @@ class CliffordSimulator:
             counts = {"".join("1" if b else "0" for b in row): int(c)
                       for row, c in zip(uniq, cnts)}
         return counts, tab
+
+    def monitored_trajectories(self, circuit: QuantumCircuit,
+                               n_trajectories: int = 16,
+                               seed: int | None = None):
+        """Run T independent monitored trajectories (Measure gates
+        collapse mid-circuit, ``compile_clifford_monitored``).
+
+        -> (outcomes[T, M] int array in Measure column order,
+            sites [(column, qubit)] * M,
+            tableaus: list of T final ``Tableau``s — feed each to
+            ``entanglement_entropy`` / ``stabilizers``)."""
+        key = ("monitored", circuit.structure_hash())
+        entry = self._compiled.get(key)
+        if entry is None:
+            evolve, sites = compile_clifford_monitored(circuit)
+            entry = (jax.jit(jax.vmap(evolve)), sites)
+            self._compiled[key] = entry
+        fn, sites = entry
+        rng = np.random.default_rng(seed)
+        keys = jax.random.split(
+            jax.random.PRNGKey(int(rng.integers(0, 2 ** 63))),
+            n_trajectories)
+        tabs, outs = fn(keys)
+        tableaus = [Tableau(tabs.x[t], tabs.z[t], tabs.r[t])
+                    for t in range(n_trajectories)]
+        return np.asarray(outs), list(sites), tableaus
 
     def run_with_noise(self, circuit: QuantumCircuit, noise_model,
                        shots: int = 1000, seed: int | None = None):

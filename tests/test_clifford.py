@@ -249,3 +249,80 @@ class TestEntanglementEntropy:
         with pytest.raises(ValueError):
             CliffordSimulator.entanglement_entropy(tab, [5])
         assert CliffordSimulator.entanglement_entropy(tab, []) == 0.0
+
+
+class TestMonitoredCircuits:
+    def test_ghz_mid_measure_collapses_partners(self):
+        """Measure(0) after GHZ prep: the collapsed value must equal the
+        final sampled values of every partner qubit."""
+        c = ghz(3)
+        c.add_gate(GateInstance("Measure", [0], [], column=10))
+        sim = CliffordSimulator()
+        outs, sites, tabs = sim.monitored_trajectories(c, 32, seed=4)
+        assert sites == [(10, 0)]
+        for t in range(32):
+            # after collapse, Z_q is deterministic and matches outcome
+            for q in range(3):
+                v = CliffordSimulator.expectation_z_string(tabs[t], [q])
+                assert v == (1.0 if outs[t, 0] == 0 else -1.0)
+
+    def test_repeated_measure_is_stable(self):
+        c = ghz(2)
+        c.add_gate(GateInstance("Measure", [1], [], column=5))
+        c.add_gate(GateInstance("Measure", [1], [], column=6))
+        outs, _, _ = CliffordSimulator().monitored_trajectories(c, 24,
+                                                                seed=6)
+        np.testing.assert_array_equal(outs[:, 0], outs[:, 1])
+
+    def test_measure_then_entangle_keeps_later_unitaries(self):
+        """Collapse then re-entangle: H(0),CNOT(0,1),Measure(0),X(0) —
+        Z(0) must now be the flipped outcome."""
+        c = QuantumCircuit(2)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        c.add_gate(GateInstance("CNOT", [0, 1], [], column=1))
+        c.add_gate(GateInstance("Measure", [0], [], column=2))
+        c.add_gate(GateInstance("X", [0], [], column=3))
+        outs, _, tabs = CliffordSimulator().monitored_trajectories(c, 16,
+                                                                   seed=8)
+        for t in range(16):
+            z0 = CliffordSimulator.expectation_z_string(tabs[t], [0])
+            assert z0 == (-1.0 if outs[t, 0] == 0 else 1.0)
+
+    def test_measurement_induced_entropy_suppression(self):
+        """Monitored brickwork: heavy measurement keeps the half-cut
+        entropy near zero; rare measurement lets it grow — the
+        measurement-induced transition's two phases."""
+        rng = np.random.default_rng(3)
+
+        def monitored_brickwork(n, depth, p_meas):
+            c = QuantumCircuit(n)
+            col = 0
+            for layer in range(depth):
+                for q in range(n):
+                    c.add_gate(GateInstance(
+                        str(rng.choice(["H", "S", "X"])), [q], [],
+                        column=col))
+                col += 1
+                start = layer % 2
+                for q in range(start, n - 1, 2):
+                    c.add_gate(GateInstance("CNOT", [q, q + 1], [],
+                                            column=col))
+                col += 1
+                for q in range(n):
+                    if rng.random() < p_meas:
+                        c.add_gate(GateInstance("Measure", [q], [],
+                                                column=col))
+                col += 1
+            return c
+
+        n, depth, T = 12, 12, 8
+        sim = CliffordSimulator()
+        entropies = {}
+        for p in (0.02, 0.9):
+            c = monitored_brickwork(n, depth, p)
+            _, _, tabs = sim.monitored_trajectories(c, T, seed=13)
+            s = np.mean([CliffordSimulator.entanglement_entropy(
+                tab, list(range(n // 2))) for tab in tabs])
+            entropies[p] = s
+        assert entropies[0.9] < entropies[0.02]
+        assert entropies[0.02] > 1.0
