@@ -377,7 +377,7 @@ def _lower(circuit: QuantumCircuit, noise_model=None,
             np.asarray(qb, np.int32), np.asarray(pp, np.float32), sites)
 
 
-def _scan_evolve_fn(n: int, codes, qa, qb, pp, n_outcomes: int):
+def _scan_evolve_fn(n: int, codes, qa, qb, pp):
     """jitted ``(key) -> (Tableau, outcomes[M])`` over the static
     schedule arrays. ``outcomes`` are the per-Measure results in
     schedule order (empty when the schedule has no measurements)."""
@@ -411,7 +411,7 @@ def compile_clifford(circuit: QuantumCircuit):
     """Circuit -> jitted ``() -> Tableau`` (MEASUREMENT/BARRIER skipped,
     reference simulator semantics; schedule-as-data scan engine)."""
     codes, qa, qb, pp, _ = _lower(circuit)
-    fn = _scan_evolve_fn(circuit.num_qubits, codes, qa, qb, pp, 0)
+    fn = _scan_evolve_fn(circuit.num_qubits, codes, qa, qb, pp)
 
     def evolve():
         tab, _ = fn(jax.random.PRNGKey(0))
@@ -425,16 +425,15 @@ def compile_clifford_monitored(circuit: QuantumCircuit):
     MEASUREMENT gate COLLAPSES its qubit at its column position (instead
     of the reference's skip-and-sample-at-the-end semantics, which
     ``compile_clifford`` keeps).  ``outcomes[i]`` is the i-th Measure
-    gate's result in column order; also returns the measured-site list
-    via the companion ``monitored_sites``.
+    gate's result in column order, and the measured (column, qubit)
+    sites come back as the second return value.
 
     This is the monitored-circuit primitive: unitaries + mid-circuit
     measurements + tableau entropy = measurement-induced entanglement
     physics at widths no amplitude engine reaches. Trajectories vmap
     over keys."""
     codes, qa, qb, pp, sites = _lower(circuit, collapse_measures=True)
-    fn = _scan_evolve_fn(circuit.num_qubits, codes, qa, qb, pp,
-                         len(sites))
+    fn = _scan_evolve_fn(circuit.num_qubits, codes, qa, qb, pp)
     return fn, sites
 
 
@@ -458,7 +457,7 @@ def compile_clifford_noisy(circuit: QuantumCircuit, noise_model):
     reference semantics.  AmplitudeDamping is not a Pauli channel and is
     rejected (use the statevector engine at amplitude widths)."""
     codes, qa, qb, pp, _ = _lower(circuit, noise_model=noise_model)
-    fn = _scan_evolve_fn(circuit.num_qubits, codes, qa, qb, pp, 0)
+    fn = _scan_evolve_fn(circuit.num_qubits, codes, qa, qb, pp)
 
     def evolve(key):
         tab, _ = fn(key)
