@@ -326,3 +326,46 @@ class TestMonitoredCircuits:
             entropies[p] = s
         assert entropies[0.9] < entropies[0.02]
         assert entropies[0.02] > 1.0
+
+
+class TestAncillaSyndromeExtraction:
+    """Real mid-circuit ancilla extraction on the tableau engine must
+    reproduce the QEC module's syndrome semantics (qec.BitFlipCode:
+    data 0-2, ancilla 3-4, checks Z0Z1 / Z1Z2)."""
+
+    @pytest.mark.parametrize("err", [None, 0, 1, 2])
+    @pytest.mark.parametrize("logical", [0, 1])
+    def test_syndrome_matches_decode_table(self, err, logical):
+        from quantum_simulator_tpu.qec import BitFlipCode
+        c = QuantumCircuit(5)
+        col = 0
+        if logical:
+            c.add_gate(GateInstance("X", [0], [], column=col)); col += 1
+        c.add_gate(GateInstance("CNOT", [0, 1], [], column=col)); col += 1
+        c.add_gate(GateInstance("CNOT", [0, 2], [], column=col)); col += 1
+        if err is not None:
+            c.add_gate(GateInstance("X", [err], [], column=col)); col += 1
+        # parity checks onto ancillas 3 (Z0Z1) and 4 (Z1Z2)
+        for data, anc in ((0, 3), (1, 3), (1, 4), (2, 4)):
+            c.add_gate(GateInstance("CNOT", [data, anc], [], column=col))
+            col += 1
+        c.add_gate(GateInstance("Measure", [3], [], column=col)); col += 1
+        c.add_gate(GateInstance("Measure", [4], [], column=col)); col += 1
+
+        outs, sites, tabs = CliffordSimulator().monitored_trajectories(
+            c, 4, seed=1)
+        expected = {None: [0, 0], 0: [1, 0], 1: [1, 1], 2: [0, 1]}[err]
+        for t in range(4):
+            assert list(outs[t]) == expected
+        # decode table agrees with what the extraction produced
+        corr = BitFlipCode().decode_syndrome(expected)
+        assert corr == ([] if err is None else [("X", err)])
+        # applying the correction restores the logical Z value
+        if err is not None:
+            c.add_gate(GateInstance("X", [err], [], column=col)); col += 1
+        _, _, tabs2 = CliffordSimulator().monitored_trajectories(c, 2,
+                                                                 seed=2)
+        want = 1.0 if logical == 0 else -1.0
+        for t in range(2):
+            z = CliffordSimulator.expectation_z_string(tabs2[t], [0, 1, 2])
+            assert z == want
