@@ -420,7 +420,8 @@ def compile_clifford(circuit: QuantumCircuit):
     return evolve
 
 
-def compile_clifford_monitored(circuit: QuantumCircuit):
+def compile_clifford_monitored(circuit: QuantumCircuit,
+                               feedforward=None):
     """Circuit -> jitted ``(key) -> (Tableau, outcomes[M])`` where every
     MEASUREMENT gate COLLAPSES its qubit at its column position (instead
     of the reference's skip-and-sample-at-the-end semantics, which
@@ -428,13 +429,45 @@ def compile_clifford_monitored(circuit: QuantumCircuit):
     gate's result in column order, and the measured (column, qubit)
     sites come back as the second return value.
 
+    ``feedforward``: optional [(measure_index, 'X'|'Y'|'Z', qubit)]
+    classical corrections applied AFTER the circuit, conditioned on the
+    recorded outcome.  For Clifford circuits this loses no generality:
+    a mid-circuit conditional Pauli commutes through the remaining
+    Cliffords as another conditional Pauli, so end-applied corrections
+    implement teleportation/entanglement-swapping protocols exactly.
+
     This is the monitored-circuit primitive: unitaries + mid-circuit
     measurements + tableau entropy = measurement-induced entanglement
     physics at widths no amplitude engine reaches. Trajectories vmap
     over keys."""
     codes, qa, qb, pp, sites = _lower(circuit, collapse_measures=True)
-    fn = _scan_evolve_fn(circuit.num_qubits, codes, qa, qb, pp)
-    return fn, sites
+    base = _scan_evolve_fn(circuit.num_qubits, codes, qa, qb, pp)
+    if not feedforward:
+        return base, sites
+
+    for mi, pauli, q in feedforward:
+        if not 0 <= mi < len(sites):
+            raise ValueError(f"feedforward references measurement {mi}; "
+                             f"circuit has {len(sites)}")
+        if pauli not in ("X", "Y", "Z"):
+            raise ValueError(f"not a Pauli correction: {pauli}")
+        if not 0 <= q < circuit.num_qubits:
+            raise ValueError(f"feedforward qubit {q} out of range")
+    rules = [(int(mi), pauli, int(q)) for mi, pauli, q in feedforward]
+
+    @jax.jit
+    def evolve(key):
+        tab, outcomes = base(key)
+        x, z, r = tab
+        for mi, pauli, q in rules:
+            bit = outcomes[mi]
+            if pauli in ("X", "Y"):
+                r = r ^ (bit & z[:, q])
+            if pauli in ("Z", "Y"):
+                r = r ^ (bit & x[:, q])
+        return Tableau(x, z, r), outcomes
+
+    return evolve, sites
 
 
 _PAULI_CHANNELS = frozenset(_NOISE_OPCODES)
@@ -507,7 +540,8 @@ class CliffordSimulator:
 
     def monitored_trajectories(self, circuit: QuantumCircuit,
                                n_trajectories: int = 16,
-                               seed: int | None = None):
+                               seed: int | None = None,
+                               feedforward=None):
         """Run T independent monitored trajectories (Measure gates
         collapse mid-circuit, ``compile_clifford_monitored``).
 
@@ -515,10 +549,12 @@ class CliffordSimulator:
             sites [(column, qubit)] * M,
             tableaus: list of T final ``Tableau``s — feed each to
             ``entanglement_entropy`` / ``stabilizers``)."""
-        key = ("monitored", circuit.structure_hash())
+        key = ("monitored", circuit.structure_hash(),
+               tuple(map(tuple, feedforward)) if feedforward else None)
         entry = self._compiled.get(key)
         if entry is None:
-            evolve, sites = compile_clifford_monitored(circuit)
+            evolve, sites = compile_clifford_monitored(circuit,
+                                                       feedforward)
             entry = (jax.jit(jax.vmap(evolve)), sites)
             self._compiled[key] = entry
         fn, sites = entry
@@ -622,24 +658,38 @@ class CliffordSimulator:
         return float(rank - len(A))
 
     @staticmethod
-    def expectation_z_string(tab: Tableau, qubits: list[int]) -> float:
-        """<prod_q Z_q> on the tableau state: exactly +1, -1, or 0.
+    def expectation_pauli_string(tab: Tableau,
+                                 paulis: list[tuple[int, str]]) -> float:
+        """<P> for an arbitrary Pauli string P = prod (q, 'X'|'Y'|'Z'):
+        exactly +1, -1, or 0 on a stabilizer state.
 
-        Z_mask is in the stabilizer group's span iff it commutes with
-        every destabilizer-indicated generator product; the product of
-        stabilizers paired to anticommuting destabilizers either equals
-        Z_mask (value (-1)^sign) or the expectation is 0."""
+        P commutes with the full stabilizer group iff the product of
+        stabilizers paired to P-anticommuting destabilizers reproduces
+        P's bit pattern; the accumulated sign (the same mod-4 ``g``
+        bookkeeping the measurement rowsum uses, so Y = XZ phases are
+        tracked exactly) gives the value, otherwise <P> = 0."""
         x = np.asarray(tab.x)
         z = np.asarray(tab.z)
         r = np.asarray(tab.r)
         n = x.shape[1]
-        if len(set(qubits)) != len(qubits):
-            raise ValueError("duplicate qubits in Z string")
-        mask = np.zeros(n, dtype=np.int32)
-        mask[list(qubits)] = 1
-        # Accumulate stabilizers whose destabilizer partner anticommutes
-        # with Z_mask (destabilizer i anticommutes iff sum_q x[i,q]*mask odd).
-        sel = (x[:n] @ mask) % 2                      # (n,)
+        seen = set()
+        x_mask = np.zeros(n, dtype=np.int64)
+        z_mask = np.zeros(n, dtype=np.int64)
+        for q, p in paulis:
+            if q in seen:
+                raise ValueError("duplicate qubits in Pauli string")
+            if q < 0 or q >= n:
+                raise ValueError(f"qubit {q} out of range for n={n}")
+            seen.add(q)
+            if p in ("X", "Y"):
+                x_mask[q] = 1
+            if p in ("Z", "Y"):
+                z_mask[q] = 1
+            if p not in ("X", "Y", "Z"):
+                raise ValueError(f"not a Pauli: {p}")
+        # Destabilizer i anticommutes with P iff the symplectic overlap
+        # sum_q (xP*z_i + zP*x_i) is odd.
+        sel = (z[:n] @ x_mask + x[:n] @ z_mask) % 2   # (n,)
         sx = np.zeros(n, np.int64)
         sz = np.zeros(n, np.int64)
         sr = 0
@@ -654,6 +704,15 @@ class CliffordSimulator:
                 sr = ((2 * sr + 2 * rs + int(g.sum())) % 4) // 2
                 sx ^= xs
                 sz ^= zs
-        if sx.any() or (sz != mask).any():
+        if (sx != x_mask).any() or (sz != z_mask).any():
             return 0.0
         return -1.0 if sr else 1.0
+
+    @staticmethod
+    def expectation_z_string(tab: Tableau, qubits: list[int]) -> float:
+        """<prod_q Z_q> — the Z-only case of
+        ``expectation_pauli_string``."""
+        if len(set(qubits)) != len(qubits):
+            raise ValueError("duplicate qubits in Z string")
+        return CliffordSimulator.expectation_pauli_string(
+            tab, [(q, "Z") for q in qubits])

@@ -369,3 +369,138 @@ class TestAncillaSyndromeExtraction:
         for t in range(2):
             z = CliffordSimulator.expectation_z_string(tabs2[t], [0, 1, 2])
             assert z == want
+
+
+class TestPauliExpectations:
+    def test_matches_statevector_all_two_qubit_paulis(self):
+        rng = np.random.default_rng(23)
+        paulis = "XYZ"
+        for trial in range(3):
+            n = 4
+            c = random_clifford_circuit(n, 10, rng)
+            state = Simulator().run(c, shots=0).final_state
+            _, tab = CliffordSimulator().run(c, shots=0)
+            import itertools
+            for qs in itertools.combinations(range(n), 2):
+                for ps in itertools.product(paulis, repeat=2):
+                    spec = list(zip(qs, ps))
+                    got = CliffordSimulator.expectation_pauli_string(
+                        tab, spec)
+                    # statevector reference via gate conjugation: rotate
+                    # each qubit so the Pauli becomes Z, then Z-parity.
+                    rot = c.copy()
+                    col = max((g.column for g in c.gates), default=0) + 1
+                    for q, p in spec:
+                        if p == "X":
+                            rot.add_gate(GateInstance("H", [q], [],
+                                                      column=col))
+                        elif p == "Y":
+                            rot.add_gate(GateInstance("S_DAG", [q], [],
+                                                      column=col))
+                            rot.add_gate(GateInstance("H", [q], [],
+                                                      column=col + 1))
+                    st = Simulator().run(rot, shots=0).final_state
+                    probs = st.probabilities
+                    idx = np.arange(2 ** n)
+                    par = np.zeros(2 ** n)
+                    for q, _ in spec:
+                        par += (idx >> (n - 1 - q)) & 1
+                    want = float(probs @ (1.0 - 2.0 * (par % 2)))
+                    assert got == pytest.approx(want, abs=1e-5), \
+                        (trial, spec)
+
+    def test_plus_i_state(self):
+        c = QuantumCircuit(1)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        c.add_gate(GateInstance("S", [0], [], column=1))
+        _, tab = CliffordSimulator().run(c, shots=0)
+        assert CliffordSimulator.expectation_pauli_string(
+            tab, [(0, "Y")]) == 1.0
+        assert CliffordSimulator.expectation_pauli_string(
+            tab, [(0, "X")]) == 0.0
+
+
+class TestFeedForward:
+    def _teleport_circuit(self, prep):
+        """Teleport qubit 0's state to qubit 2."""
+        c = QuantumCircuit(3)
+        col = 0
+        for name in prep:
+            c.add_gate(GateInstance(name, [0], [], column=col)); col += 1
+        c.add_gate(GateInstance("H", [1], [], column=col)); col += 1
+        c.add_gate(GateInstance("CNOT", [1, 2], [], column=col)); col += 1
+        c.add_gate(GateInstance("CNOT", [0, 1], [], column=col)); col += 1
+        c.add_gate(GateInstance("H", [0], [], column=col)); col += 1
+        c.add_gate(GateInstance("Measure", [0], [], column=col)); col += 1
+        c.add_gate(GateInstance("Measure", [1], [], column=col)); col += 1
+        return c
+
+    FF = [(1, "X", 2), (0, "Z", 2)]
+
+    @pytest.mark.parametrize("prep,pauli,want", [
+        ([], "Z", 1.0),                 # |0> -> Z=+1
+        (["X"], "Z", -1.0),             # |1> -> Z=-1
+        (["H"], "X", 1.0),              # |+> -> X=+1
+        (["H", "S"], "Y", 1.0),         # |+i> -> Y=+1
+    ])
+    def test_teleportation_every_basis(self, prep, pauli, want):
+        sim = CliffordSimulator()
+        c = self._teleport_circuit(prep)
+        _, _, tabs = sim.monitored_trajectories(
+            c, 16, seed=3, feedforward=self.FF)
+        for tab in tabs:
+            assert CliffordSimulator.expectation_pauli_string(
+                tab, [(2, pauli)]) == want
+
+    def test_without_feedforward_teleportation_fails(self):
+        sim = CliffordSimulator()
+        c = self._teleport_circuit(["X"])
+        _, outs, = None, None
+        outcomes, _, tabs = sim.monitored_trajectories(c, 32, seed=4)
+        vals = {CliffordSimulator.expectation_pauli_string(t, [(2, "Z")])
+                for t in tabs}
+        assert vals == {1.0, -1.0}  # outcome-dependent without correction
+
+    def test_entanglement_swapping_chain(self):
+        """Repeater chain: Bell pairs (0,1),(2,3),...,(2k,2k+1); Bell
+        measurements on middle pairs (1,2),(3,4),... teleport the
+        entanglement outward; with feedforward the ends form a perfect
+        Bell pair: <X_0 X_end> = <Z_0 Z_end> = +1."""
+        n = 10  # 5 Bell pairs, 4 swap stations
+        c = QuantumCircuit(n)
+        col = 0
+        for a in range(0, n, 2):
+            c.add_gate(GateInstance("H", [a], [], column=col))
+            c.add_gate(GateInstance("CNOT", [a, a + 1], [], column=col + 1))
+        col += 2
+        ff = []
+        mi = 0
+        end = n - 1
+        for a in range(1, n - 1, 2):   # Bell measure (a, a+1)
+            c.add_gate(GateInstance("CNOT", [a, a + 1], [], column=col))
+            col += 1
+            c.add_gate(GateInstance("H", [a], [], column=col))
+            col += 1
+            c.add_gate(GateInstance("Measure", [a], [], column=col))
+            c.add_gate(GateInstance("Measure", [a + 1], [], column=col))
+            col += 1
+            ff.append((mi, "Z", end))      # H-side outcome -> Z
+            ff.append((mi + 1, "X", end))  # target-side outcome -> X
+            mi += 2
+        sim = CliffordSimulator()
+        _, _, tabs = sim.monitored_trajectories(c, 12, seed=9,
+                                                feedforward=ff)
+        for tab in tabs:
+            assert CliffordSimulator.expectation_pauli_string(
+                tab, [(0, "X"), (end, "X")]) == 1.0
+            assert CliffordSimulator.expectation_pauli_string(
+                tab, [(0, "Z"), (end, "Z")]) == 1.0
+
+    def test_bad_feedforward_rejected(self):
+        from quantum_simulator_tpu.clifford import (
+            compile_clifford_monitored)
+        c = self._teleport_circuit([])
+        with pytest.raises(ValueError):
+            compile_clifford_monitored(c, [(5, "X", 2)])
+        with pytest.raises(ValueError):
+            compile_clifford_monitored(c, [(0, "T", 2)])
