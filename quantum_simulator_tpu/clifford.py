@@ -77,62 +77,27 @@ def identity_tableau(n: int) -> Tableau:
                    jnp.zeros(2 * n, jnp.int32))
 
 
-# --- gate updates (column ops over all 2n rows; trace-time dispatch) -------
+# --- gate updates -----------------------------------------------------------
+# The single source of tableau gate algebra is ``_build_branches`` (the
+# lax.switch bodies of the scan executor); ``_apply_gate`` is a thin
+# trace-time wrapper over the same branch functions so the algebra can
+# never drift between the unit-testable API and the compiled path.
 
 def _apply_gate(tab: Tableau, name: str, qubits: list[int]) -> Tableau:
-    x, z, r = tab
-    if name == "I" or name == "Barrier" or name == "Measure":
+    if name in ("I", "Barrier", "Measure"):
         return tab
-    if name == "H":
-        q = qubits[0]
-        xq, zq = x[:, q], z[:, q]
-        r = r ^ (xq & zq)
-        x = x.at[:, q].set(zq)
-        z = z.at[:, q].set(xq)
-    elif name == "S":
-        q = qubits[0]
-        xq, zq = x[:, q], z[:, q]
-        r = r ^ (xq & zq)
-        z = z.at[:, q].set(zq ^ xq)
-    elif name == "S_DAG":
-        # Inverse of S's update: r ^= x & z' ^ x with z' = z ^ x.
-        q = qubits[0]
-        xq, zq = x[:, q], z[:, q]
-        r = r ^ (xq & zq) ^ xq
-        z = z.at[:, q].set(zq ^ xq)
-    elif name == "X":
-        q = qubits[0]
-        r = r ^ z[:, q]
-    elif name == "Z":
-        q = qubits[0]
-        r = r ^ x[:, q]
-    elif name == "Y":
-        q = qubits[0]
-        r = r ^ x[:, q] ^ z[:, q]
-    elif name == "CNOT":
+    if name == "CZ":
         c, t = qubits
-        xc, zc = x[:, c], z[:, c]
-        xt, zt = x[:, t], z[:, t]
-        r = r ^ (xc & zt & (xt ^ zc ^ 1))
-        x = x.at[:, t].set(xt ^ xc)
-        z = z.at[:, c].set(zc ^ zt)
-    elif name == "CZ":
-        # CZ = H(t) CNOT(c,t) H(t)
-        c, t = qubits
-        tab = _apply_gate(Tableau(x, z, r), "H", [t])
+        tab = _apply_gate(tab, "H", [t])
         tab = _apply_gate(tab, "CNOT", [c, t])
         return _apply_gate(tab, "H", [t])
-    elif name == "SWAP":
-        a, b = qubits
-        xa, xb = x[:, a], x[:, b]
-        za, zb = z[:, a], z[:, b]
-        x = x.at[:, a].set(xb)
-        x = x.at[:, b].set(xa)
-        z = z.at[:, a].set(zb)
-        z = z.at[:, b].set(za)
-    else:
+    if name not in _GATE_OPCODES:
         raise ValueError(f"not a Clifford gate: {name}")
-    return Tableau(x, z, r)
+    branch = _branches()[_GATE_OPCODES[name]]
+    a = qubits[0]
+    b = qubits[1] if len(qubits) > 1 else 0
+    tab, _ = branch(tab, a, b, jnp.float32(0.0), jnp.float32(0.0))
+    return tab
 
 
 # --- measurement ------------------------------------------------------------
@@ -243,9 +208,11 @@ _NOISE_OPCODES = {"BitFlipNoise": _OP_NOISE_BF,
                   "DepolarizingNoise": _OP_NOISE_DEPOL}
 
 
-def _build_branches(n: int):
+def _build_branches():
     """lax.switch branches: ``(tab, a, b, u, p) -> (tab, out)`` with
-    dynamic qubit indices (jnp.take / .at scatter on traced columns)."""
+    dynamic qubit indices (jnp.take / .at scatter on traced columns).
+    This is THE tableau gate algebra — ``_apply_gate`` wraps the same
+    functions with static indices."""
 
     def _i(tab, a, b, u, p):
         return tab, jnp.int32(0)
@@ -322,6 +289,15 @@ def _build_branches(n: int):
             _nbf, _npf, _ndepol]
 
 
+_BRANCH_CACHE: list = []
+
+
+def _branches():
+    if not _BRANCH_CACHE:
+        _BRANCH_CACHE.append(_build_branches())
+    return _BRANCH_CACHE[0]
+
+
 def _lower(circuit: QuantumCircuit, noise_model=None,
            collapse_measures: bool = False):
     """Circuit (+ optional Pauli noise) -> static schedule arrays
@@ -342,6 +318,12 @@ def _lower(circuit: QuantumCircuit, noise_model=None,
         qa.append(a)
         qb.append(b)
         pp.append(p)
+
+    # Honor per-qubit initial states (|1> preps lower to X ops, noise-free
+    # — the amplitude engines do the same via program.initial_index).
+    for q, bit in enumerate(circuit.initial_states):
+        if bit:
+            emit(_OP_X, q)
 
     for column in circuit.get_ordered_gates():
         for g in column:
@@ -381,7 +363,7 @@ def _scan_evolve_fn(n: int, codes, qa, qb, pp):
     """jitted ``(key) -> (Tableau, outcomes[M])`` over the static
     schedule arrays. ``outcomes`` are the per-Measure results in
     schedule order (empty when the schedule has no measurements)."""
-    branches = _build_branches(n)
+    branches = _branches()
     L = len(codes)
     measure_idx = np.nonzero(codes == _OP_MEASURE)[0]
 
@@ -527,7 +509,8 @@ class CliffordSimulator:
         tab, sampler = self._final_tableau(circuit)
         counts: dict[str, int] = {}
         if shots > 0:
-            key = jax.random.PRNGKey(0 if seed is None else seed)
+            key = jax.random.PRNGKey(
+                int(np.random.default_rng(seed).integers(0, 2 ** 63)))
             rand = jax.random.bernoulli(
                 key, 0.5, (shots, n)).astype(jnp.int32)
             bits = np.asarray(sampler(tab, rand))    # (S, n), qubit 0 first

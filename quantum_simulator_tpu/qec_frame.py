@@ -325,15 +325,21 @@ def build_memory_fn(spec: FrameSpec, noise_type: str, n_rounds: int,
                              precision=_HI)
         return overlap.astype(jnp.int32) & 1
 
-    def _decode_and_correct(rx, rz, key):
+    def _decode_and_correct(rx, rz, meas_keys):
+        """meas_keys: per-trial keys (T, key_dim) for readout flips."""
         syn_c = _syndrome(rx, comp)
         syn_h = _syndrome(rz, h)
         if q > 0.0:
-            kc, kh = jax.random.split(key)
-            syn_c = syn_c ^ (jax.random.uniform(kc, syn_c.shape) < q
-                             ).astype(jnp.int32)
-            syn_h = syn_h ^ (jax.random.uniform(kh, syn_h.shape) < q
-                             ).astype(jnp.int32)
+            def flips(k, shape_cols):
+                return (jax.random.uniform(k, (shape_cols,)) < q
+                        ).astype(jnp.int32)
+
+            if nc:
+                kc = jax.vmap(lambda k: jax.random.fold_in(k, 0))(meas_keys)
+                syn_c = syn_c ^ jax.vmap(flips, (0, None))(kc, nc)
+            if nh:
+                kh = jax.vmap(lambda k: jax.random.fold_in(k, 1))(meas_keys)
+                syn_h = syn_h ^ jax.vmap(flips, (0, None))(kh, nh)
         cx, cz = decode(syn_c, syn_h)
         return rx ^ cx, rz ^ cz
 
@@ -352,9 +358,9 @@ def build_memory_fn(spec: FrameSpec, noise_type: str, n_rounds: int,
             ex, ez = _draw_error_bits(r_uniform, p, noise_type)
             rx = rx ^ ex
             rz = rz ^ ez
-            meas_key = jax.random.fold_in(
-                jax.random.fold_in(keys[0], r), 2)
-            rx, rz = _decode_and_correct(rx, rz, meas_key)
+            meas_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, 2))(round_keys)
+            rx, rz = _decode_and_correct(rx, rz, meas_keys)
             return (rx, rz), None
 
         (rx, rz), _ = jax.lax.scan(

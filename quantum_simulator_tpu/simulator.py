@@ -429,6 +429,7 @@ class Simulator:
                           ) -> jnp.ndarray:
         """(T, 2^n) final states of T stochastic trajectories — the batched
         primitive under run_with_noise / ensemble / sweeps / QEC trials."""
+        _check_amplitude_cap(circuit)
         self._reject_huge(circuit, "trajectory_states")
         if rng is None:
             rng = np.random.default_rng(seed)
@@ -458,6 +459,7 @@ class Simulator:
         the standard Monte-Carlo-trajectory estimator of the same noisy
         distribution. Pass ``trajectories=shots`` for exact reference
         semantics (one draw per trajectory)."""
+        _check_amplitude_cap(circuit)
         if self._noise_model is None:
             return self.run(circuit, shots, seed=seed, rng=rng)
         if rng is None:

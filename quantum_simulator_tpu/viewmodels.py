@@ -622,7 +622,8 @@ class ResourceMonitorModel:
              "note": "2^2n scaling"},
             {"simulator": "This (Clifford tableau engine)",
              "method": "Stabilizer Tableau", "max_qubits": 4096,
-             "memory_bytes": 2 * 4096 * 4096 * 4,
+             # x and z bit planes (2n x n int32 each) + sign column
+             "memory_bytes": 2 * (2 * 4096) * 4096 * 4 + 2 * 4096 * 4,
              "note": "O(n^2) bits — Clifford circuits only "
                      "(clifford.CliffordSimulator)"},
         ]

@@ -504,3 +504,55 @@ class TestFeedForward:
             compile_clifford_monitored(c, [(5, "X", 2)])
         with pytest.raises(ValueError):
             compile_clifford_monitored(c, [(0, "T", 2)])
+
+
+class TestReviewFixes:
+    def test_initial_states_honored(self):
+        c = QuantumCircuit(2, initial_states=[1, 0])
+        counts, tab = CliffordSimulator().run(c, shots=50, seed=1)
+        assert counts == {"10": 50}
+        sv = Simulator().run(c, shots=50, seed=1).measurement_counts
+        assert sv == counts
+        # and through the noisy/monitored paths too
+        from quantum_simulator_tpu.noise import NoiseModel, BitFlipNoise
+        nm = NoiseModel()
+        nm.add_global_noise(BitFlipNoise(0.0))
+        c2 = QuantumCircuit(2, initial_states=[1, 1])
+        c2.add_gate(GateInstance("I", [0], [], column=0))
+        assert CliffordSimulator().run_with_noise(
+            c2, nm, shots=20, seed=2) == {"11": 20}
+
+    def test_unseeded_runs_vary(self):
+        sim = CliffordSimulator()
+        a, _ = sim.run(ghz(5), shots=400)
+        b, _ = sim.run(ghz(5), shots=400)
+        assert a != b  # astronomically unlikely to tie if truly random
+
+    def test_run_with_noise_amplitude_cap(self):
+        from quantum_simulator_tpu.noise import NoiseModel, BitFlipNoise
+        nm = NoiseModel()
+        nm.add_global_noise(BitFlipNoise(0.1))
+        wide = ghz(40)
+        with pytest.raises(ValueError, match="amplitude"):
+            Simulator(noise_model=nm).run_with_noise(wide, shots=4)
+        with pytest.raises(ValueError, match="amplitude"):
+            Simulator(noise_model=nm).trajectory_states(wide, 2)
+
+    def test_apply_gate_and_scan_engine_share_algebra(self):
+        """_apply_gate wraps the same branch functions the compiled
+        path switches over — spot-check equality on a composite."""
+        from quantum_simulator_tpu.clifford import (_apply_gate,
+                                                    identity_tableau)
+        tab = identity_tableau(3)
+        for name, qs in (("H", [0]), ("S", [1]), ("CNOT", [0, 2]),
+                         ("CZ", [1, 2]), ("SWAP", [0, 1]), ("Y", [2])):
+            tab = _apply_gate(tab, name, qs)
+        c = QuantumCircuit(3)
+        for col, (name, qs) in enumerate((("H", [0]), ("S", [1]),
+                                          ("CNOT", [0, 2]), ("CZ", [1, 2]),
+                                          ("SWAP", [0, 1]), ("Y", [2]))):
+            c.add_gate(GateInstance(name, qs, [], column=col))
+        _, tab2 = CliffordSimulator().run(c, shots=0)
+        np.testing.assert_array_equal(np.asarray(tab.x), np.asarray(tab2.x))
+        np.testing.assert_array_equal(np.asarray(tab.z), np.asarray(tab2.z))
+        np.testing.assert_array_equal(np.asarray(tab.r), np.asarray(tab2.r))
