@@ -114,6 +114,31 @@ def main():
         _, costs = step.run(8)
         print(f"sharded VQE <Z0>: {costs[0]:.4f} -> {costs[-1]:.4f}")
 
+    # --- 9. Beyond amplitudes: the bit-algebra engines ---------------------
+    # Clifford circuits at hundreds of qubits (stabilizer tableau):
+    from quantum_simulator_tpu import CliffordSimulator, GateInstance
+
+    wide = QuantumCircuit(128)
+    wide.add_gate(GateInstance("H", [0], [], column=0))
+    for i in range(127):
+        wide.add_gate(GateInstance("CNOT", [i, i + 1], [], column=i + 1))
+    counts, tab = CliffordSimulator().run(wide, shots=100, seed=0)
+    print("GHZ-128 support:", sorted(k[:4] + "..." for k in counts),
+          "| half-cut entropy:",
+          CliffordSimulator.entanglement_entropy(tab, list(range(64))),
+          "bit")
+
+    # QEC threshold sweeps with no 2^n state (Pauli-frame engine):
+    from quantum_simulator_tpu.qec_frame import (
+        FrameQECSimulator, repetition_frame_spec)
+
+    res = FrameQECSimulator.ml_memory_experiment(
+        distance=9, noise_prob=0.03, n_rounds=10, n_trials=2048,
+        meas_error_prob=0.03, seed=1)
+    print(f"d=9 memory, 10 rounds, p=q=0.03: exact-ML logical failure "
+          f"{res['ml_failure_probability']:.4f} vs single-shot "
+          f"{res['final_syndrome_failure_probability']:.4f}")
+
 
 if __name__ == "__main__":
     main()
