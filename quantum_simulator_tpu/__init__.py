@@ -23,6 +23,7 @@ from .noise import (
 )
 from .registry import GateRegistry
 from .clifford import CliffordSimulator
+from .mps import MPSSimulator, MPSState
 from .density import DensityMatrixResult, DensityMatrixSimulator
 from .simulator import SimulationResult, Simulator
 from .state import StateVector
@@ -41,6 +42,8 @@ __all__ = [
     "GateType",
     "MeasurementBasis",
     "MeasurementEngine",
+    "MPSSimulator",
+    "MPSState",
     "NoiseChannel",
     "NoiseModel",
     "BitFlipNoise",

@@ -1,0 +1,189 @@
+"""MPS engine validation: exactness vs the statevector engine when the
+bond dimension covers the cut rank, honest truncation accounting when it
+does not, and 100-qubit behavior no amplitude engine can check."""
+
+import numpy as np
+import pytest
+
+from quantum_simulator_tpu.circuit import GateInstance, QuantumCircuit
+from quantum_simulator_tpu import mps
+from quantum_simulator_tpu.simulator import Simulator
+
+ATOL = 2e-5
+
+
+def _g(name, targets, params=None, col=0):
+    return GateInstance(name, list(targets), list(params or []), col)
+
+
+def _random_circuit(n, depth, rng, twoq_any_pair=False):
+    c = QuantumCircuit(num_qubits=n)
+    oneq = ["H", "T", "S", "X", "Y", "Z", "S_DAG", "T_DAG"]
+    col = 0
+    for _ in range(depth):
+        for q in range(n):
+            kind = rng.integers(0, 3)
+            if kind == 0:
+                c.add_gate(_g(str(rng.choice(oneq)), [q], col=col))
+            elif kind == 1:
+                c.add_gate(_g(str(rng.choice(["Rx", "Ry", "Rz"])), [q],
+                              [float(rng.uniform(0, 2 * np.pi))], col=col))
+        col += 1
+        pairs = rng.permutation(n)
+        for i in range(0, n - 1, 2):
+            a, b = int(pairs[i]), int(pairs[i + 1])
+            if not twoq_any_pair:
+                a, b = min(a, b), min(a, b) + 1
+                if b >= n:
+                    continue
+            c.add_gate(_g(str(rng.choice(["CNOT", "CZ", "SWAP"])),
+                          [a, b], col=col))
+            col += 1
+    return c
+
+
+def _statevector(circuit):
+    return Simulator().run(circuit, shots=0).final_state.data
+
+
+class TestExactness:
+    def test_bell_counts_and_truncation(self):
+        c = QuantumCircuit(num_qubits=2)
+        c.add_gate(_g("H", [0], col=0))
+        c.add_gate(_g("CNOT", [0, 1], col=1))
+        counts, state = mps.MPSSimulator(chi=4).run(c, shots=2000, seed=3)
+        assert set(counts) == {"00", "11"}
+        assert abs(counts["00"] - 1000) < 150
+        assert state.truncation_weight == 0.0
+
+    def test_random_circuit_amplitudes_exact(self, rng):
+        n = 6
+        c = _random_circuit(n, depth=4, rng=rng, twoq_any_pair=True)
+        _, state = mps.MPSSimulator(chi=2 ** (n // 2)).run(c, shots=0)
+        assert state.truncation_weight < 1e-9
+        np.testing.assert_allclose(mps.to_statevector(state),
+                                   _statevector(c), atol=ATOL)
+
+    def test_nonadjacent_cnot_routing(self):
+        # Control BELOW target exercises the gate-axis permutation too.
+        c = QuantumCircuit(num_qubits=5)
+        for q in range(5):
+            c.add_gate(_g("H", [q], col=0))
+        c.add_gate(_g("CNOT", [4, 0], col=1))
+        c.add_gate(_g("CZ", [1, 3], col=2))
+        c.add_gate(_g("Rx", [2], [0.7], col=3))
+        c.add_gate(_g("CNOT", [0, 3], col=4))
+        _, state = mps.MPSSimulator(chi=8).run(c, shots=0)
+        np.testing.assert_allclose(mps.to_statevector(state),
+                                   _statevector(c), atol=ATOL)
+
+    def test_three_site_gates_scattered_targets(self):
+        c = QuantumCircuit(num_qubits=5)
+        for q in range(5):
+            c.add_gate(_g("H", [q], col=0))
+        c.add_gate(_g("Toffoli", [4, 0, 2], col=1))
+        c.add_gate(_g("Fredkin", [1, 4, 0], col=2))
+        _, state = mps.MPSSimulator(chi=8).run(c, shots=0)
+        np.testing.assert_allclose(mps.to_statevector(state),
+                                   _statevector(c), atol=ATOL)
+
+    def test_cphase_and_initial_states(self):
+        c = QuantumCircuit(num_qubits=4, initial_states=[1, 0, 1, 0])
+        c.add_gate(_g("H", [1], col=0))
+        c.add_gate(_g("CPhase", [1, 3], [0.9], col=1))
+        c.add_gate(_g("MCZ3", [0, 1, 2], col=2))
+        _, state = mps.MPSSimulator(chi=8).run(c, shots=0)
+        np.testing.assert_allclose(mps.to_statevector(state),
+                                   _statevector(c), atol=ATOL)
+
+    def test_amplitude_matches_statevector_entry(self, rng):
+        n = 5
+        c = _random_circuit(n, depth=3, rng=rng, twoq_any_pair=True)
+        _, state = mps.MPSSimulator(chi=8).run(c, shots=0)
+        psi = _statevector(c)
+        for bits in ("00000", "10110", "11111"):
+            idx = int(bits, 2)
+            got = mps.amplitude(state, bits)
+            assert abs(got - complex(psi[idx])) < ATOL
+
+
+class TestObservables:
+    def test_pauli_expectation_vs_dense(self, rng):
+        n = 5
+        c = _random_circuit(n, depth=3, rng=rng, twoq_any_pair=True)
+        _, state = mps.MPSSimulator(chi=8).run(c, shots=0)
+        psi = _statevector(c)
+        paulis = {"I": np.eye(2), "X": np.array([[0, 1], [1, 0]]),
+                  "Y": np.array([[0, -1j], [1j, 0]]),
+                  "Z": np.diag([1.0, -1.0])}
+        for s in ("ZZZZZ", "XIXIX", "IYZXI", "IIIII"):
+            op = np.eye(1)
+            for ch in s:
+                op = np.kron(op, paulis[ch])
+            want = float(np.real(psi.conj() @ op @ psi))
+            assert abs(mps.expectation_pauli_string(state, s) - want) < 1e-4
+        # Dict form, identity elsewhere.
+        assert abs(mps.expectation_pauli_string(state, {1: "Y", 3: "X"})
+                   - mps.expectation_pauli_string(state, "IYIXI")) < 1e-6
+
+    def test_entropy_product_and_bell(self):
+        c = QuantumCircuit(num_qubits=3)
+        c.add_gate(_g("H", [0], col=0))
+        _, state = mps.MPSSimulator(chi=4).run(c, shots=0)
+        assert abs(mps.entanglement_entropy(state, 0)) < 1e-6
+        c.add_gate(_g("CNOT", [0, 1], col=1))
+        _, state = mps.MPSSimulator(chi=4).run(c, shots=0)
+        assert abs(mps.entanglement_entropy(state, 0) - 1.0) < 1e-5
+        assert abs(mps.entanglement_entropy(state, 1)) < 1e-6
+
+
+class TestScale:
+    def test_ghz_100(self):
+        n = 100
+        c = QuantumCircuit(num_qubits=n)
+        c.add_gate(_g("H", [0], col=0))
+        for q in range(n - 1):
+            c.add_gate(_g("CNOT", [q, q + 1], col=q + 1))
+        counts, state = mps.MPSSimulator(chi=2).run(c, shots=500, seed=11)
+        assert set(counts) == {"0" * n, "1" * n}
+        assert state.truncation_weight < 1e-6
+        assert abs(mps.entanglement_entropy(state, n // 2) - 1.0) < 1e-4
+        assert abs(mps.expectation_pauli_string(
+            state, {0: "Z", 50: "Z"}) - 1.0) < 1e-5
+        # X^(x)100 stabilizes GHZ-100 with +1 eigenvalue (even n).
+        assert abs(mps.expectation_pauli_string(
+            state, "X" * n) - 1.0) < 1e-4
+
+
+class TestTruncation:
+    def test_truncation_reported_and_recovered(self, rng):
+        n = 8
+        c = _random_circuit(n, depth=6, rng=rng, twoq_any_pair=True)
+        _, tight = mps.MPSSimulator(chi=2).run(c, shots=0)
+        assert tight.truncation_weight > 1e-4
+        _, wide = mps.MPSSimulator(chi=16).run(c, shots=0)
+        assert wide.truncation_weight < 1e-9
+        np.testing.assert_allclose(mps.to_statevector(wide),
+                                   _statevector(c), atol=ATOL)
+
+
+class TestGuards:
+    def test_wide_dense_gate_rejected(self):
+        c = QuantumCircuit(num_qubits=12)
+        c.add_gate(_g("MCZ9", list(range(9)), col=0))
+        with pytest.raises(ValueError, match="dense-gate path"):
+            mps.MPSSimulator(chi=4).run(c, shots=0)
+
+    def test_bad_chi(self):
+        with pytest.raises(ValueError):
+            mps.MPSSimulator(chi=0)
+
+    def test_bad_pauli(self):
+        c = QuantumCircuit(num_qubits=2)
+        _, state = mps.MPSSimulator(chi=2).run(c, shots=0)
+        with pytest.raises(ValueError):
+            mps.expectation_pauli_string(state, "XQ")
+        with pytest.raises(ValueError):
+            mps.expectation_pauli_string(state, {5: "X"})
+        with pytest.raises(ValueError):
+            mps.entanglement_entropy(state, 3)
