@@ -194,6 +194,22 @@ class _TraceMPS:
         self.tensors[start + k - 1] = theta
         self.center = start + k - 1
 
+    def apply_kraus_1q(self, site: int, kstack, key) -> None:
+        """Stochastic 1-qubit Kraus draw (one noise trajectory step):
+        with the center moved to ``site``, every branch weight
+        ``||K_m psi||^2`` is the Frobenius norm of ``K_m`` applied to
+        the center tensor alone — O(chi^2), no global contraction.  The
+        drawn branch applies in place and renormalizes; the canonical
+        form survives because only the center tensor changed."""
+        self.move_center_to(site)
+        t = self.tensors[site]
+        branches = jnp.einsum("mqp,lpr->mlqr", kstack, t, precision=_PREC)
+        w = jnp.sum(jnp.abs(branches) ** 2, axis=(1, 2, 3))
+        m = jax.random.categorical(key, jnp.log(jnp.maximum(w, 1e-30)))
+        chosen = branches[m]
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(jnp.abs(chosen) ** 2), 1e-30))
+        self.tensors[site] = chosen / norm.astype(chosen.dtype)
+
     def swap_adjacent(self, i: int) -> None:
         self.apply_2site(i, _SWAP4(self.dtype))
 
@@ -231,12 +247,37 @@ def _SWAP4(dtype):
 # --------------------------------------------------------------------------
 
 
-def _evolve(circuit: QuantumCircuit, chi: int, dtype):
+def _count_noise_sites(circuit: QuantumCircuit, noise_model) -> int:
+    """Static count of (channel, target) stochastic-draw sites — one
+    PRNG key each (mirrors the clifford lowering's per-target emission,
+    ``clifford.py:346-356`` / reference ``noise.py:224-260``)."""
+    registry = GateRegistry.instance()
+    count = 0
+    for column in circuit.get_ordered_gates():
+        for gate in column:
+            gdef = registry.get(gate.gate_name)
+            if gdef.gate_type in (GateType.MEASUREMENT, GateType.BARRIER):
+                continue
+            count += (len(noise_model.channels_for_gate(gate.gate_name))
+                      * len(gate.target_qubits))
+    return count
+
+
+def _evolve(circuit: QuantumCircuit, chi: int, dtype,
+            noise_model=None, key=None):
     """Trace-time evolution body: returns (ragged tensors with the
-    center at site 0, discarded squared weight)."""
+    center at site 0, discarded squared weight). With a noise model and
+    a PRNG key this traces ONE stochastic Kraus trajectory (reference
+    ``run`` semantics, ``noise.py:224-260``)."""
     registry = GateRegistry.instance()
     mps = _TraceMPS(circuit.num_qubits, chi,
                     circuit.initial_states, dtype)
+    noise_keys = None
+    if noise_model is not None:
+        n_sites = _count_noise_sites(circuit, noise_model)
+        if n_sites:
+            noise_keys = jax.random.split(key, n_sites)
+    key_idx = 0
     for column in circuit.get_ordered_gates():
         for gate in column:
             gdef = registry.get(gate.gate_name)
@@ -258,6 +299,18 @@ def _evolve(circuit: QuantumCircuit, chi: int, dtype):
                         f"duplicate target qubits in {gate.gate_name}: "
                         f"{gate.target_qubits}")
                 mps.route_and_apply(list(gate.target_qubits), g)
+            if noise_model is not None:
+                for ch in noise_model.channels_for_gate(gate.gate_name):
+                    kstack = jnp.asarray(ch.kraus_stack(), dtype)
+                    if kstack.shape[1:] != (2, 2):
+                        raise ValueError(
+                            f"{type(ch).__name__} is not a 1-qubit "
+                            "channel; the MPS engine applies Kraus "
+                            "noise per target qubit")
+                    for q in gate.target_qubits:
+                        mps.apply_kraus_1q(q, kstack,
+                                           noise_keys[key_idx])
+                        key_idx += 1
     mps.move_center_to(0)
     return tuple(mps.tensors), mps.discarded
 
@@ -470,6 +523,69 @@ class MPSSimulator:
             counts = {"".join("1" if b else "0" for b in row): int(c)
                       for row, c in zip(uniq, cnts)}
         return counts, state
+
+    def run_with_noise(self, circuit: QuantumCircuit, noise_model,
+                       shots: int = 1000, seed: int | None = None,
+                       chi: int | None = None):
+        """Noisy counts at MPS scale: one stochastic Kraus trajectory per
+        shot (reference re-simulate-per-shot semantics,
+        ``simulator.py:116-153``), every trajectory AND its measurement
+        drawn in ONE vmapped device launch.  Supports all four reference
+        channels — including amplitude damping, which the Clifford
+        engine's Pauli-frame trick cannot express — at widths the
+        amplitude engines cannot hold.
+
+        -> (counts, mean discarded squared Schmidt weight per
+        trajectory; 0.0 means every trajectory was exact at this chi).
+        Readout error (shot mode) applies if configured."""
+        chi = self.chi if chi is None else chi
+        n = circuit.num_qubits
+        cache_key = (circuit.circuit_hash(), str(noise_model.spec_key()),
+                     chi, "noisy")
+        fn = self._compiled.get(cache_key)
+        if fn is None:
+            dtype = CONFIG.dtype
+
+            def one(k):
+                k_traj, k_meas = jax.random.split(k)
+                tensors, disc = _evolve(circuit, chi, dtype,
+                                        noise_model, k_traj)
+                stack, cm = _stack_padded(tensors, dtype)
+
+                def body(carry, t):
+                    v, kk = carry
+                    kk, sub = jax.random.split(kk)
+                    w0 = jnp.einsum("l,lr->r", v, t[:, 0, :],
+                                    precision=_PREC)
+                    w1 = jnp.einsum("l,lr->r", v, t[:, 1, :],
+                                    precision=_PREC)
+                    p0 = jnp.sum(jnp.abs(w0) ** 2)
+                    p1 = jnp.sum(jnp.abs(w1) ** 2)
+                    pr0 = p0 / jnp.maximum(p0 + p1, 1e-30)
+                    bit = (jax.random.uniform(sub) >= pr0).astype(jnp.int32)
+                    w = jnp.where(bit == 0, w0, w1)
+                    w = w / jnp.sqrt(jnp.maximum(
+                        jnp.sum(jnp.abs(w) ** 2), 1e-30))
+                    return (w, kk), bit
+
+                v0 = jnp.zeros((cm,), dtype).at[0].set(1.0)
+                (_, _), bits = jax.lax.scan(body, (v0, k_meas), stack)
+                return bits, disc
+
+            fn = jax.jit(jax.vmap(one))
+            self._compiled[cache_key] = fn
+        rng = np.random.default_rng(seed)
+        keys = jax.random.split(
+            jax.random.PRNGKey(int(rng.integers(0, 2 ** 63))), shots)
+        bits, disc = fn(keys)
+        bits = np.asarray(bits).astype(np.uint8)
+        uniq, cnts = np.unique(bits, axis=0, return_counts=True)
+        counts = {"".join("1" if b else "0" for b in row): int(c)
+                  for row, c in zip(uniq, cnts)}
+        ro = getattr(noise_model, "readout_error", None)
+        if ro is not None:
+            counts = ro.corrupt_counts(counts, rng)
+        return counts, float(np.asarray(jnp.mean(disc)))
 
     # Observable surface re-exported on the class for discoverability.
     expectation_pauli_string = staticmethod(expectation_pauli_string)

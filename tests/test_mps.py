@@ -187,3 +187,57 @@ class TestGuards:
             mps.expectation_pauli_string(state, {5: "X"})
         with pytest.raises(ValueError):
             mps.entanglement_entropy(state, 3)
+
+
+class TestNoise:
+    def _tvd(self, a, b, shots_a, shots_b):
+        keys = set(a) | set(b)
+        return 0.5 * sum(abs(a.get(k, 0) / shots_a - b.get(k, 0) / shots_b)
+                         for k in keys)
+
+    def test_noisy_trajectories_match_statevector(self, rng):
+        from quantum_simulator_tpu.noise import (
+            AmplitudeDampingNoise, DepolarizingNoise, NoiseModel)
+        n = 4
+        c = QuantumCircuit(num_qubits=n)
+        for q in range(n):
+            c.add_gate(_g("H", [q], col=0))
+        c.add_gate(_g("CNOT", [0, 2], col=1))
+        c.add_gate(_g("Rx", [1], [0.8], col=2))
+        c.add_gate(_g("CZ", [2, 3], col=3))
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.08))
+        nm.add_global_noise(AmplitudeDampingNoise(0.1))
+        shots = 4000
+        ref = Simulator(noise_model=nm).run_with_noise(
+            c, shots=shots, seed=5).measurement_counts
+        got, trunc = mps.MPSSimulator(chi=8).run_with_noise(
+            c, nm, shots=shots, seed=9)
+        assert trunc < 1e-6  # chi=8 covers n=4 exactly
+        assert self._tvd(ref, got, shots, shots) < 0.06
+
+    def test_noisy_ghz40_amplitude_damping(self):
+        from quantum_simulator_tpu.noise import (
+            AmplitudeDampingNoise, NoiseModel)
+        n = 40
+        c = QuantumCircuit(num_qubits=n)
+        c.add_gate(_g("H", [0], col=0))
+        for q in range(n - 1):
+            c.add_gate(_g("CNOT", [q, q + 1], col=q + 1))
+        nm = NoiseModel()
+        nm.add_global_noise(AmplitudeDampingNoise(0.02))
+        counts, _ = mps.MPSSimulator(chi=4).run_with_noise(
+            c, nm, shots=200, seed=2)
+        assert sum(counts.values()) == 200
+        assert all(len(k) == n for k in counts)
+        # Damping biases toward |0...0>: the all-ones branch decays.
+        assert counts.get("0" * n, 0) > counts.get("1" * n, 0)
+
+    def test_readout_error_applies(self):
+        from quantum_simulator_tpu.noise import NoiseModel, ReadoutError
+        c = QuantumCircuit(num_qubits=3)
+        nm = NoiseModel()
+        nm.set_readout_error(ReadoutError(p01=1.0, p10=0.0))
+        counts, _ = mps.MPSSimulator(chi=2).run_with_noise(
+            c, nm, shots=50, seed=1)
+        assert counts == {"111": 50}
