@@ -200,7 +200,9 @@ class _TraceMPS:
         ``||K_m psi||^2`` is the Frobenius norm of ``K_m`` applied to
         the center tensor alone — O(chi^2), no global contraction.  The
         drawn branch applies in place and renormalizes; the canonical
-        form survives because only the center tensor changed."""
+        form survives because only the center tensor changed.  Returns
+        the drawn branch index (for projector stacks this is the
+        measurement outcome)."""
         self.move_center_to(site)
         t = self.tensors[site]
         branches = jnp.einsum("mqp,lpr->mlqr", kstack, t, precision=_PREC)
@@ -209,6 +211,7 @@ class _TraceMPS:
         chosen = branches[m]
         norm = jnp.sqrt(jnp.maximum(jnp.sum(jnp.abs(chosen) ** 2), 1e-30))
         self.tensors[site] = chosen / norm.astype(chosen.dtype)
+        return m
 
     def swap_adjacent(self, i: int) -> None:
         self.apply_2site(i, _SWAP4(self.dtype))
@@ -264,24 +267,45 @@ def _count_noise_sites(circuit: QuantumCircuit, noise_model) -> int:
 
 
 def _evolve(circuit: QuantumCircuit, chi: int, dtype,
-            noise_model=None, key=None):
+            noise_model=None, key=None, collapse_measures=False):
     """Trace-time evolution body: returns (ragged tensors with the
-    center at site 0, discarded squared weight). With a noise model and
-    a PRNG key this traces ONE stochastic Kraus trajectory (reference
-    ``run`` semantics, ``noise.py:224-260``)."""
+    center at site 0, discarded squared weight, collapse outcomes in
+    Measure order). With a noise model and a PRNG key this traces ONE
+    stochastic Kraus trajectory (reference ``run`` semantics,
+    ``noise.py:224-260``); with ``collapse_measures`` Measure gates
+    project mid-circuit (projector stacks through the same Kraus-draw
+    machinery) instead of being deferred to final sampling."""
     registry = GateRegistry.instance()
     mps = _TraceMPS(circuit.num_qubits, chi,
                     circuit.initial_states, dtype)
-    noise_keys = None
+    n_keys = 0
     if noise_model is not None:
-        n_sites = _count_noise_sites(circuit, noise_model)
-        if n_sites:
-            noise_keys = jax.random.split(key, n_sites)
+        n_keys += _count_noise_sites(circuit, noise_model)
+    measure_sites = []
+    if collapse_measures:
+        for column in circuit.get_ordered_gates():
+            for gate in column:
+                gdef = registry.get(gate.gate_name)
+                if gdef.gate_type == GateType.MEASUREMENT:
+                    measure_sites.append((gate.column,
+                                          gate.target_qubits[0]))
+        n_keys += len(measure_sites)
+    keys = jax.random.split(key, n_keys) if n_keys else None
     key_idx = 0
+    outcomes = []
+    proj = jnp.stack([jnp.diag(jnp.asarray([1, 0], dtype)),
+                      jnp.diag(jnp.asarray([0, 1], dtype))])
     for column in circuit.get_ordered_gates():
         for gate in column:
             gdef = registry.get(gate.gate_name)
-            if gdef.gate_type in (GateType.MEASUREMENT, GateType.BARRIER):
+            if gdef.gate_type == GateType.MEASUREMENT:
+                if collapse_measures:
+                    out = mps.apply_kraus_1q(gate.target_qubits[0], proj,
+                                             keys[key_idx])
+                    key_idx += 1
+                    outcomes.append(out)
+                continue
+            if gdef.gate_type == GateType.BARRIER:
                 continue
             kq = len(gate.target_qubits)
             if kq > _MAX_DENSE_SITES:
@@ -308,11 +332,12 @@ def _evolve(circuit: QuantumCircuit, chi: int, dtype,
                             "channel; the MPS engine applies Kraus "
                             "noise per target qubit")
                     for q in gate.target_qubits:
-                        mps.apply_kraus_1q(q, kstack,
-                                           noise_keys[key_idx])
+                        mps.apply_kraus_1q(q, kstack, keys[key_idx])
                         key_idx += 1
     mps.move_center_to(0)
-    return tuple(mps.tensors), mps.discarded
+    outs = (jnp.stack(outcomes).astype(jnp.int32) if outcomes
+            else jnp.zeros((0,), jnp.int32))
+    return tuple(mps.tensors), mps.discarded, outs, measure_sites
 
 
 def compile_mps(circuit: QuantumCircuit, chi: int):
@@ -323,7 +348,8 @@ def compile_mps(circuit: QuantumCircuit, chi: int):
     dtype = CONFIG.dtype
 
     def evolve():
-        return _evolve(circuit, chi, dtype)
+        tensors, discarded, _, _ = _evolve(circuit, chi, dtype)
+        return tensors, discarded
 
     return jax.jit(evolve)
 
@@ -524,6 +550,50 @@ class MPSSimulator:
                       for row, c in zip(uniq, cnts)}
         return counts, state
 
+    def monitored_trajectories(self, circuit: QuantumCircuit,
+                               n_trajectories: int = 16,
+                               seed: int | None = None,
+                               chi: int | None = None,
+                               noise_model=None):
+        """Run T independent monitored trajectories: Measure gates
+        collapse mid-circuit via projector draws through the Kraus
+        machinery (optionally interleaved with stochastic noise).
+        Mirrors ``CliffordSimulator.monitored_trajectories`` at
+        arbitrary (non-Clifford) gate sets.
+
+        -> (outcomes[T, M] int array in Measure column order,
+            sites [(column, qubit)] * M,
+            states: list of T final ``MPSState``s — feed each to
+            ``entanglement_entropy`` / ``expectation_pauli_string``)."""
+        chi = self.chi if chi is None else chi
+        cache_key = (circuit.circuit_hash(), chi, "monitored",
+                     str(noise_model.spec_key()) if noise_model else None)
+        entry = self._compiled.get(cache_key)
+        if entry is None:
+            dtype = CONFIG.dtype
+            sites_box = []
+
+            def one(k):
+                tensors, disc, outs, sites = _evolve(
+                    circuit, chi, dtype, noise_model, k,
+                    collapse_measures=True)
+                if not sites_box:
+                    sites_box.append(sites)
+                return tensors, disc, outs
+
+            entry = (jax.jit(jax.vmap(one)), sites_box)
+            self._compiled[cache_key] = entry
+        fn, sites_box = entry
+        rng = np.random.default_rng(seed)
+        keys = jax.random.split(
+            jax.random.PRNGKey(int(rng.integers(0, 2 ** 63))),
+            n_trajectories)
+        tensors, disc, outs = fn(keys)
+        states = [MPSState(tuple(t[i] for t in tensors),
+                           circuit.num_qubits, chi, float(disc[i]))
+                  for i in range(n_trajectories)]
+        return np.asarray(outs), list(sites_box[0]), states
+
     def run_with_noise(self, circuit: QuantumCircuit, noise_model,
                        shots: int = 1000, seed: int | None = None,
                        chi: int | None = None):
@@ -548,8 +618,8 @@ class MPSSimulator:
 
             def one(k):
                 k_traj, k_meas = jax.random.split(k)
-                tensors, disc = _evolve(circuit, chi, dtype,
-                                        noise_model, k_traj)
+                tensors, disc, _, _ = _evolve(circuit, chi, dtype,
+                                              noise_model, k_traj)
                 stack, cm = _stack_padded(tensors, dtype)
 
                 def body(carry, t):

@@ -241,3 +241,41 @@ class TestNoise:
         counts, _ = mps.MPSSimulator(chi=2).run_with_noise(
             c, nm, shots=50, seed=1)
         assert counts == {"111": 50}
+
+
+class TestMonitored:
+    def test_bell_collapse_correlates(self):
+        c = QuantumCircuit(num_qubits=2)
+        c.add_gate(_g("H", [0], col=0))
+        c.add_gate(_g("CNOT", [0, 1], col=1))
+        c.add_gate(_g("Measure", [0], col=2))
+        outs, sites, states = mps.MPSSimulator(chi=4).monitored_trajectories(
+            c, n_trajectories=24, seed=6)
+        assert sites == [(2, 0)]
+        assert outs.shape == (24, 1)
+        for t in range(24):
+            z1 = mps.expectation_pauli_string(states[t], {1: "Z"})
+            assert abs(z1 - (1.0 - 2.0 * int(outs[t, 0]))) < 1e-5
+        # Both outcomes occur across 24 fair-coin trajectories.
+        assert 0 < int(outs.sum()) < 24
+
+    def test_non_clifford_born_statistics(self):
+        c = QuantumCircuit(num_qubits=1)
+        c.add_gate(_g("Rx", [0], [0.8], col=0))
+        c.add_gate(_g("Measure", [0], col=1))
+        outs, _, _ = mps.MPSSimulator(chi=2).monitored_trajectories(
+            c, n_trajectories=400, seed=3)
+        p1 = float(outs.mean())
+        assert abs(p1 - np.sin(0.4) ** 2) < 0.07
+
+    def test_measurement_kills_entanglement(self):
+        n = 8
+        c = QuantumCircuit(num_qubits=n)
+        c.add_gate(_g("H", [0], col=0))
+        for q in range(n - 1):
+            c.add_gate(_g("CNOT", [q, q + 1], col=q + 1))
+        c.add_gate(_g("Measure", [4], col=n))
+        _, _, states = mps.MPSSimulator(chi=4).monitored_trajectories(
+            c, n_trajectories=3, seed=1)
+        for st in states:
+            assert abs(mps.entanglement_entropy(st, 3)) < 1e-5
