@@ -359,6 +359,34 @@ def bench_bit_engines():
     except Exception as e:
         print(f"[bench] Clifford bench failed: {e}", file=sys.stderr)
 
+    try:
+        from quantum_simulator_tpu.circuit import GateInstance, QuantumCircuit
+        from quantum_simulator_tpu.mps import MPSSimulator
+
+        n, depth, chi = 48, 4, 16
+        c = QuantumCircuit(n)
+        col = 0
+        for d in range(depth):
+            for q in range(n):
+                c.add_gate(GateInstance("Rx", [q], [0.3 + 0.01 * q],
+                                        column=col))
+            col += 1
+            for q in range(d % 2, n - 1, 2):
+                c.add_gate(GateInstance("CNOT", [q, q + 1], [], column=col))
+            col += 1
+        sim = MPSSimulator(chi=chi)
+        sim.run(c, shots=64, seed=0)  # compile
+        t0 = _time.perf_counter()
+        _, st = sim.run(c, shots=64, seed=1)
+        dt = _time.perf_counter() - t0
+        gates = len(c.gates)
+        print(f"[bench] MPS brickwork n={n} depth-{depth} chi={chi}: "
+              f"{dt * 1000:.0f} ms/run ({gates / dt:.0f} gates/s, "
+              f"trunc {st.truncation_weight:.1e}, 64 shots)",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] MPS bench failed: {e}", file=sys.stderr)
+
 
 def main():
     from quantum_simulator_tpu.utils.preflight import require_device_or_cpu

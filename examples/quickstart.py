@@ -10,6 +10,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from quantum_simulator_tpu.utils.preflight import require_device_or_cpu
+
+require_device_or_cpu()  # pins CPU (both knobs) when the TPU tunnel is dead
+
 import numpy as np
 
 
@@ -127,6 +131,23 @@ def main():
           "| half-cut entropy:",
           CliffordSimulator.entanglement_entropy(tab, list(range(64))),
           "bit")
+
+    # Arbitrary (non-Clifford) gates at 100 qubits while entanglement
+    # fits the bond dimension: the MPS engine, with an honest ledger of
+    # what truncation discarded (0.0 == exact).
+    from quantum_simulator_tpu import MPSSimulator
+    from quantum_simulator_tpu import mps as mps_mod
+
+    twist = QuantumCircuit(100)
+    twist.add_gate(GateInstance("H", [0], [], column=0))
+    for i in range(99):
+        twist.add_gate(GateInstance("CNOT", [i, i + 1], [], column=i + 1))
+    twist.add_gate(GateInstance("Rz", [50], [0.7], column=100))  # non-Clifford
+    counts, state = MPSSimulator(chi=8).run(twist, shots=200, seed=0)
+    print("twisted GHZ-100 support:", sorted(k[:4] + "..." for k in counts),
+          "| truncated weight:", state.truncation_weight,
+          "| <X^100>:", round(mps_mod.expectation_pauli_string(
+              state, "X" * 100), 4))
 
     # QEC threshold sweeps with no 2^n state (Pauli-frame engine):
     from quantum_simulator_tpu.qec_frame import (

@@ -9,11 +9,16 @@ The reference's optimizer tops out at its 16-qubit state cap
   launch (vmapped compiled program);
 * n >= 30: each forward runs the chunked huge-state executor and the
   Hamiltonian evaluates as chunked Pauli-string passes — no full-state
-  transfer, buffers released between the sequential evaluations.
+  transfer, buffers released between the sequential evaluations;
+* --engine mps: costs evaluate as bond-dimension-chi MPS contractions —
+  the 2^n wall disappears entirely (VQE at 50+ qubits), bounded by the
+  ansatz's entanglement instead.
 
 Run small (default, CPU-friendly):   python examples/vqe_at_scale.py
 Run huge (one TPU chip, ~minutes):   python examples/vqe_at_scale.py \
                                          --qubits 30 --layers 1 --iters 3
+Run wide (MPS, CPU-friendly):        python examples/vqe_at_scale.py \
+                                         --qubits 50 --engine mps --iters 3
 """
 
 from __future__ import annotations
@@ -67,10 +72,17 @@ def main() -> int:
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--lr", type=float, default=0.2)
+    ap.add_argument("--engine", choices=["statevector", "mps"],
+                    default="statevector")
+    ap.add_argument("--chi", type=int, default=16)
     args = ap.parse_args()
 
     circuit = ansatz(args.qubits, args.layers)
-    config = ParameterizedCircuitConfig.auto_detect(circuit)
+    if args.engine == "mps":
+        from quantum_simulator_tpu.optimizer import MPSParameterizedConfig
+        config = MPSParameterizedConfig.auto_detect(circuit, chi=args.chi)
+    else:
+        config = ParameterizedCircuitConfig.auto_detect(circuit)
     # Transverse-field-Ising-style Hamiltonian: sum Z_i Z_{i+1} + 0.5 X_i
     terms = [(1.0, "ZZ", [q, q + 1]) for q in range(args.qubits - 1)]
     terms += [(0.5, "X", [q]) for q in range(args.qubits)]

@@ -267,14 +267,17 @@ def _count_noise_sites(circuit: QuantumCircuit, noise_model) -> int:
 
 
 def _evolve(circuit: QuantumCircuit, chi: int, dtype,
-            noise_model=None, key=None, collapse_measures=False):
+            noise_model=None, key=None, collapse_measures=False,
+            param_overrides=None):
     """Trace-time evolution body: returns (ragged tensors with the
     center at site 0, discarded squared weight, collapse outcomes in
     Measure order). With a noise model and a PRNG key this traces ONE
     stochastic Kraus trajectory (reference ``run`` semantics,
     ``noise.py:224-260``); with ``collapse_measures`` Measure gates
     project mid-circuit (projector stacks through the same Kraus-draw
-    machinery) instead of being deferred to final sampling."""
+    machinery) instead of being deferred to final sampling.
+    ``param_overrides`` maps ``id(gate)`` to a replacement params list
+    (entries may be traced scalars — the VQE path)."""
     registry = GateRegistry.instance()
     mps = _TraceMPS(circuit.num_qubits, chi,
                     circuit.initial_states, dtype)
@@ -314,7 +317,10 @@ def _evolve(circuit: QuantumCircuit, chi: int, dtype,
                     f"engine's dense-gate path stops at "
                     f"{_MAX_DENSE_SITES} (use the statevector engine "
                     f"or decompose the gate)")
-            g = gdef.device_matrix(gate.params, dtype)
+            params = gate.params
+            if param_overrides is not None:
+                params = param_overrides.get(id(gate), params)
+            g = gdef.device_matrix(params, dtype)
             if kq == 1:
                 mps.apply_1q(gate.target_qubits[0], g)
             else:
@@ -370,26 +376,31 @@ def _stack_padded(tensors, dtype):
     return jnp.stack(padded), cm
 
 
-def _sample_fn(cm: int, dtype):
-    def one_shot(stack, key):
-        def body(carry, t):
-            v, k = carry
-            k, sub = jax.random.split(k)
-            w0 = jnp.einsum("l,lr->r", v, t[:, 0, :], precision=_PREC)
-            w1 = jnp.einsum("l,lr->r", v, t[:, 1, :], precision=_PREC)
-            p0 = jnp.sum(jnp.abs(w0) ** 2)
-            p1 = jnp.sum(jnp.abs(w1) ** 2)
-            pr0 = p0 / jnp.maximum(p0 + p1, 1e-30)
-            bit = (jax.random.uniform(sub) >= pr0).astype(jnp.int32)
-            w = jnp.where(bit == 0, w0, w1)
-            w = w / jnp.sqrt(jnp.maximum(jnp.sum(jnp.abs(w) ** 2), 1e-30))
-            return (w, k), bit
+def _sample_one_shot(stack, key):
+    """One conditional cascade over a right-canonical padded stack."""
+    cm = stack.shape[-1]
 
-        v0 = jnp.zeros((cm,), dtype).at[0].set(1.0)
-        (_, _), bits = jax.lax.scan(body, (v0, key), stack)
-        return bits
+    def body(carry, t):
+        v, k = carry
+        k, sub = jax.random.split(k)
+        w0 = jnp.einsum("l,lr->r", v, t[:, 0, :], precision=_PREC)
+        w1 = jnp.einsum("l,lr->r", v, t[:, 1, :], precision=_PREC)
+        p0 = jnp.sum(jnp.abs(w0) ** 2)
+        p1 = jnp.sum(jnp.abs(w1) ** 2)
+        pr0 = p0 / jnp.maximum(p0 + p1, 1e-30)
+        bit = (jax.random.uniform(sub) >= pr0).astype(jnp.int32)
+        w = jnp.where(bit == 0, w0, w1)
+        w = w / jnp.sqrt(jnp.maximum(jnp.sum(jnp.abs(w) ** 2), 1e-30))
+        return (w, k), bit
 
-    return jax.jit(jax.vmap(one_shot, in_axes=(None, 0)))
+    v0 = jnp.zeros((cm,), stack.dtype).at[0].set(1.0)
+    (_, _), bits = jax.lax.scan(body, (v0, key), stack)
+    return bits
+
+
+# One jitted sampler object: the compile cache persists across run()
+# calls (specialized per (n, chi, shots) shape combination).
+_sample_shots = jax.jit(jax.vmap(_sample_one_shot, in_axes=(None, 0)))
 
 
 _PAULI_2X2 = {
@@ -432,6 +443,149 @@ def expectation_pauli_string(state: MPSState, paulis: dict | str) -> float:
         return jnp.real(env[0, 0]) / jnp.real(norm[0, 0])
 
     return float(contract(state.tensors))
+
+
+def _parse_terms(n: int, terms):
+    """Validate ``(coeff, pauli_string, qubits)`` Hamiltonian terms
+    (the ``models.hamiltonians`` format) into ``(coeff, {site: pauli},
+    min_site, max_site)`` tuples.  Identity-only terms parse to an
+    empty ops dict (pure energy offset)."""
+    parsed = []
+    for coeff, pstr, qubits in terms:
+        if len(pstr) != len(qubits):
+            raise ValueError(f"term {pstr!r} has {len(pstr)} Paulis for "
+                             f"{len(qubits)} qubits")
+        if len(set(qubits)) != len(qubits):
+            raise ValueError(f"duplicate qubits in term {pstr!r}: {qubits}")
+        ops = {}
+        for q, p in zip(qubits, pstr.upper()):
+            if q < 0 or q >= n:
+                raise ValueError(f"qubit {q} out of range for n={n}")
+            if p == "I":
+                continue
+            if p not in ("X", "Y", "Z"):
+                raise ValueError(f"unsupported Pauli {p!r} in {pstr!r}")
+            ops[int(q)] = p
+        if ops:
+            parsed.append((float(coeff), ops, min(ops), max(ops)))
+        else:
+            parsed.append((float(coeff), ops, 0, -1))
+    return parsed
+
+
+def _hamiltonian_energy(tensors, parsed, n: int):
+    """Traceable <H>/<1> over tensors whose orthogonality center is at
+    site 0 (the ``MPSState`` / ``_evolve`` invariant: everything right
+    of site 0 is right-canonical, so every term's right environment is
+    the identity).  After one shared left-identity-environment sweep
+    (O(n chi^3)) each term costs only O(support * chi^3) — a 100-qubit
+    TFIM energy is ~300 small contractions, not 300 full sweeps."""
+    dt = tensors[0].dtype
+    left = [jnp.ones((1, 1), dt)]
+    for t in tensors:
+        left.append(jnp.einsum("lm,lpa,mpb->ab", left[-1],
+                               t.conj(), t, precision=_PREC))
+    norm2 = jnp.real(left[n][0, 0])
+    total = jnp.zeros((), jnp.float32)
+    for coeff, ops, a, b in parsed:
+        if not ops:  # identity term: <I> = 1 exactly, skip the sweep
+            total = total + jnp.float32(coeff) * norm2.astype(jnp.float32)
+            continue
+        env = left[a]
+        for i in range(a, b + 1):
+            o = jnp.asarray(_PAULI_2X2[ops.get(i, "I")], dt)
+            env = jnp.einsum("lm,lpa,pq,mqb->ab", env,
+                             tensors[i].conj(), o, tensors[i],
+                             precision=_PREC)
+        # Right-canonical tail => right environment is the identity.
+        total = total + jnp.float32(coeff) * jnp.real(
+            jnp.trace(env)).astype(jnp.float32)
+    return total / norm2.astype(jnp.float32)
+
+
+def expectation_hamiltonian(state: MPSState, terms) -> float:
+    """<H> for ``H = sum_k coeff_k * P_k`` in the ``models.hamiltonians``
+    term format ``(coeff, pauli_string, qubits)`` — ONE jitted program
+    (see ``_hamiltonian_energy`` for the contraction strategy)."""
+    parsed = _parse_terms(state.num_qubits, terms)
+    n = state.num_qubits
+
+    @jax.jit
+    def contract(tensors):
+        return _hamiltonian_energy(tensors, parsed, n)
+
+    return float(contract(state.tensors))
+
+
+# --------------------------------------------------------------------------
+# Variational path: circuit-with-free-parameters -> energy, batched
+# --------------------------------------------------------------------------
+
+_COST_FN_CACHE: dict = {}
+
+
+def build_batched_cost_fn(circuit: QuantumCircuit, bindings, terms,
+                          chi: int, constant: float = 0.0):
+    """jitted ``f(values_batch[B, P]) -> energies[B]`` evaluating the
+    MPS-evolved circuit's ``<H> + constant`` at many parameter points in
+    one vmapped launch — the VQE forward pass at widths the dense
+    engines cannot hold (reference optimizer surface:
+    ``/root/reference/quantum_sim/engine/optimizer.py:133-165``, capped
+    at 16 qubits there by ``circuit.py:130``).
+
+    ``bindings`` are ``optimizer.ParameterBinding``-shaped objects
+    (``gate_index`` / ``param_index``); every bound gate must have a
+    traceable ``jnp_matrix_func`` (the same contract as the compiled
+    dense path).  Gradients pair this with the parameter-shift rule:
+    reverse-mode autodiff through the truncated-SVD splits is
+    numerically unsafe (the SVD JVP divides by ``s_i^2 - s_j^2``, and
+    product-state starts make degenerate/zero Schmidt values the common
+    case, not the edge case)."""
+    registry = GateRegistry.instance()
+    n = circuit.num_qubits
+    parsed = _parse_terms(n, terms)
+    per_gate: dict[int, list] = {}
+    for vi, b in enumerate(bindings):
+        gate = circuit.gates[b.gate_index]
+        gdef = registry.get(gate.gate_name)
+        if gdef.jnp_matrix_func is None:
+            raise ValueError(
+                f"{gate.gate_name} has no traceable matrix builder; the "
+                "MPS variational path needs jnp_matrix_func on every "
+                "bound gate (same contract as gradient_method='autodiff')")
+        if not 0 <= b.param_index < len(gate.params):
+            raise ValueError(
+                f"binding {vi} indexes param {b.param_index} of "
+                f"{gate.gate_name} which has {len(gate.params)}")
+        per_gate.setdefault(b.gate_index, []).append((b.param_index, vi))
+
+    key = (circuit.circuit_hash(), chi, float(constant),
+           tuple(sorted((gi, tuple(sorted(slots)))
+                        for gi, slots in per_gate.items())),
+           tuple((c, tuple(sorted(ops.items()))) for c, ops, _, _ in parsed))
+    fn = _COST_FN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    dtype = CONFIG.dtype
+
+    def one(values):
+        overrides = {}
+        for gi, slots in per_gate.items():
+            gate = circuit.gates[gi]
+            params = list(gate.params)
+            for pi, vi in slots:
+                params[pi] = values[vi]
+            overrides[id(gate)] = params
+        tensors, _, _, _ = _evolve(circuit, chi, dtype,
+                                   param_overrides=overrides)
+        return _hamiltonian_energy(tensors, parsed, n) + jnp.float32(
+            constant)
+
+    fn = jax.jit(jax.vmap(one))
+    if len(_COST_FN_CACHE) > 32:
+        _COST_FN_CACHE.pop(next(iter(_COST_FN_CACHE)))
+    _COST_FN_CACHE[key] = fn
+    return fn
 
 
 def amplitude(state: MPSState, bits) -> complex:
@@ -538,12 +692,11 @@ class MPSSimulator:
         state = self._final_state(circuit, chi)
         counts: dict[str, int] = {}
         if shots > 0:
-            stack, cm = _stack_padded(state.tensors, state.tensors[0].dtype)
-            sampler = _sample_fn(cm, state.tensors[0].dtype)
+            stack, _ = _stack_padded(state.tensors, state.tensors[0].dtype)
             key = jax.random.PRNGKey(
                 int(np.random.default_rng(seed).integers(0, 2 ** 63)))
             bits = np.asarray(
-                sampler(stack, jax.random.split(key, shots)))
+                _sample_shots(stack, jax.random.split(key, shots)))
             uniq, cnts = np.unique(bits.astype(np.uint8), axis=0,
                                    return_counts=True)
             counts = {"".join("1" if b else "0" for b in row): int(c)
@@ -620,27 +773,8 @@ class MPSSimulator:
                 k_traj, k_meas = jax.random.split(k)
                 tensors, disc, _, _ = _evolve(circuit, chi, dtype,
                                               noise_model, k_traj)
-                stack, cm = _stack_padded(tensors, dtype)
-
-                def body(carry, t):
-                    v, kk = carry
-                    kk, sub = jax.random.split(kk)
-                    w0 = jnp.einsum("l,lr->r", v, t[:, 0, :],
-                                    precision=_PREC)
-                    w1 = jnp.einsum("l,lr->r", v, t[:, 1, :],
-                                    precision=_PREC)
-                    p0 = jnp.sum(jnp.abs(w0) ** 2)
-                    p1 = jnp.sum(jnp.abs(w1) ** 2)
-                    pr0 = p0 / jnp.maximum(p0 + p1, 1e-30)
-                    bit = (jax.random.uniform(sub) >= pr0).astype(jnp.int32)
-                    w = jnp.where(bit == 0, w0, w1)
-                    w = w / jnp.sqrt(jnp.maximum(
-                        jnp.sum(jnp.abs(w) ** 2), 1e-30))
-                    return (w, kk), bit
-
-                v0 = jnp.zeros((cm,), dtype).at[0].set(1.0)
-                (_, _), bits = jax.lax.scan(body, (v0, k_meas), stack)
-                return bits, disc
+                stack, _ = _stack_padded(tensors, dtype)
+                return _sample_one_shot(stack, k_meas), disc
 
             fn = jax.jit(jax.vmap(one))
             self._compiled[cache_key] = fn
@@ -659,6 +793,7 @@ class MPSSimulator:
 
     # Observable surface re-exported on the class for discoverability.
     expectation_pauli_string = staticmethod(expectation_pauli_string)
+    expectation_hamiltonian = staticmethod(expectation_hamiltonian)
     amplitude = staticmethod(amplitude)
     to_statevector = staticmethod(to_statevector)
     entanglement_entropy = staticmethod(entanglement_entropy)

@@ -125,21 +125,70 @@ class ParameterizedCircuitConfig:
         return program, np.asarray(offsets, dtype=np.int32)
 
 
+class MPSParameterizedConfig(ParameterizedCircuitConfig):
+    """A parameterized circuit whose cost evaluations run on the MPS
+    engine (``mps.build_batched_cost_fn``) instead of a dense 2^n
+    state — variational optimization at 50+ qubits, far past the
+    amplitude engines' wall (and the reference's 16-qubit cap,
+    ``/root/reference/quantum_sim/engine/circuit.py:130``).
+
+    Works with every ``CircuitOptimizer`` surface that evaluates costs
+    in batch: ``run``/``step`` with ``gradient_method`` of
+    "parameter_shift" or "finite_difference", and the barren-plateau
+    detectors.  The cost must be Hamiltonian-shaped (built by
+    ``CostFunction.vqe_hamiltonian`` / ``qaoa_maxcut`` /
+    ``z_expectation``, which carry their Pauli terms).  Reverse-mode
+    paths ("autodiff", ``multi_start``) are rejected: differentiating
+    through truncated SVDs divides by Schmidt-value gaps that circuits
+    started from product states routinely make zero."""
+
+    def __init__(self, circuit: QuantumCircuit,
+                 bindings: list[ParameterBinding], chi: int = 64):
+        super().__init__(circuit, bindings)
+        if chi < 1:
+            raise ValueError("chi must be >= 1")
+        self.chi = chi
+
+    engine = "mps"
+
+    @classmethod
+    def auto_detect(cls, circuit: QuantumCircuit,
+                    chi: int = 64) -> "MPSParameterizedConfig":
+        base = ParameterizedCircuitConfig.auto_detect(circuit)
+        return cls(base.circuit, base.bindings, chi=chi)
+
+    def compiled(self):
+        raise ValueError(
+            "MPSParameterizedConfig has no dense compiled program; use "
+            "gradient_method='parameter_shift' or 'finite_difference' "
+            "(autodiff/multi_start need the statevector engine)")
+
+
 # ---------------------------------------------------------------------------
 # Cost functions (host callable + traceable device body)
 # ---------------------------------------------------------------------------
 
 class DeviceCost:
     """A cost with a host API (StateVector -> float) and a traceable
-    ``device_fn(psi, num_qubits) -> scalar`` for compiled programs."""
+    ``device_fn(psi, num_qubits) -> scalar`` for compiled programs.
+
+    Hamiltonian-shaped costs additionally carry ``terms`` (the
+    ``(coeff, pauli_string, qubits)`` list) and a scalar ``constant``
+    offset, so engines that never materialize a 2^n state — the MPS
+    variational path (``mps.build_batched_cost_fn``) — can evaluate the
+    same cost from its operator description."""
 
     _counter = 0
 
     def __init__(self, host_fn: Callable[[StateVector], float],
                  device_fn: Callable | None = None,
-                 key: tuple | None = None):
+                 key: tuple | None = None,
+                 terms: list | None = None,
+                 constant: float = 0.0):
         self._host_fn = host_fn
         self.device_fn = device_fn
+        self.terms = terms
+        self.constant = float(constant)
         if key is None:
             DeviceCost._counter += 1
             key = ("anon", DeviceCost._counter)
@@ -235,7 +284,7 @@ class CostFunction:
             return total
 
         key = ("vqe", tuple((c, p, tuple(q)) for c, p, q in terms))
-        return DeviceCost(host, device, key=key)
+        return DeviceCost(host, device, key=key, terms=terms)
 
     @staticmethod
     def qaoa_maxcut(edges: list[tuple[int, int]]) -> DeviceCost:
@@ -251,7 +300,8 @@ class CostFunction:
         def device(psi, n):
             return len(edges) * 0.5 + zz_part.device_fn(psi, n)
 
-        return DeviceCost(host, device, key=("maxcut", tuple(edges)))
+        return DeviceCost(host, device, key=("maxcut", tuple(edges)),
+                          terms=terms, constant=len(edges) * 0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -383,8 +433,25 @@ class GradientEstimator:
                        seed: int | None = None) -> np.ndarray:
         """Evaluate the cost at each row of ``values_batch``. One device
         launch when the circuit and cost are traceable; falls back to
-        per-row re-simulation otherwise (custom gates / Python costs)."""
+        per-row re-simulation otherwise (custom gates / Python costs).
+        MPS-engine configs evaluate on the MPS variational path (no
+        2^n state exists to fall back to)."""
         from .simulator import _is_huge
+
+        if getattr(config, "engine", None) == "mps":
+            if not isinstance(cost_fn, DeviceCost) or cost_fn.terms is None:
+                raise ValueError(
+                    "the MPS engine evaluates Hamiltonian-shaped costs "
+                    "only (CostFunction.vqe_hamiltonian / qaoa_maxcut / "
+                    "z_expectation carry their Pauli terms; there is no "
+                    "dense state for host-callable costs)")
+            from . import mps
+            fn = mps.build_batched_cost_fn(
+                config.circuit, config.bindings, cost_fn.terms,
+                config.chi, constant=cost_fn.constant)
+            return np.asarray(
+                fn(jnp.asarray(values_batch, dtype=jnp.float32)),
+                dtype=np.float64)
 
         huge = _is_huge(config.circuit)
         if (not huge and isinstance(cost_fn, DeviceCost)

@@ -58,7 +58,8 @@ HAMILTONIANS = {
 
 def run_benchmark(n_qubits: int, n_layers: int, hamiltonian_name: str,
                   lr: float, max_iters: int, seed: int,
-                  grad_method: str = "autodiff", n_starts: int = 1) -> dict:
+                  grad_method: str = "autodiff", n_starts: int = 1,
+                  engine: str = "statevector", chi: int = 32) -> dict:
     circuit = _build_ansatz(n_qubits, n_layers)
     config = ParameterizedCircuitConfig.auto_detect(circuit)
     cost_fn = HAMILTONIANS[hamiltonian_name](n_qubits)
@@ -68,7 +69,21 @@ def run_benchmark(n_qubits: int, n_layers: int, hamiltonian_name: str,
     for i, b in enumerate(config.bindings):
         circuit.gates[b.gate_index].params[b.param_index] = float(
             init_vals[i])
-    config = ParameterizedCircuitConfig.auto_detect(circuit)
+    if engine == "mps":
+        # Variational optimization on the MPS engine: cost batches are
+        # bond-dimension-chi tensor contractions, so the ansatz width is
+        # limited by entanglement, not by 2^n (reference cap: 16 qubits,
+        # circuit.py:130). Reverse-mode is unsafe through truncated
+        # SVDs, so gradients use the parameter-shift rule.
+        from quantum_simulator_tpu.optimizer import MPSParameterizedConfig
+        if n_starts > 1:
+            raise SystemExit("--starts > 1 needs autodiff; "
+                             "--engine mps uses parameter_shift")
+        if grad_method == "autodiff":
+            grad_method = "parameter_shift"
+        config = MPSParameterizedConfig.auto_detect(circuit, chi=chi)
+    else:
+        config = ParameterizedCircuitConfig.auto_detect(circuit)
 
     if n_starts > 1:
         # Batched multi-start: every start's full Adam loop runs in one
@@ -135,6 +150,8 @@ def run_benchmark(n_qubits: int, n_layers: int, hamiltonian_name: str,
         "elapsed_seconds": round(elapsed, 3),
         "gradient_method": grad_method,
         "cost_trace": cost_trace,
+        "engine": engine,
+        **({"chi": chi} if engine == "mps" else {}),
     }
 
 
@@ -158,16 +175,24 @@ def main():
         "--starts", type=int, default=1,
         help="multi-start: N full Adam loops in one vmapped device "
              "launch (forces autodiff; start 0 = the --seed init)")
+    parser.add_argument(
+        "--engine", choices=["statevector", "mps"], default="statevector",
+        help="mps: evaluate costs as bond-dimension-chi MPS contractions "
+             "(VQE at 40+ qubits; parameter-shift gradients)")
+    parser.add_argument("--chi", type=int, default=32,
+                        help="MPS bond dimension (with --engine mps)")
     parser.add_argument("--output", type=str, default=None)
     args = parser.parse_args()
 
     print(f"Running VQE benchmark: qubits={args.qubits}, "
           f"layers={args.layers}, H={args.hamiltonian}, lr={args.lr}, "
-          f"iters={args.iters}, seed={args.seed}, grad={args.grad}")
+          f"iters={args.iters}, seed={args.seed}, grad={args.grad}, "
+          f"engine={args.engine}")
 
     result = run_benchmark(args.qubits, args.layers, args.hamiltonian,
                            args.lr, args.iters, args.seed, args.grad,
-                           n_starts=args.starts)
+                           n_starts=args.starts, engine=args.engine,
+                           chi=args.chi)
 
     output = {
         "experiment": "vqe_benchmark",

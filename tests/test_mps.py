@@ -279,3 +279,51 @@ class TestMonitored:
             c, n_trajectories=3, seed=1)
         for st in states:
             assert abs(mps.entanglement_entropy(st, 3)) < 1e-5
+
+
+class TestHamiltonian:
+    def test_tfim_energy_vs_dense(self, rng):
+        from quantum_simulator_tpu.models.hamiltonians import (
+            heisenberg_chain, tfim_chain)
+        n = 6
+        c = _random_circuit(n, depth=3, rng=rng, twoq_any_pair=True)
+        _, state = mps.MPSSimulator(chi=8).run(c, shots=0)
+        psi = _statevector(c)
+        paulis = {"I": np.eye(2), "X": np.array([[0, 1], [1, 0]]),
+                  "Y": np.array([[0, -1j], [1j, 0]]),
+                  "Z": np.diag([1.0, -1.0])}
+        for terms in (tfim_chain(n, j=-1.0, h=-0.7),
+                      heisenberg_chain(n, jx=0.5, jy=-0.3, jz=1.1)):
+            want = 0.0
+            for coeff, pstr, qubits in terms:
+                full = ["I"] * n
+                for q, p in zip(qubits, pstr):
+                    full[q] = p
+                op = np.eye(1)
+                for ch in full:
+                    op = np.kron(op, paulis[ch])
+                want += coeff * float(np.real(psi.conj() @ op @ psi))
+            got = mps.expectation_hamiltonian(state, terms)
+            assert abs(got - want) < 1e-3
+
+    def test_zz_chain_on_ghz80(self):
+        from quantum_simulator_tpu.models.hamiltonians import zz_chain
+        n = 80
+        c = QuantumCircuit(num_qubits=n)
+        c.add_gate(_g("H", [0], col=0))
+        for q in range(n - 1):
+            c.add_gate(_g("CNOT", [q, q + 1], col=q + 1))
+        _, state = mps.MPSSimulator(chi=2).run(c, shots=0)
+        # GHZ: every <Z_i Z_{i+1}> = +1, so sum with coeff -1 is -(n-1).
+        got = mps.expectation_hamiltonian(state, zz_chain(n, coeff=-1.0))
+        assert abs(got + (n - 1)) < 1e-3
+
+    def test_term_validation(self):
+        c = QuantumCircuit(num_qubits=3)
+        _, state = mps.MPSSimulator(chi=2).run(c, shots=0)
+        with pytest.raises(ValueError):
+            mps.expectation_hamiltonian(state, [(1.0, "ZZ", [0])])
+        with pytest.raises(ValueError):
+            mps.expectation_hamiltonian(state, [(1.0, "ZZ", [1, 1])])
+        with pytest.raises(ValueError):
+            mps.expectation_hamiltonian(state, [(1.0, "ZQ", [0, 1])])

@@ -241,3 +241,80 @@ class TestMultiStart:
             CircuitOptimizer.multi_start(
                 cfg2, CostFunction.z_expectation(0), n_starts=2,
                 init_values=np.zeros((3, 1)))
+
+
+class TestMPSEngine:
+    """Variational optimization on the MPS engine: same optimizer
+    surface, no 2^n state (optimizer.MPSParameterizedConfig)."""
+
+    def test_cost_trace_matches_statevector(self):
+        from quantum_simulator_tpu.optimizer import MPSParameterizedConfig
+        c = ansatz(4, layers=2, theta=0.3)
+        terms = [(-1.0, "ZZ", [q, q + 1]) for q in range(3)]
+        terms += [(-0.6, "X", [q]) for q in range(4)]
+        cost = CostFunction.vqe_hamiltonian(terms)
+        runs = {}
+        for name, cfg in (
+                ("dense", ParameterizedCircuitConfig.auto_detect(c)),
+                ("mps", MPSParameterizedConfig.auto_detect(c, chi=16))):
+            opt = CircuitOptimizer(cfg, cost, learning_rate=0.2,
+                                   max_iterations=4, tolerance=0.0)
+            res = opt.run(seed=11)
+            runs[name] = [h[1] for h in res.history]
+        np.testing.assert_allclose(runs["mps"], runs["dense"], atol=1e-4)
+
+    def test_vqe_at_40_qubits_descends(self):
+        from quantum_simulator_tpu import mps
+        from quantum_simulator_tpu.models.hamiltonians import zz_chain
+        from quantum_simulator_tpu.optimizer import MPSParameterizedConfig
+        n = 40
+        c = ansatz(n, layers=1, theta=0.4)
+        cfg = MPSParameterizedConfig.auto_detect(c, chi=8)
+        assert cfg.num_params == n
+        cost = CostFunction.vqe_hamiltonian(zz_chain(n, coeff=-1.0))
+        opt = CircuitOptimizer(cfg, cost, learning_rate=0.3,
+                               max_iterations=3, tolerance=0.0)
+        first = opt._evaluate_cost(cfg.get_values())
+        res = opt.run(seed=5)
+        assert res.optimal_cost < first
+        # The optimizer's cost agrees with the standalone MPS energy of
+        # the bound circuit (independent contraction path).
+        _, state = mps.MPSSimulator(chi=8).run(
+            cfg.bind_values(res.optimal_values), shots=0)
+        want = mps.expectation_hamiltonian(state, zz_chain(n, coeff=-1.0))
+        assert res.optimal_cost == pytest.approx(want, abs=1e-4)
+
+    def test_qaoa_constant_offset_carried(self):
+        from quantum_simulator_tpu.optimizer import (GradientEstimator,
+                                                     MPSParameterizedConfig)
+        c = ansatz(3, layers=1, theta=0.5)
+        cost = CostFunction.qaoa_maxcut([(0, 1), (1, 2)])
+        dense = GradientEstimator._batched_costs(
+            ParameterizedCircuitConfig.auto_detect(c), cost,
+            np.array([[0.5, 0.2, 0.9]]))
+        via_mps = GradientEstimator._batched_costs(
+            MPSParameterizedConfig.auto_detect(c, chi=8), cost,
+            np.array([[0.5, 0.2, 0.9]]))
+        np.testing.assert_allclose(via_mps, dense, atol=1e-5)
+
+    def test_rejects_termless_cost_and_reverse_mode(self):
+        from quantum_simulator_tpu.optimizer import MPSParameterizedConfig
+        cfg = MPSParameterizedConfig.auto_detect(ansatz(3), chi=4)
+        with pytest.raises(ValueError, match="Hamiltonian-shaped"):
+            CircuitOptimizer(cfg, CostFunction.state_fidelity(
+                np.eye(8)[0]), max_iterations=1).step()
+        cost = CostFunction.z_expectation(0)
+        with pytest.raises(ValueError, match="parameter_shift"):
+            CircuitOptimizer(cfg, cost,
+                             gradient_method="autodiff").step()
+        with pytest.raises(ValueError, match="parameter_shift"):
+            CircuitOptimizer.multi_start(cfg, cost, n_starts=2,
+                                         max_iterations=2)
+
+    def test_barren_plateau_on_mps(self):
+        from quantum_simulator_tpu.optimizer import MPSParameterizedConfig
+        cfg = MPSParameterizedConfig.auto_detect(ansatz(3), chi=8)
+        opt = CircuitOptimizer(cfg, CostFunction.z_expectation(0))
+        out = opt.detect_barren_plateau(n_samples=4, seed=0)
+        assert len(out["per_param"]) == cfg.num_params
+        assert not out["is_barren"]
