@@ -387,6 +387,32 @@ def bench_bit_engines():
     except Exception as e:
         print(f"[bench] MPS bench failed: {e}", file=sys.stderr)
 
+    try:
+        import numpy as _np
+
+        from quantum_simulator_tpu.dmrg import dmrg_ground_state
+        from quantum_simulator_tpu.models.hamiltonians import tfim_chain
+
+        n, j, h = 64, -1.0, -0.8
+        m = _np.zeros((n, n))
+        for i in range(n):
+            m[i, i] = -h
+        for i in range(n - 1):
+            m[i, i + 1] = -j
+        exact = -float(_np.sum(_np.linalg.svd(m, compute_uv=False)))
+        res = dmrg_ground_state(tfim_chain(n, j=j, h=h), n, chi=16,
+                                sweeps=5, lanczos_k=10)  # compile
+        t0 = _time.perf_counter()
+        res = dmrg_ground_state(tfim_chain(n, j=j, h=h), n, chi=16,
+                                sweeps=5, lanczos_k=10)
+        dt = _time.perf_counter() - t0
+        print(f"[bench] DMRG TFIM n={n} chi=16 5 sweeps: {dt:.2f} s warm, "
+              f"E={res.energy:.4f} vs free-fermion exact {exact:.4f} "
+              f"(rel err {(res.energy - exact) / abs(exact):.1e})",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] DMRG bench failed: {e}", file=sys.stderr)
+
 
 def main():
     from quantum_simulator_tpu.utils.preflight import require_device_or_cpu

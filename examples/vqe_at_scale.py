@@ -100,6 +100,17 @@ def main() -> int:
     print(f"n={args.qubits}: optimal cost {result.optimal_cost:+.6f} "
           f"after {result.iterations} iterations "
           f"({time.time() - t0:.1f}s, {config.num_params} params)")
+    if args.engine == "mps":
+        # The MPS stack also provides the EXACT variational target: a
+        # DMRG ground-state solve of the same Hamiltonian, at the same
+        # bond dimension — something no 2^n engine can produce here.
+        from quantum_simulator_tpu.dmrg import dmrg_ground_state
+        t1 = time.time()
+        gs = dmrg_ground_state(terms, args.qubits, chi=args.chi,
+                               sweeps=4)
+        print(f"DMRG ground-state target: {gs.energy:+.6f} "
+              f"({time.time() - t1:.1f}s) — VQE gap "
+              f"{result.optimal_cost - gs.energy:+.6f}")
     return 0
 
 

@@ -23,6 +23,7 @@ from .noise import (
 )
 from .registry import GateRegistry
 from .clifford import CliffordSimulator
+from .dmrg import DMRGResult, dmrg_ground_state
 from .mps import MPSSimulator, MPSState
 from .density import DensityMatrixResult, DensityMatrixSimulator
 from .simulator import SimulationResult, Simulator
@@ -35,6 +36,8 @@ __all__ = [
     "CliffordSimulator",
     "DensityMatrixSimulator",
     "CONFIG",
+    "DMRGResult",
+    "dmrg_ground_state",
     "EngineConfig",
     "GateDefinition",
     "GateInstance",
