@@ -1,0 +1,89 @@
+"""Quench dynamics at 50 qubits: a domain wall melting under the
+transverse-field Ising Hamiltonian, watched through the MPS engine.
+
+The initial product state |0...0 1...1> evolves under
+``H = J sum Z Z + h sum X`` via second-order Trotter circuits
+(``models/trotter.py``); correlations spread outward from the wall at
+the Lieb-Robinson velocity, and the per-site <Z_i> profile shows the
+light cone directly.  Entanglement across the wall grows linearly in
+time — the honest ``truncation_weight`` ledger reports the moment the
+simulation stops being exact at this chi.
+
+Nothing in the reference's 16-qubit world can express this experiment;
+here it is a page of driver code over public APIs.
+
+    python examples/quench_dynamics.py                 # n=50, CPU-ok
+    python examples/quench_dynamics.py --qubits 80 --chi 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from quantum_simulator_tpu.utils.preflight import require_device_or_cpu
+
+require_device_or_cpu()  # pins CPU (both knobs) when the TPU tunnel is dead
+
+from quantum_simulator_tpu import GateInstance, MPSSimulator, QuantumCircuit
+from quantum_simulator_tpu import mps
+from quantum_simulator_tpu.models.hamiltonians import tfim_chain
+from quantum_simulator_tpu.models.trotter import trotter_circuit
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--qubits", type=int, default=50)
+    ap.add_argument("--chi", type=int, default=24)
+    ap.add_argument("--time", type=float, default=2.0)
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--steps-per-frame", type=int, default=4)
+    args = ap.parse_args()
+
+    n = args.qubits
+    terms = tfim_chain(n, j=-1.0, h=-0.6)
+    sim = MPSSimulator(chi=args.chi)
+    dt_frame = args.time / args.frames
+
+    def profile(state):
+        zs = [mps.expectation_pauli_string(state, {q: "Z"})
+              for q in range(n)]
+        return "".join("#" if z > 0.5 else ("." if z < -0.5 else "~")
+                       for z in zs)
+
+    print(f"TFIM domain-wall quench: n={n}, chi={args.chi}, "
+          f"dt/frame={dt_frame:.2f} "
+          f"(# = <Z> up, . = down, ~ = melted)")
+    t0 = time.time()
+    for f in range(args.frames + 1):
+        # Evolution restarts from t=0 each frame: the circuit IS the
+        # state's program, so frame f is one compiled run of f*steps
+        # Trotter steps (per-frame caching keeps re-runs warm).
+        c = QuantumCircuit(n)
+        for q in range(n // 2, n):
+            c.add_gate(GateInstance("X", [q], [], column=0))
+        if f:
+            evo = trotter_circuit(n, terms, f * dt_frame,
+                                  steps=f * args.steps_per_frame,
+                                  order=2)
+            for g in evo.gates:
+                g.column += 1
+                c.add_gate(g)
+        _, state = sim.run(c, shots=0)
+        wall_entropy = mps.entanglement_entropy(state, n // 2 - 1)
+        print(f"t={f * dt_frame:4.1f}  {profile(state)}  "
+              f"S_wall={wall_entropy:.2f}b  "
+              f"trunc={state.truncation_weight:.1e}  "
+              f"({time.time() - t0:.0f}s)")
+    energy = mps.expectation_hamiltonian(state, terms)
+    print(f"final <H> = {energy:+.4f} (initial {-(n - 1) + 2.0:+.4f}; "
+          f"drift = Trotter + truncation error)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
