@@ -36,6 +36,7 @@ from ..debugger import CircuitDebugger
 from ..optimizer import (
     CircuitOptimizer,
     CostFunction,
+    MPSParameterizedConfig,
     ParameterizedCircuitConfig,
 )
 from ..qec import AVAILABLE_CODES, QECSimulator
@@ -363,6 +364,14 @@ class OptimizerPanel(_Canvas):
         self.grad_combo = QComboBox()
         self.grad_combo.addItems(["autodiff", "parameter_shift",
                                   "finite_difference"])
+        # Engine selector (mirrors the QEC panel's): "mps" evaluates
+        # costs as bond-dimension-chi contractions, so wide circuits
+        # optimize without a 2^n state (parameter-shift gradients).
+        self.engine_combo = QComboBox()
+        self.engine_combo.addItems(["statevector", "mps"])
+        self.chi_spin = QSpinBox()
+        self.chi_spin.setRange(2, 256)
+        self.chi_spin.setValue(32)
         self.run_btn = QPushButton("Optimize")
         self.run_btn.clicked.connect(self._on_run_clicked)
         self.plateau_btn = QPushButton("Barren Plateau")
@@ -372,7 +381,9 @@ class OptimizerPanel(_Canvas):
         self.view_combo.currentIndexChanged.connect(lambda _: self._plot())
         for w in (QLabel("Cost:"), self.cost_combo, QLabel("LR:"),
                   self.lr_spin, QLabel("Iters:"), self.iters_spin,
-                  QLabel("Grad:"), self.grad_combo, self.run_btn,
+                  QLabel("Grad:"), self.grad_combo,
+                  QLabel("Engine:"), self.engine_combo,
+                  QLabel("χ:"), self.chi_spin, self.run_btn,
                   self.plateau_btn, QLabel("View:"), self.view_combo):
             self.controls.addWidget(w)
         self.controls.addStretch(1)
@@ -401,11 +412,25 @@ class OptimizerPanel(_Canvas):
         if self._circuit_supplier is not None:
             self.show_plateau(self._circuit_supplier())
 
+    def _make_config(self, circuit):
+        """Config honoring the engine selector; "mps" evaluates the
+        cost as bond-dimension-chi contractions (no 2^n state)."""
+        if self.engine_combo.currentText() == "mps":
+            return MPSParameterizedConfig.auto_detect(
+                circuit, chi=self.chi_spin.value())
+        return ParameterizedCircuitConfig.auto_detect(circuit)
+
+    def _grad_method(self) -> str:
+        grad = self.grad_combo.currentText()
+        if grad == "autodiff" and self.engine_combo.currentText() == "mps":
+            return "parameter_shift"  # no reverse-mode through SVDs
+        return grad
+
     def optimize(self, circuit, seed: int = 42) -> None:
         if self._busy:
             self.stop()   # second click cancels the active run
             return
-        config = ParameterizedCircuitConfig.auto_detect(circuit)
+        config = self._make_config(circuit)
         if config.num_params == 0:
             self.axes().set_title("No parameterized gates in circuit")
             self.redraw()
@@ -418,7 +443,7 @@ class OptimizerPanel(_Canvas):
             config, self._cost_fn(circuit),
             learning_rate=self.lr_spin.value(),
             max_iterations=self.iters_spin.value(),
-            gradient_method=self.grad_combo.currentText())
+            gradient_method=self._grad_method())
 
         def on_iter(i, values, cost):
             self._param_history.append([float(v) for v in values])
@@ -467,7 +492,7 @@ class OptimizerPanel(_Canvas):
         self.redraw()
 
     def show_plateau(self, circuit, seed: int = 42) -> None:
-        config = ParameterizedCircuitConfig.auto_detect(circuit)
+        config = self._make_config(circuit)
         if config.num_params == 0:
             return
         opt = CircuitOptimizer(config, self._cost_fn(circuit))
