@@ -121,6 +121,10 @@ class CircuitController:
             "bernstein_vazirani": lambda: AlgorithmTemplate.bernstein_vazirani(
                 kwargs.get("secret", "101")),
             "superdense_coding": AlgorithmTemplate.superdense_coding,
+            "tfim_quench": lambda: AlgorithmTemplate.tfim_quench(
+                kwargs.get("num_qubits", 4),
+                kwargs.get("time", 1.0),
+                kwargs.get("steps")),
         }
         builder = builders.get(template_name)
         if builder is None:

@@ -248,6 +248,8 @@ class AlgorithmDialog(QDialog):
         if name == "bernstein_vazirani":
             return AlgorithmTemplate.bernstein_vazirani(
                 self.secret_edit.text() or "101")
+        if name == "tfim_quench":
+            return AlgorithmTemplate.tfim_quench(n)
         return AlgorithmTemplate.superdense_coding()
 
 

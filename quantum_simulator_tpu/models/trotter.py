@@ -58,11 +58,10 @@ def exp_pauli_gate(pauli_string: str) -> str:
         raise ValueError(f"unsupported Pauli in {pauli_string!r}")
     name = f"ExpP[{pstr}]"
     registry = GateRegistry.instance()
-    try:
-        registry.get(name)
+    # Raw-table membership probe: registry.get() synthesizes ExpP names
+    # by calling back into this function, so it must not be used here.
+    if name in registry._gates:
         return name
-    except KeyError:
-        pass
     p = np.eye(1, dtype=np.complex128)
     for ch in pstr:
         p = np.kron(p, _PAULI[ch])

@@ -410,6 +410,9 @@ _PAULI_2X2 = {
     "Z": np.array([[1, 0], [0, -1]], np.complex64),
 }
 
+_H_2X2 = np.array([[1, 1], [1, -1]], np.complex64) / np.sqrt(2.0)
+_SDG_2X2 = np.array([[1, 0], [0, -1j]], np.complex64)
+
 
 def expectation_pauli_string(state: MPSState, paulis: dict | str) -> float:
     """<P> for an arbitrary Pauli string via one left-to-right transfer
@@ -687,20 +690,40 @@ class MPSSimulator:
                         float(discarded))
 
     def run(self, circuit: QuantumCircuit, shots: int = 1000,
-            seed: int | None = None, chi: int | None = None):
-        """-> (counts, MPSState)."""
+            seed: int | None = None, chi: int | None = None,
+            basis: str = "Z", readout_error=None):
+        """-> (counts, MPSState).
+
+        ``basis`` mirrors ``MeasurementEngine.sample_with_basis``
+        (reference ``measurement.py:60-129``): "X" rotates every site
+        by H, "Y" by H S-dagger, before the conditional-cascade draw —
+        ONE einsum on the padded stack, since 1-site unitaries commute
+        with the canonical form.  ``readout_error`` applies SHOT-mode
+        corruption (per-bit confusion draws) at any width; the
+        reference's distribution mode needs the 2^n probability vector
+        and is meaningless at MPS scale."""
         state = self._final_state(circuit, chi)
         counts: dict[str, int] = {}
         if shots > 0:
+            basis = str(getattr(basis, "value", basis)).upper()
+            if basis not in ("Z", "X", "Y"):
+                raise ValueError(f"unsupported basis {basis!r}")
             stack, _ = _stack_padded(state.tensors, state.tensors[0].dtype)
-            key = jax.random.PRNGKey(
-                int(np.random.default_rng(seed).integers(0, 2 ** 63)))
+            if basis != "Z":
+                rot = _H_2X2 if basis == "X" else _H_2X2 @ _SDG_2X2
+                stack = jnp.einsum(
+                    "qp,slpr->slqr", jnp.asarray(rot, stack.dtype),
+                    stack, precision=_PREC)
+            rng = np.random.default_rng(seed)
+            key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 63)))
             bits = np.asarray(
                 _sample_shots(stack, jax.random.split(key, shots)))
             uniq, cnts = np.unique(bits.astype(np.uint8), axis=0,
                                    return_counts=True)
             counts = {"".join("1" if b else "0" for b in row): int(c)
                       for row, c in zip(uniq, cnts)}
+            if readout_error is not None:
+                counts = readout_error.corrupt_counts(counts, rng)
         return counts, state
 
     def monitored_trajectories(self, circuit: QuantumCircuit,

@@ -191,6 +191,15 @@ class GateRegistry:
                     num_controls=k - 1, num_targets=1,
                     cphase_value=-1.0 + 0.0j))
                 return self._gates[name]
+            # ExpP[<pauli string>] evolution gates likewise synthesize
+            # on demand, so Trotter circuits deserialize in a fresh
+            # process (models/trotter.py registers them lazily anyway).
+            m = _re.fullmatch(r"ExpP\[([IXYZ]+)\]", name)
+            if m:
+                from .models.trotter import exp_pauli_gate
+
+                exp_pauli_gate(m.group(1))  # registers `name`
+                return self._gates[name]
             raise KeyError(f"Gate '{name}' not found in registry")
         return self._gates[name]
 

@@ -100,11 +100,24 @@ def test_teleportation_preserves_norm():
 
 def test_list_templates():
     templates = AlgorithmTemplate.list_templates()
-    assert len(templates) == 9
+    # The reference's nine plus the time-evolution addition.
+    assert len(templates) == 10
     assert {t["name"] for t in templates} == {
         "bell_state", "ghz_state", "qft", "inverse_qft", "grover",
         "deutsch_jozsa", "teleportation", "bernstein_vazirani",
-        "superdense_coding"}
+        "superdense_coding", "tfim_quench"}
+
+
+def test_tfim_quench_template():
+    c = AlgorithmTemplate.tfim_quench(4, time=0.5)
+    probs = final_probs(c)
+    assert probs.sum() == pytest.approx(1.0, abs=1e-5)
+    # At t=0 the template is just the domain-wall preparation.
+    c0 = AlgorithmTemplate.tfim_quench(4, time=0.0)
+    probs0 = final_probs(c0)
+    assert probs0[0b0011] == pytest.approx(1.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        AlgorithmTemplate.tfim_quench(1)
 
 
 def test_mcz_gates_serialize():

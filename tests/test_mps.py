@@ -327,3 +327,53 @@ class TestHamiltonian:
             mps.expectation_hamiltonian(state, [(1.0, "ZZ", [1, 1])])
         with pytest.raises(ValueError):
             mps.expectation_hamiltonian(state, [(1.0, "ZQ", [0, 1])])
+
+
+class TestBasisSampling:
+    def test_x_basis_plus_state_is_deterministic(self):
+        n = 50
+        c = QuantumCircuit(num_qubits=n)
+        for q in range(n):
+            c.add_gate(_g("H", [q], col=0))
+        counts, _ = mps.MPSSimulator(chi=2).run(c, shots=64, seed=0,
+                                                basis="X")
+        assert counts == {"0" * n: 64}
+
+    def test_y_basis_plus_i_state_is_deterministic(self):
+        n = 20
+        c = QuantumCircuit(num_qubits=n)
+        for q in range(n):
+            c.add_gate(_g("H", [q], col=0))
+            c.add_gate(_g("S", [q], col=1))
+        counts, _ = mps.MPSSimulator(chi=2).run(c, shots=64, seed=1,
+                                                basis="Y")
+        assert counts == {"0" * n: 64}
+
+    def test_ghz_x_basis_even_parity(self):
+        n = 4
+        c = QuantumCircuit(num_qubits=n)
+        c.add_gate(_g("H", [0], col=0))
+        for q in range(n - 1):
+            c.add_gate(_g("CNOT", [q, q + 1], col=q + 1))
+        counts, _ = mps.MPSSimulator(chi=4).run(c, shots=400, seed=2,
+                                                basis="X")
+        assert all(s.count("1") % 2 == 0 for s in counts)
+        assert len(counts) == 8  # all even-parity strings appear
+
+    def test_readout_error_shot_mode(self):
+        from quantum_simulator_tpu.noise import ReadoutError
+        n = 30
+        c = QuantumCircuit(num_qubits=n)
+        for q in range(n):
+            c.add_gate(_g("H", [q], col=0))
+        # p01 = P(read 1 | true 0) = 1 flips every bit of the
+        # all-zeros X-basis outcome.
+        ro = ReadoutError(p01=1.0, p10=0.0)
+        counts, _ = mps.MPSSimulator(chi=2).run(
+            c, shots=16, seed=3, basis="X", readout_error=ro)
+        assert counts == {"1" * n: 16}
+
+    def test_bad_basis_rejected(self):
+        c = QuantumCircuit(num_qubits=2)
+        with pytest.raises(ValueError):
+            mps.MPSSimulator(chi=2).run(c, shots=8, basis="W")

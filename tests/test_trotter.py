@@ -133,3 +133,24 @@ class TestEvolution:
         start = opt._evaluate_cost(cfg.get_values())
         res = opt.run(seed=3)
         assert res.optimal_cost < start
+
+
+class TestSerde:
+    def test_expp_gates_deserialize_in_fresh_registry(self):
+        from quantum_simulator_tpu.algorithms import AlgorithmTemplate
+
+        c = AlgorithmTemplate.tfim_quench(4, time=0.5)
+        d = c.to_dict()
+        GateRegistry.reset()  # simulate a fresh process
+        try:
+            c2 = QuantumCircuit.from_dict(d)
+            assert c2.circuit_hash() == c.circuit_hash()
+            # registry.get synthesizes ExpP[...] on demand (like MCZ_k).
+            gdef = GateRegistry.instance().get("ExpP[ZZ]")
+            assert gdef.num_params == 1
+            with pytest.raises(KeyError):
+                GateRegistry.instance().get("ExpP[]")
+            with pytest.raises(KeyError):
+                GateRegistry.instance().get("ExpP[QQ]")
+        finally:
+            GateRegistry.reset()
