@@ -29,10 +29,9 @@ from quantum_simulator_tpu.utils.preflight import require_device_or_cpu
 
 require_device_or_cpu()  # pins CPU (both knobs) when the TPU tunnel is dead
 
-from quantum_simulator_tpu import GateInstance, MPSSimulator, QuantumCircuit
-from quantum_simulator_tpu import mps
+from quantum_simulator_tpu import MPSSimulator, mps
+from quantum_simulator_tpu.algorithms import AlgorithmTemplate
 from quantum_simulator_tpu.models.hamiltonians import tfim_chain
-from quantum_simulator_tpu.models.trotter import trotter_circuit
 
 
 def main() -> int:
@@ -62,17 +61,11 @@ def main() -> int:
     for f in range(args.frames + 1):
         # Evolution restarts from t=0 each frame: the circuit IS the
         # state's program, so frame f is one compiled run of f*steps
-        # Trotter steps (per-frame caching keeps re-runs warm).
-        c = QuantumCircuit(n)
-        for q in range(n // 2, n):
-            c.add_gate(GateInstance("X", [q], [], column=0))
-        if f:
-            evo = trotter_circuit(n, terms, f * dt_frame,
-                                  steps=f * args.steps_per_frame,
-                                  order=2)
-            for g in evo.gates:
-                g.column += 1
-                c.add_gate(g)
+        # Trotter steps (per-frame caching keeps re-runs warm). The
+        # circuit is exactly the tfim_quench algorithm template.
+        c = AlgorithmTemplate.tfim_quench(
+            n, time=f * dt_frame,
+            steps=max(1, f * args.steps_per_frame), j=-1.0, h=-0.6)
         _, state = sim.run(c, shots=0)
         wall_entropy = mps.entanglement_entropy(state, n // 2 - 1)
         print(f"t={f * dt_frame:4.1f}  {profile(state)}  "

@@ -309,6 +309,10 @@ def dmrg_ground_state(terms, num_qubits: int, chi: int = 32,
         raise ValueError("DMRG needs at least 2 sites")
     if chi < 2:
         raise ValueError("chi must be >= 2")
+    if sweeps < 1:
+        raise ValueError("sweeps must be >= 1")
+    if lanczos_k < 2:
+        raise ValueError("lanczos_k must be >= 2")
     dtype = CONFIG.dtype
     w_stack = terms_to_mpo(n, terms, dtype)
     d = int(w_stack.shape[1])

@@ -37,9 +37,10 @@ _PAULI = {
     "Z": np.diag([1.0, -1.0]).astype(np.complex128),
 }
 
-# The k-site dense-gate ceiling of the MPS engine (mps._MAX_DENSE_SITES)
-# is the widest consumer; the dense engines embed up to their own caps.
-_MAX_SITES = 8
+# The k-site dense-gate ceiling of the MPS engine is the widest
+# consumer; the dense engines embed up to their own caps. (Also the
+# bound in registry.get's ExpP synthesis regex.)
+from ..mps import _MAX_DENSE_SITES as _MAX_SITES  # noqa: E402
 
 
 def exp_pauli_gate(pauli_string: str) -> str:

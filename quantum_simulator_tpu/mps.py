@@ -413,6 +413,20 @@ _PAULI_2X2 = {
 _H_2X2 = np.array([[1, 1], [1, -1]], np.complex64) / np.sqrt(2.0)
 _SDG_2X2 = np.array([[1, 0], [0, -1j]], np.complex64)
 
+# Shared cache of jitted observable programs, keyed on the STATIC parts
+# of each closure (op placements, parsed terms, bond index). jax.jit
+# itself re-specializes per tensor shape inside each entry, so one
+# entry serves every (n, chi) combination of the same observable.
+_JIT_CACHE: dict = {}
+
+
+def _put_jit(key, body):
+    fn = jax.jit(body)
+    if len(_JIT_CACHE) > 128:
+        _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
+    _JIT_CACHE[key] = fn
+    return fn
+
 
 def expectation_pauli_string(state: MPSState, paulis: dict | str) -> float:
     """<P> for an arbitrary Pauli string via one left-to-right transfer
@@ -433,17 +447,24 @@ def expectation_pauli_string(state: MPSState, paulis: dict | str) -> float:
         if p not in ("X", "Y", "Z"):
             raise ValueError(f"unsupported Pauli {p!r}")
 
-    @jax.jit
-    def contract(tensors):
-        env = jnp.ones((1, 1), tensors[0].dtype)
-        norm = jnp.ones((1, 1), tensors[0].dtype)
-        for i, t in enumerate(tensors):
-            o = jnp.asarray(_PAULI_2X2[ops.get(i, "I")], t.dtype)
-            env = jnp.einsum("lm,lpa,pq,mqb->ab", env, t.conj(), o, t,
-                             precision=_PREC)
-            norm = jnp.einsum("lm,lpa,mpb->ab", norm, t.conj(), t,
-                              precision=_PREC)
-        return jnp.real(env[0, 0]) / jnp.real(norm[0, 0])
+    # Module-level jit cache: closures are keyed on the op placement so
+    # repeated calls (per-qubit profiles, sweeps) never retrace.
+    key = ("pauli", tuple(sorted(ops.items())))
+    contract = _JIT_CACHE.get(key)
+    if contract is None:
+
+        def body(tensors):
+            env = jnp.ones((1, 1), tensors[0].dtype)
+            norm = jnp.ones((1, 1), tensors[0].dtype)
+            for i, t in enumerate(tensors):
+                o = jnp.asarray(_PAULI_2X2[ops.get(i, "I")], t.dtype)
+                env = jnp.einsum("lm,lpa,pq,mqb->ab", env, t.conj(), o,
+                                 t, precision=_PREC)
+                norm = jnp.einsum("lm,lpa,mpb->ab", norm, t.conj(), t,
+                                  precision=_PREC)
+            return jnp.real(env[0, 0]) / jnp.real(norm[0, 0])
+
+        contract = _put_jit(key, body)
 
     return float(contract(state.tensors))
 
@@ -509,14 +530,16 @@ def _hamiltonian_energy(tensors, parsed, n: int):
 def expectation_hamiltonian(state: MPSState, terms) -> float:
     """<H> for ``H = sum_k coeff_k * P_k`` in the ``models.hamiltonians``
     term format ``(coeff, pauli_string, qubits)`` — ONE jitted program
-    (see ``_hamiltonian_energy`` for the contraction strategy)."""
+    (see ``_hamiltonian_energy`` for the contraction strategy), cached
+    on the parsed terms so repeated evaluations never retrace."""
     parsed = _parse_terms(state.num_qubits, terms)
     n = state.num_qubits
-
-    @jax.jit
-    def contract(tensors):
-        return _hamiltonian_energy(tensors, parsed, n)
-
+    key = ("ham", n,
+           tuple((c, tuple(sorted(ops.items()))) for c, ops, _, _ in parsed))
+    contract = _JIT_CACHE.get(key)
+    if contract is None:
+        contract = _put_jit(
+            key, lambda tensors: _hamiltonian_energy(tensors, parsed, n))
     return float(contract(state.tensors))
 
 
@@ -599,12 +622,17 @@ def amplitude(state: MPSState, bits) -> complex:
     if len(bits) != state.num_qubits:
         raise ValueError("bitstring length != num_qubits")
 
-    @jax.jit
-    def contract(tensors, b):
-        v = jnp.ones((1,), tensors[0].dtype)
-        for i, t in enumerate(tensors):
-            v = jnp.einsum("l,lr->r", v, t[:, b[i], :], precision=_PREC)
-        return v[0]
+    contract = _JIT_CACHE.get("amplitude")
+    if contract is None:
+
+        def body(tensors, b):
+            v = jnp.ones((1,), tensors[0].dtype)
+            for i, t in enumerate(tensors):
+                v = jnp.einsum("l,lr->r", v, t[:, b[i], :],
+                               precision=_PREC)
+            return v[0]
+
+        contract = _put_jit("amplitude", body)
 
     val = contract(state.tensors, jnp.asarray(bits, jnp.int32))
     # Transfer real/imag separately: complex DMA is unimplemented on the
@@ -619,13 +647,17 @@ def to_statevector(state: MPSState) -> np.ndarray:
     if n > 20:
         raise ValueError(f"to_statevector caps at n=20, got n={n}")
 
-    @jax.jit
-    def contract(tensors):
-        psi = tensors[0].reshape(2, -1)
-        for t in tensors[1:]:
-            psi = jnp.einsum("dl,lpr->dpr", psi, t, precision=_PREC)
-            psi = psi.reshape(psi.shape[0] * 2, -1)
-        return psi[:, 0]
+    contract = _JIT_CACHE.get("to_statevector")
+    if contract is None:
+
+        def body(tensors):
+            psi = tensors[0].reshape(2, -1)
+            for t in tensors[1:]:
+                psi = jnp.einsum("dl,lpr->dpr", psi, t, precision=_PREC)
+                psi = psi.reshape(psi.shape[0] * 2, -1)
+            return psi[:, 0]
+
+        contract = _put_jit("to_statevector", body)
 
     vec = contract(state.tensors)
     return np.asarray(jnp.real(vec)) + 1j * np.asarray(jnp.imag(vec))
@@ -638,7 +670,11 @@ def entanglement_entropy(state: MPSState, bond: int) -> float:
     if bond < 0 or bond >= n - 1:
         raise ValueError(f"bond must be in [0, {n - 2}], got {bond}")
 
-    @jax.jit
+    key = ("entropy", bond)
+    cached = _JIT_CACHE.get(key)
+    if cached is not None:
+        return float(cached(state.tensors))
+
     def schmidt(tensors):
         mps = _TraceMPS.__new__(_TraceMPS)
         mps.n = n
@@ -655,7 +691,7 @@ def entanglement_entropy(state: MPSState, bond: int) -> float:
         p = p / jnp.sum(p)
         return -jnp.sum(jnp.where(p > 1e-12, p * jnp.log2(p), 0.0))
 
-    return float(schmidt(state.tensors))
+    return float(_put_jit(key, schmidt)(state.tensors))
 
 
 # --------------------------------------------------------------------------
@@ -702,12 +738,12 @@ class MPSSimulator:
         corruption (per-bit confusion draws) at any width; the
         reference's distribution mode needs the 2^n probability vector
         and is meaningless at MPS scale."""
+        basis = str(getattr(basis, "value", basis)).upper()
+        if basis not in ("Z", "X", "Y"):
+            raise ValueError(f"unsupported basis {basis!r}")
         state = self._final_state(circuit, chi)
         counts: dict[str, int] = {}
         if shots > 0:
-            basis = str(getattr(basis, "value", basis)).upper()
-            if basis not in ("Z", "X", "Y"):
-                raise ValueError(f"unsupported basis {basis!r}")
             stack, _ = _stack_padded(state.tensors, state.tensors[0].dtype)
             if basis != "Z":
                 rot = _H_2X2 if basis == "X" else _H_2X2 @ _SDG_2X2

@@ -194,7 +194,10 @@ class GateRegistry:
             # ExpP[<pauli string>] evolution gates likewise synthesize
             # on demand, so Trotter circuits deserialize in a fresh
             # process (models/trotter.py registers them lazily anyway).
-            m = _re.fullmatch(r"ExpP\[([IXYZ]+)\]", name)
+            # Length bound matches trotter._MAX_SITES: longer names
+            # stay KeyError (the contract auto_detect-style callers
+            # rely on), not a ValueError from the builder.
+            m = _re.fullmatch(r"ExpP\[([IXYZ]{1,8})\]", name)
             if m:
                 from .models.trotter import exp_pauli_gate
 

@@ -16,21 +16,7 @@ from quantum_simulator_tpu.models.hamiltonians import (
     tfim_chain,
 )
 
-_P = {"I": np.eye(2), "X": np.array([[0, 1], [1, 0]]),
-      "Y": np.array([[0, -1j], [1j, 0]]), "Z": np.diag([1.0, -1.0])}
-
-
-def dense_hamiltonian(n, terms):
-    h = np.zeros((2 ** n, 2 ** n), complex)
-    for c, pstr, qs in terms:
-        full = ["I"] * n
-        for q, p in zip(qs, pstr):
-            full[q] = p
-        op = np.eye(1)
-        for ch in full:
-            op = np.kron(op, _P[ch])
-        h += c * op
-    return h
+from tests.oracle import dense_hamiltonian
 
 
 def tfim_exact_open(n, j, h):
@@ -97,6 +83,10 @@ class TestMPOAndInputs:
     def test_input_validation(self):
         with pytest.raises(ValueError):
             dmrg_ground_state(tfim_chain(4), 4, chi=1)
+        with pytest.raises(ValueError):
+            dmrg_ground_state(tfim_chain(4), 4, sweeps=0)
+        with pytest.raises(ValueError):
+            dmrg_ground_state(tfim_chain(4), 4, lanczos_k=1)
         with pytest.raises(ValueError):
             dmrg_ground_state([(1.0, "Z", [0])], 1)
         with pytest.raises(ValueError):

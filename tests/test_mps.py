@@ -287,22 +287,13 @@ class TestHamiltonian:
             heisenberg_chain, tfim_chain)
         n = 6
         c = _random_circuit(n, depth=3, rng=rng, twoq_any_pair=True)
+        from tests.oracle import dense_hamiltonian
         _, state = mps.MPSSimulator(chi=8).run(c, shots=0)
         psi = _statevector(c)
-        paulis = {"I": np.eye(2), "X": np.array([[0, 1], [1, 0]]),
-                  "Y": np.array([[0, -1j], [1j, 0]]),
-                  "Z": np.diag([1.0, -1.0])}
         for terms in (tfim_chain(n, j=-1.0, h=-0.7),
                       heisenberg_chain(n, jx=0.5, jy=-0.3, jz=1.1)):
-            want = 0.0
-            for coeff, pstr, qubits in terms:
-                full = ["I"] * n
-                for q, p in zip(qubits, pstr):
-                    full[q] = p
-                op = np.eye(1)
-                for ch in full:
-                    op = np.kron(op, paulis[ch])
-                want += coeff * float(np.real(psi.conj() @ op @ psi))
+            h = dense_hamiltonian(n, terms)
+            want = float(np.real(psi.conj() @ h @ psi))
             got = mps.expectation_hamiltonian(state, terms)
             assert abs(got - want) < 1e-3
 

@@ -14,21 +14,8 @@ from quantum_simulator_tpu.models.trotter import (
 )
 from quantum_simulator_tpu.registry import GateRegistry
 
-_P = {"I": np.eye(2), "X": np.array([[0, 1], [1, 0]]),
-      "Y": np.array([[0, -1j], [1j, 0]]), "Z": np.diag([1.0, -1.0])}
-
-
-def dense_hamiltonian(n, terms):
-    h = np.zeros((2 ** n, 2 ** n), complex)
-    for c, pstr, qs in terms:
-        full = ["I"] * n
-        for q, p in zip(qs, pstr):
-            full[q] = p
-        op = np.eye(1)
-        for ch in full:
-            op = np.kron(op, _P[ch])
-        h += c * op
-    return h
+from tests.oracle import PAULIS as _P
+from tests.oracle import dense_hamiltonian
 
 
 def exact_evolve(n, terms, t, psi0):
@@ -152,5 +139,9 @@ class TestSerde:
                 GateRegistry.instance().get("ExpP[]")
             with pytest.raises(KeyError):
                 GateRegistry.instance().get("ExpP[QQ]")
+            with pytest.raises(KeyError):
+                # Over the 8-site cap: stays KeyError (the contract
+                # auto_detect-style callers rely on), not ValueError.
+                GateRegistry.instance().get("ExpP[" + "X" * 9 + "]")
         finally:
             GateRegistry.reset()
