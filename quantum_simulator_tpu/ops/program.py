@@ -226,6 +226,60 @@ def _count_noise_draws(program: CircuitProgram, channels_for) -> int:
     return total
 
 
+def _monitored_body(program: CircuitProgram, channels_for, events,
+                    params, key, dtype):
+    """One monitored trajectory: Measure gates collapse mid-circuit.
+
+    ``events`` is a static list of ``(op_position, qubit)`` pairs —
+    the measure fires after exactly ``op_position`` program ops have
+    applied, which reproduces the circuit's column/qubit ordering
+    exactly (ops are emitted in ``get_ordered_gates`` order and a
+    within-column measure commutes with that column's gates on other
+    qubits).  Returns (final state, outcomes[int32, M])."""
+    from .apply import collapse_qubit
+
+    n = program.num_qubits
+    state = make_basis_state(n, program.initial_index, dtype)
+    total_draws = _count_noise_draws(program, channels_for) + len(events)
+    keys = jax.random.split(key, max(1, total_draws))
+    draw = 0
+    ev_i = 0
+    outcomes = []
+
+    def measure(state, q, k):
+        dim = state.shape[-1]
+        bit_position = n - 1 - q
+        idx = jax.lax.broadcasted_iota(jnp.int32, (dim, 1), 0).squeeze(-1)
+        mask = ((idx >> bit_position) & 1) == 0
+        p0 = jnp.sum(jnp.where(mask, jnp.abs(state) ** 2, 0.0))
+        total = jnp.sum(jnp.abs(state) ** 2)
+        bit = (jax.random.uniform(k) >= p0
+               / jnp.maximum(total, 1e-30)).astype(jnp.int32)
+        return collapse_qubit(state, q, bit, n), bit
+
+    for pos in range(len(program.ops) + 1):
+        while ev_i < len(events) and events[ev_i][0] == pos:
+            state, bit = measure(state, events[ev_i][1], keys[draw])
+            outcomes.append(bit)
+            draw += 1
+            ev_i += 1
+        if pos == len(program.ops):
+            break
+        op = program.ops[pos]
+        state = _apply_op(program, state, op, params, dtype)
+        for kraus_np in channels_for(op.gate_name):
+            kraus = jnp.asarray(kraus_np, dtype=dtype)
+            for q in op.targets:
+                if q >= n:
+                    continue
+                state = _apply_channel_stochastic(
+                    state, kraus, q, keys[draw], n)
+                draw += 1
+    outs = (jnp.stack(outcomes).astype(jnp.int32) if outcomes
+            else jnp.zeros((0,), jnp.int32))
+    return state, outs
+
+
 def _trajectory_body(program: CircuitProgram, channels_for, params, key,
                      dtype, record_columns: bool):
     n = program.num_qubits
@@ -390,6 +444,26 @@ def trajectory_fn(program: CircuitProgram, noise_model, dtype=None,
     return _cache_get(key, lambda: jax.jit(
         lambda params, k: _trajectory_body(
             program, channels_for, params, k, dtype, record_columns)))
+
+
+def monitored_trajectories_fn(program: CircuitProgram, noise_model,
+                              events, dtype=None) -> Callable:
+    """jitted ``f(params, keys[T]) -> (states[T, 2^n], outcomes[T, M])``
+    — T monitored trajectories (mid-circuit collapse at the static
+    ``(op_position, qubit)`` events, optional stochastic noise) in one
+    vmapped launch.  Einsum path only; wide circuits belong to the MPS
+    / Clifford monitored engines."""
+    dtype = dtype or CONFIG.dtype
+    channels_for = (noise_model.kraus_stacks_for_gate
+                    if noise_model is not None
+                    else _NoNoise.kraus_stacks_for_gate)
+    spec = noise_model.spec_key() if noise_model is not None else ()
+    key = ("monitored", program.compile_key, spec, str(dtype),
+           tuple(events))
+    return _cache_get(key, lambda: jax.jit(jax.vmap(
+        lambda params, k: _monitored_body(
+            program, channels_for, events, params, k, dtype),
+        in_axes=(None, 0))))
 
 
 def batched_trajectories_fn(program: CircuitProgram, noise_model,

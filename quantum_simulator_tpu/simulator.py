@@ -444,6 +444,61 @@ class Simulator:
         return run_batched_trajectories(fn, params, keys,
                                         2**circuit.num_qubits)
 
+    def monitored_trajectories(self, circuit: QuantumCircuit,
+                               n_trajectories: int = 16,
+                               seed: int | None = None):
+        """T independent monitored trajectories on the exact engine:
+        Measure gates collapse mid-circuit (projective draw + renorm)
+        instead of being skipped, optionally interleaved with this
+        simulator's stochastic noise channels — completing the
+        monitored triad with ``CliffordSimulator`` /
+        ``MPSSimulator.monitored_trajectories`` (the reference skips
+        MEASUREMENT during evolution, ``simulator.py:61-65``).
+
+        -> (outcomes[T, M] int array in Measure column order,
+            sites [(column, qubit)] * M,
+            states: list of T final ``StateVector``s).
+
+        Runs the per-gate einsum path: on TPU that stops compiling near
+        n=19 (CLAUDE.md), where the MPS/Clifford monitored engines take
+        over, so the group path is rejected rather than half-supported.
+        """
+        from .gates import GateType
+        from .registry import GateRegistry
+
+        _check_amplitude_cap(circuit)
+        self._reject_huge(circuit, "monitored_trajectories")
+        program = prog.compile_circuit(circuit)
+        if prog._use_group_path(program):
+            raise ValueError(
+                "monitored_trajectories runs the per-gate einsum path "
+                f"(n <= {prog._PLAN_EXECUTOR_MIN_QUBITS - 1} on TPU); "
+                "use MPSSimulator.monitored_trajectories or the "
+                "Clifford engine for wide monitored circuits")
+        registry = GateRegistry.instance()
+        events: list[tuple[int, int]] = []
+        sites: list[tuple[int, int]] = []
+        pos = 0
+        for column in circuit.get_ordered_gates():
+            for gate in column:
+                gdef = registry.get(gate.gate_name)
+                if gdef.gate_type == GateType.MEASUREMENT:
+                    events.append((pos, gate.target_qubits[0]))
+                    sites.append((gate.column, gate.target_qubits[0]))
+                elif gdef.gate_type != GateType.BARRIER:
+                    pos += 1
+        noise = (self._noise_model
+                 if self._noise_model is not None
+                 and self._noise_model.has_channels() else None)
+        fn = prog.monitored_trajectories_fn(program, noise, events)
+        rng = np.random.default_rng(seed)
+        keys = jax.random.split(_key_from_rng(rng), n_trajectories)
+        states, outcomes = fn(jnp.asarray(program.initial_params), keys)
+        return (np.asarray(outcomes), sites,
+                [StateVector.from_device_array(states[i],
+                                               circuit.num_qubits)
+                 for i in range(n_trajectories)])
+
     def run_with_noise(self, circuit: QuantumCircuit, shots: int = 1024,
                        seed: int | None = None,
                        rng: np.random.Generator | None = None,

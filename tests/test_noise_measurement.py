@@ -256,3 +256,78 @@ def test_run_batched_trajectories_chunked_accumulator(monkeypatch):
                                np.asarray(full.real), atol=0)
     np.testing.assert_allclose(np.asarray(out.imag),
                                np.asarray(full.imag), atol=0)
+
+
+class TestMonitoredTrajectories:
+    """Mid-circuit collapse on the exact engine (completing the triad
+    with the Clifford and MPS monitored surfaces)."""
+
+    def test_bell_outcomes_correlated_and_states_collapsed(self):
+        c = bell()
+        c.add_gate(GateInstance("Measure", [0], [], column=2))
+        c.add_gate(GateInstance("Measure", [1], [], column=2))
+        outs, sites, states = Simulator().monitored_trajectories(
+            c, n_trajectories=24, seed=7)
+        assert outs.shape == (24, 2)
+        assert sites == [(2, 0), (2, 1)]
+        assert (outs[:, 0] == outs[:, 1]).all()
+        assert 0 < outs[:, 0].mean() < 1  # both branches occur
+        for t in range(24):
+            psi = states[t].data
+            want = np.zeros(4, complex)
+            want[outs[t, 0] * 3] = 1.0  # |00> or |11>
+            assert abs(np.vdot(want, psi)) ** 2 == pytest.approx(
+                1.0, abs=1e-5)
+
+    def test_measure_feeds_later_gates(self):
+        # H; Measure; X  -> final qubit state is NOT(outcome).
+        c = QuantumCircuit(1)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        c.add_gate(GateInstance("Measure", [0], [], column=1))
+        c.add_gate(GateInstance("X", [0], [], column=2))
+        outs, _, states = Simulator().monitored_trajectories(
+            c, n_trajectories=32, seed=3)
+        for t in range(32):
+            p1 = abs(states[t].data[1]) ** 2
+            assert p1 == pytest.approx(1.0 - outs[t, 0], abs=1e-5)
+
+    def test_matches_mps_monitored_statistics(self):
+        # Monitored GHZ-3: the two engines must agree on the outcome
+        # distribution (all-equal bits, ~50/50).
+        from quantum_simulator_tpu.mps import MPSSimulator
+        c = QuantumCircuit(3)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        c.add_gate(GateInstance("CNOT", [0, 1], [], column=1))
+        c.add_gate(GateInstance("CNOT", [1, 2], [], column=2))
+        for q in range(3):
+            c.add_gate(GateInstance("Measure", [q], [], column=3))
+        outs_sv, sites_sv, _ = Simulator().monitored_trajectories(
+            c, n_trajectories=64, seed=5)
+        outs_mps, sites_mps, _ = MPSSimulator(chi=4).monitored_trajectories(
+            c, n_trajectories=64, seed=5)
+        assert sites_sv == sites_mps
+        for outs in (outs_sv, outs_mps):
+            assert ((outs == outs[:, :1]).all())
+            assert 0.2 < outs[:, 0].mean() < 0.8
+
+    def test_noise_interleaves(self):
+        nm = NoiseModel()
+        nm.add_global_noise(BitFlipNoise(0.4))
+        c = QuantumCircuit(1)
+        c.add_gate(GateInstance("I", [0], [], column=0))
+        c.add_gate(GateInstance("Measure", [0], [], column=1))
+        outs, _, states = Simulator(noise_model=nm).monitored_trajectories(
+            c, n_trajectories=64, seed=11)
+        # Bit-flip noise after the identity makes outcome 1 occur with
+        # p=0.4; 64 draws land well inside (0.1, 0.75).
+        assert 0.1 < outs[:, 0].mean() < 0.75
+        for t in range(3):
+            assert np.sum(np.abs(states[t].data) ** 2) == pytest.approx(
+                1.0, abs=1e-5)
+
+    def test_no_measure_gates(self):
+        c = bell()
+        outs, sites, states = Simulator().monitored_trajectories(
+            c, n_trajectories=4, seed=0)
+        assert outs.shape == (4, 0) and sites == []
+        assert abs(states[0].data[0]) ** 2 == pytest.approx(0.5, abs=1e-5)
