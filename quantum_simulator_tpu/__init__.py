@@ -23,7 +23,7 @@ from .noise import (
 )
 from .registry import GateRegistry
 from .clifford import CliffordSimulator
-from .dmrg import DMRGResult, dmrg_ground_state
+from .dmrg import DMRGResult, dmrg_excited_states, dmrg_ground_state
 from .mps import MPSSimulator, MPSState
 from .density import DensityMatrixResult, DensityMatrixSimulator
 from .simulator import SimulationResult, Simulator
@@ -37,6 +37,7 @@ __all__ = [
     "DensityMatrixSimulator",
     "CONFIG",
     "DMRGResult",
+    "dmrg_excited_states",
     "dmrg_ground_state",
     "EngineConfig",
     "GateDefinition",

@@ -201,13 +201,31 @@ def _split_theta(theta, chi: int, right_canonical: bool):
 
 
 def _build_dmrg_program(n: int, d: int, chi: int, sweeps: int, k: int,
-                        dtype):
-    """One jitted f(W[n,D,D,2,2], A0[n,chi,2,chi]) ->
-    (A, sweep_energies[sweeps], last_sweep_discarded)."""
+                        dtype, n_prev: int = 0):
+    """One jitted f(W[n,D,D,2,2], A0[n,chi,2,chi], phis, w_pen) ->
+    (A, sweep_energies[sweeps], last_sweep_discarded).
+
+    With ``n_prev > 0`` the local solves minimize
+    ``H + w_pen * sum_j |phi_j><phi_j|`` — the state-averaged penalty
+    method for excited states.  ``phis[n_prev, n, chi, 2, chi]`` are the
+    previously-found states (padded, edge support at index 0); their
+    two-site projections ride overlap environments that update through
+    the sweeps exactly like the Hamiltonian environments."""
 
     def boundary_env(lane):
-        e = jnp.zeros((d, chi, chi), dtype)
-        return e.at[lane].set(jnp.eye(chi, dtype=dtype))
+        # PROJECTOR boundary (edge bond index 0 only), not eye: an eye
+        # boundary hands every unphysical edge index a full copy of the
+        # spectrum, which the excited-state penalty cannot see (the
+        # penalized states live at index 0) — the sweeps then escape
+        # into that subspace and "find" the penalized states again.
+        # With projectors, unphysical edge components are exact
+        # H_eff zero-modes; the caller's spectral shift keeps the
+        # physical minimum strictly below zero so Lanczos never
+        # prefers them.
+        return jnp.zeros((d, chi, chi), dtype).at[lane, 0, 0].set(1.0)
+
+    def boundary_ov():
+        return jnp.zeros((n_prev, chi, chi), dtype).at[:, 0, 0].set(1.0)
 
     def l_update(lc, w1, a):
         return jnp.einsum("dab,apc,depP,bPf->ecf", lc, a.conj(), w1, a,
@@ -217,73 +235,153 @@ def _build_dmrg_program(n: int, d: int, chi: int, sweeps: int, k: int,
         return jnp.einsum("efqQ,aqc,bQg,fcg->eab", w2, a.conj(), a, rc,
                           precision=_PREC)
 
+    def lov_update(lov, phi_i, a):
+        # lov[j, bra, ket] -> contract one site of (conj(a), phi).
+        return jnp.einsum("lpa,jlk,jkpb->jab", a.conj(), lov, phi_i,
+                          precision=_PREC)
+
+    def rov_update(rov, phi_i1, a):
+        return jnp.einsum("aqr,jrg,jbqg->jab", a.conj(), rov, phi_i1,
+                          precision=_PREC)
+
     def get2(stack, i):
         pair = jax.lax.dynamic_slice_in_dim(stack, i, 2, axis=0)
         return pair[0], pair[1]
 
-    def local_solve(a_stack, w_stack, lc, rc, i, right_canonical):
+    def penalty_vectors(phis, lov, rov, i):
+        """v_j[l, p, q, r]: phi_j's coefficients in the current
+        mixed-canonical two-site basis."""
+        phi_i = phis[:, i]
+        phi_i1 = jax.lax.dynamic_index_in_dim(
+            phis, i + 1, axis=1, keepdims=False)
+        return jnp.einsum("jlk,jkpm,jmqb,jrb->jlpqr", lov, phi_i,
+                          phi_i1, rov, precision=_PREC)
+
+    def local_solve(a_stack, w_stack, lc, rc, i, right_canonical,
+                    vjs, w_pen):
         a1, a2 = get2(a_stack, i)
         w1, w2 = get2(w_stack, i)
         theta = jnp.einsum("lpa,aqr->lpqr", a1, a2, precision=_PREC)
-        e, theta = _lanczos_ground(_heff_matvec(lc, w1, w2, rc), theta, k)
+        base_mv = _heff_matvec(lc, w1, w2, rc)
+        if n_prev:
+            def mv(v):
+                out = base_mv(v)
+                amps = jnp.einsum("jlpqr,lpqr->j", vjs.conj(), v,
+                                  precision=_PREC)
+                return out + w_pen.astype(v.dtype) * jnp.einsum(
+                    "j,jlpqr->lpqr", amps, vjs, precision=_PREC)
+        else:
+            mv = base_mv
+        e, theta = _lanczos_ground(mv, theta, k)
         left, right, disc = _split_theta(theta, chi, right_canonical)
         a_stack = jax.lax.dynamic_update_slice_in_dim(
             a_stack, jnp.stack([left, right]), i, axis=0)
         return a_stack, e, disc, (w1, w2, left, right)
 
     def sweep_body(carry, _):
-        a_stack, w_stack, lenv, renv = carry
+        a_stack, w_stack, lenv, renv, phis, w_pen, lov, rov = carry
         # Left -> right half-sweep: renv entries right of i+1 are from
         # the previous right-to-left pass and stay valid (those sites
-        # are untouched until this pass reaches them).
+        # are untouched until this pass reaches them). The overlap
+        # environments follow the identical staleness discipline.
         def lr(c, i):
-            a_s, le, disc = c
+            a_s, le, lo, disc = c
+            vjs = (penalty_vectors(phis, lo[i], rov[i + 2], i)
+                   if n_prev else None)
             a_s, e, dsc, (w1, _, left, _) = local_solve(
                 a_s, w_stack, le[i], renv[i + 2], i,
-                right_canonical=False)
+                right_canonical=False, vjs=vjs, w_pen=w_pen)
             le = le.at[i + 1].set(l_update(le[i], w1, left))
-            return (a_s, le, disc + dsc), e
+            if n_prev:
+                lo = lo.at[i + 1].set(lov_update(lo[i], phis[:, i], left))
+            return (a_s, le, lo, disc), e
 
-        (a_stack, lenv, _), _ = jax.lax.scan(
-            lr, (a_stack, lenv, jnp.zeros((), jnp.float32)),
+        (a_stack, lenv, lov, _), _ = jax.lax.scan(
+            lr, (a_stack, lenv, lov, jnp.zeros((), jnp.float32)),
             jnp.arange(n - 1))
 
         # Right -> left half-sweep; the ledger restarts so the reported
         # truncation_weight is the final pass's (the state's own error).
         def rl(c, i):
-            a_s, re, disc = c
+            a_s, re, ro, disc = c
+            vjs = (penalty_vectors(phis, lov[i], ro[i + 2], i)
+                   if n_prev else None)
             a_s, e, dsc, (_, w2, _, right) = local_solve(
                 a_s, w_stack, lenv[i], re[i + 2], i,
-                right_canonical=True)
+                right_canonical=True, vjs=vjs, w_pen=w_pen)
             re = re.at[i + 1].set(r_update(re[i + 2], w2, right))
-            return (a_s, re, disc + dsc), e
+            if n_prev:
+                phi_i1 = jax.lax.dynamic_index_in_dim(
+                    phis, i + 1, axis=1, keepdims=False)
+                ro = ro.at[i + 1].set(rov_update(ro[i + 2], phi_i1,
+                                                 right))
+            return (a_s, re, ro, disc + dsc), e
 
-        (a_stack, renv, disc), es = jax.lax.scan(
-            rl, (a_stack, renv, jnp.zeros((), jnp.float32)),
+        (a_stack, renv, rov, disc), es = jax.lax.scan(
+            rl, (a_stack, renv, rov, jnp.zeros((), jnp.float32)),
             jnp.arange(n - 2, -1, -1))
-        return (a_stack, w_stack, lenv, renv), (es[-1], disc)
+        return ((a_stack, w_stack, lenv, renv, phis, w_pen, lov, rov),
+                (es[-1], disc))
 
-    def program(w_stack, a_stack):
+    def program(w_stack, a_stack, phis, w_pen):
         # Initial right environments from the start state (one pass).
-        def build_r(re, i):
-            return r_update(re, w_stack[i], a_stack[i]), re
+        def build_r(carry, i):
+            re, ro = carry
+            re_new = r_update(re, w_stack[i], a_stack[i])
+            if n_prev:
+                ro_new = rov_update(ro, phis[:, i], a_stack[i])
+            else:
+                ro_new = ro
+            return (re_new, ro_new), (re, ro)
 
-        r_last, rs = jax.lax.scan(build_r, boundary_env(d - 1),
-                                  jnp.arange(n - 1, -1, -1))
+        (r_last, ro_last), (rs, ros) = jax.lax.scan(
+            build_r, (boundary_env(d - 1), boundary_ov()),
+            jnp.arange(n - 1, -1, -1))
         # rs[j] is the PRE-update carry at site n-1-j, i.e. R[n-j]:
         # rs = [R[n], R[n-1], ..., R[1]]; the final carry is R[0].
         renv = jnp.concatenate([r_last[None], jnp.flip(rs, 0)], axis=0)
+        rov = jnp.concatenate([ro_last[None], jnp.flip(ros, 0)], axis=0)
         lenv = jnp.zeros((n + 1, d, chi, chi), dtype).at[0].set(
             boundary_env(0))
-        (a_stack, _, _, _), (energies, discs) = jax.lax.scan(
-            sweep_body, (a_stack, w_stack, lenv, renv), None,
-            length=sweeps)
+        lov = jnp.zeros((n + 1, n_prev, chi, chi), dtype).at[0].set(
+            boundary_ov())
+        (a_stack, *_), (energies, discs) = jax.lax.scan(
+            sweep_body,
+            (a_stack, w_stack, lenv, renv, phis, w_pen, lov, rov),
+            None, length=sweeps)
         return a_stack, energies, discs[-1]
 
     return jax.jit(program)
 
 
 _PROGRAM_CACHE: dict = {}
+
+
+def _run_program(n, d, chi, sweeps, lanczos_k, dtype, w_stack, a0,
+                 phis, w_pen):
+    key = (n, d, chi, sweeps, lanczos_k, int(phis.shape[0]))
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        fn = _build_dmrg_program(n, d, chi, sweeps, lanczos_k, dtype,
+                                 n_prev=int(phis.shape[0]))
+        if len(_PROGRAM_CACHE) > 16:
+            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+        _PROGRAM_CACHE[key] = fn
+    return fn(w_stack, a0, phis, w_pen)
+
+
+def _pad_state_stack(state: MPSState, chi: int):
+    """Pad an MPSState's ragged tensors to a uniform (n, chi, 2, chi)
+    stack (for the excited-state penalty environments)."""
+    out = []
+    for t in state.tensors:
+        l, _, r = t.shape
+        if l > chi or r > chi:
+            raise ValueError(
+                f"previous state has bond dim {max(l, r)} > chi={chi}; "
+                "excited-state sweeps need chi >= every prior state's")
+        out.append(jnp.pad(t, ((0, chi - l), (0, 0), (0, chi - r))))
+    return jnp.stack(out)
 
 
 def dmrg_ground_state(terms, num_qubits: int, chi: int = 32,
@@ -314,7 +412,12 @@ def dmrg_ground_state(terms, num_qubits: int, chi: int = 32,
     if lanczos_k < 2:
         raise ValueError("lanczos_k must be >= 2")
     dtype = CONFIG.dtype
-    w_stack = terms_to_mpo(n, terms, dtype)
+    # Spectral shift: sum|coeff| bounds the spectral radius, so the
+    # shifted H is strictly negative definite and the projector-
+    # boundary zero-modes (see _build_dmrg_program.boundary_env) can
+    # never win a local minimization.
+    shift = sum(abs(float(c)) for c, _, _ in terms) + 1.0
+    w_stack = terms_to_mpo(n, list(terms) + [(-shift, "I", [0])], dtype)
     d = int(w_stack.shape[1])
     if init_bits is None:
         init_bits = [i % 2 for i in range(n)]
@@ -324,15 +427,10 @@ def dmrg_ground_state(terms, num_qubits: int, chi: int = 32,
     a0 = np.zeros((n, chi, 2, chi), dtype=np.complex64)
     for i, b in enumerate(init_bits):
         a0[i, 0, b, 0] = 1.0
-    key = (n, d, chi, int(sweeps), int(lanczos_k))
-    fn = _PROGRAM_CACHE.get(key)
-    if fn is None:
-        fn = _build_dmrg_program(n, d, chi, int(sweeps), int(lanczos_k),
-                                 dtype)
-        if len(_PROGRAM_CACHE) > 16:
-            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
-        _PROGRAM_CACHE[key] = fn
-    a_final, energies, disc = fn(w_stack, jnp.asarray(a0, dtype))
+    a_final, energies, disc = _run_program(
+        n, d, chi, int(sweeps), int(lanczos_k), dtype, w_stack,
+        jnp.asarray(a0, dtype),
+        jnp.zeros((0, n, chi, 2, chi), dtype), jnp.float32(0.0))
     # Center is at site 0 after the final right-to-left pass; trim the
     # edge bonds to 1 so the state honors the MPSState tensor contract
     # (interior padding is inert for every observable).
@@ -344,5 +442,62 @@ def dmrg_ground_state(terms, num_qubits: int, chi: int = 32,
 
     energy = expectation_hamiltonian(state, terms)
     return DMRGResult(energy, state,
-                      [float(e) for e in np.asarray(energies)],
+                      [float(e) + shift for e in np.asarray(energies)],
                       float(disc))
+
+
+def dmrg_excited_states(terms, num_qubits: int, n_states: int = 2,
+                        chi: int = 32, sweeps: int = 4,
+                        lanczos_k: int = 12, penalty: float | None = None,
+                        init_bits=None) -> list[DMRGResult]:
+    """The ``n_states`` lowest eigenstates by penalized DMRG: state k
+    minimizes ``H + w * sum_{j<k} |psi_j><psi_j|`` (the standard
+    state-averaged penalty method), so each new sweep sequence is
+    pushed orthogonal to everything already found — excited-state
+    spectra and gaps at widths no dense engine can reach.
+
+    ``penalty`` defaults to ``4 * sum|coeff| + 1``: ``sum|coeff|``
+    bounds the spectral radius, so every penalized prior state lands
+    strictly above the whole physical spectrum.  Each excited search
+    seeds from the previous state's init flipped at one site (a cheap
+    symmetry-breaking kick; pass ``init_bits`` per usual to override
+    the ground state's seed).  Check residual overlaps with
+    ``mps.overlap`` — they are not enforced beyond the penalty."""
+    if n_states < 1:
+        raise ValueError("n_states must be >= 1")
+    n = int(num_qubits)
+    dtype = CONFIG.dtype
+    if penalty is None:
+        penalty = 4.0 * sum(abs(float(c)) for c, _, _ in terms) + 1.0
+    results = [dmrg_ground_state(terms, n, chi=chi, sweeps=sweeps,
+                                 lanczos_k=lanczos_k,
+                                 init_bits=init_bits)]
+    if init_bits is None:
+        init_bits = [i % 2 for i in range(n)]
+    # Same spectral shift as dmrg_ground_state (see its comment).
+    shift = sum(abs(float(c)) for c, _, _ in terms) + 1.0
+    w_stack = terms_to_mpo(n, list(terms) + [(-shift, "I", [0])], dtype)
+    d = int(w_stack.shape[1])
+    from .mps import expectation_hamiltonian
+
+    for k in range(1, n_states):
+        phis = jnp.stack([_pad_state_stack(r.state, chi)
+                          for r in results])
+        bits = list(init_bits)
+        bits[(k - 1) % n] ^= 1  # symmetry-breaking kick
+        a0 = np.zeros((n, chi, 2, chi), dtype=np.complex64)
+        for i, b in enumerate(bits):
+            a0[i, 0, b, 0] = 1.0
+        a_final, energies, disc = _run_program(
+            n, d, chi, int(sweeps), int(lanczos_k), dtype, w_stack,
+            jnp.asarray(a0, dtype), phis, jnp.float32(penalty))
+        tensors = [a_final[i] for i in range(n)]
+        tensors[0] = tensors[0][:1]
+        tensors[-1] = tensors[-1][:, :, :1]
+        state = MPSState(tuple(tensors), n, chi, float(disc))
+        results.append(DMRGResult(
+            expectation_hamiltonian(state, terms), state,
+            [float(e) + shift for e in np.asarray(energies)],
+            float(disc)))
+    results.sort(key=lambda r: r.energy)
+    return results

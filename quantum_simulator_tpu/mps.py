@@ -614,6 +614,29 @@ def build_batched_cost_fn(circuit: QuantumCircuit, bindings, terms,
     return fn
 
 
+def overlap(a: MPSState, b: MPSState) -> complex:
+    """``<a|b>`` via one transfer contraction — O(n chi^3), any pair of
+    bond profiles.  Both states are normalized by construction, so the
+    magnitude is the fidelity's square root."""
+    if a.num_qubits != b.num_qubits:
+        raise ValueError("overlap needs equal qubit counts")
+
+    contract = _JIT_CACHE.get("overlap")
+    if contract is None:
+
+        def body(ta, tb):
+            env = jnp.ones((1, 1), ta[0].dtype)
+            for x, y in zip(ta, tb):
+                env = jnp.einsum("lm,lpa,mpb->ab", env, x.conj(), y,
+                                 precision=_PREC)
+            return env[0, 0]
+
+        contract = _put_jit("overlap", body)
+
+    val = contract(a.tensors, b.tensors)
+    return complex(float(jnp.real(val)), float(jnp.imag(val)))
+
+
 def amplitude(state: MPSState, bits) -> complex:
     """Amplitude of one computational basis state (qubit 0 = MSB,
     matching ``ops/apply.py:30``)."""
@@ -853,6 +876,7 @@ class MPSSimulator:
     # Observable surface re-exported on the class for discoverability.
     expectation_pauli_string = staticmethod(expectation_pauli_string)
     expectation_hamiltonian = staticmethod(expectation_hamiltonian)
+    overlap = staticmethod(overlap)
     amplitude = staticmethod(amplitude)
     to_statevector = staticmethod(to_statevector)
     entanglement_entropy = staticmethod(entanglement_entropy)

@@ -7,6 +7,7 @@ import pytest
 
 from quantum_simulator_tpu import mps
 from quantum_simulator_tpu.dmrg import (
+    dmrg_excited_states,
     DMRGResult,
     dmrg_ground_state,
     terms_to_mpo,
@@ -136,3 +137,50 @@ class TestStateSurface:
         assert res2.energy == pytest.approx(-(n - 1) - 0.05 * n,
                                             abs=1e-2)
         assert res2.energy < res.energy + 1e-3
+
+
+class TestExcitedStates:
+    def test_spectrum_matches_dense(self):
+        n, terms = 6, tfim_chain(6, j=-1.0, h=-0.9)
+        want = np.linalg.eigvalsh(dense_hamiltonian(n, terms))[:3]
+        res = dmrg_excited_states(terms, n, n_states=3, chi=8, sweeps=5)
+        got = [r.energy for r in res]
+        np.testing.assert_allclose(got, want, atol=5e-4)
+        for i in range(3):
+            for j in range(i + 1, 3):
+                assert abs(mps.overlap(res[i].state,
+                                       res[j].state)) < 1e-4
+
+    def test_tfim_gap_at_24_qubits_vs_free_fermions(self):
+        n, j, h = 24, -1.0, -0.7
+        m = np.zeros((n, n))
+        for i in range(n):
+            m[i, i] = -h
+        for i in range(n - 1):
+            m[i, i + 1] = -j
+        eps = np.linalg.svd(m, compute_uv=False)
+        want_gap = 2.0 * eps.min()  # one quasiparticle flip
+        res = dmrg_excited_states(tfim_chain(n, j=j, h=h), n,
+                                  n_states=2, chi=12, sweeps=5)
+        got_gap = res[1].energy - res[0].energy
+        assert got_gap == pytest.approx(want_gap, rel=5e-3, abs=1e-3)
+
+    def test_near_degenerate_ferromagnet_pair(self):
+        # J<0 ZZ + small transverse field: the two lowest states are the
+        # near-degenerate polarized pair, split by tunneling; the next
+        # band sits ~2|J| above.
+        n = 8
+        terms = tfim_chain(n, j=-1.0, h=-0.1)
+        want = np.linalg.eigvalsh(dense_hamiltonian(n, terms))[:3]
+        res = dmrg_excited_states(terms, n, n_states=3, chi=8, sweeps=6)
+        got = [r.energy for r in res]
+        np.testing.assert_allclose(got, want, atol=1e-3)
+        assert got[1] - got[0] < 0.01       # tunneling splitting
+        assert got[2] - got[1] > 1.0        # next band
+
+    def test_n_states_validation(self):
+        with pytest.raises(ValueError):
+            dmrg_excited_states(tfim_chain(4), 4, n_states=0)
+        res = dmrg_excited_states(tfim_chain(4), 4, n_states=1, chi=4,
+                                  sweeps=2)
+        assert len(res) == 1
