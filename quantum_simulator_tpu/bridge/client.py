@@ -87,10 +87,18 @@ class SimulatorClient:
     def clear_circuit(self) -> dict:
         return self._send_request("clear_circuit")
 
-    def run(self, shots: int = 1024, seed: int | None = None) -> dict:
+    def run(self, shots: int = 1024, seed: int | None = None,
+            engine: str | None = None, chi: int | None = None) -> dict:
+        """``engine="mps"`` (+ optional ``chi``) runs wide circuits on
+        the server's MPS engine — counts plus a truncation-weight
+        ledger, no dense state."""
         params: dict = {"shots": shots}
         if seed is not None:
             params["seed"] = seed
+        if engine is not None:
+            params["engine"] = engine
+        if chi is not None:
+            params["chi"] = chi
         return self._send_request("run", params)
 
     def get_state(self, offset: int | None = None,

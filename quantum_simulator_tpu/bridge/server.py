@@ -124,6 +124,38 @@ class BridgeCommandHandler:
             return BridgeMessage.error_response(msg.id, "No circuit loaded")
         shots = msg.params.get("shots", 1024)
         seed = msg.params.get("seed")
+        engine = msg.params.get("engine", "statevector")
+
+        if engine == "mps":
+            # Wide-circuit extension (no reference analog): counts via
+            # the bond-dimension-chi MPS engine — the bridge serves
+            # 50+ qubit circuits where no dense state exists.
+            # get_state stays statevector-only by design.
+            from ..mps import MPSSimulator
+
+            mps_sim = MPSSimulator(chi=int(msg.params.get("chi", 64)))
+            if (self._noise_model is not None
+                    and self._noise_model.has_channels() and shots > 0):
+                counts, trunc = mps_sim.run_with_noise(
+                    self._circuit, self._noise_model, shots=shots,
+                    seed=seed)
+            else:
+                counts, state = mps_sim.run(
+                    self._circuit, shots=shots, seed=seed,
+                    readout_error=getattr(self._noise_model,
+                                          "readout_error", None))
+                trunc = state.truncation_weight
+            return BridgeMessage.ok_response(msg.id, {
+                "measurement_counts": counts,
+                "num_shots": shots,
+                "seed": seed,
+                "engine": "mps",
+                "truncation_weight": float(trunc),
+            })
+        if engine != "statevector":
+            return BridgeMessage.error_response(
+                msg.id, f"unknown engine {engine!r} "
+                        "(statevector or mps)")
 
         sim = Simulator(noise_model=self._noise_model)
         if self._noise_model is not None and shots > 0:

@@ -116,16 +116,19 @@ def trotter_circuit(num_qubits: int, terms, time: float, steps: int,
 
     ``order=1``: first-order product formula (error O(t^2/steps));
     ``order=2``: Strang splitting — half-step in term order, half-step
-    reversed (error O(t^3/steps^2)).  Identity terms contribute only a
-    global phase and are dropped.  Every gate is ``ExpP[...]`` with the
-    angle as its single parameter, so the returned circuit serializes,
-    optimizes and runs like any other (re-call this builder — or
-    ``exp_pauli_gate`` — before ``from_dict`` in a fresh process, the
-    standard custom-gate rule)."""
+    reversed (error O(t^3/steps^2)); ``order=4``: Suzuki's triple-jump
+    composition of Strang substeps with the fractal coefficients
+    ``p, p, 1-4p, p, p`` where ``p = 1/(4 - 4^(1/3))`` (error
+    O(t^5/steps^4), 5x the gates per step).  Identity terms contribute
+    only a global phase and are dropped.  Every gate is ``ExpP[...]``
+    with the angle as its single parameter, so the returned circuit
+    serializes, optimizes and runs like any other (re-call this
+    builder — or ``exp_pauli_gate`` — before ``from_dict`` in a fresh
+    process, the standard custom-gate rule)."""
     if steps < 1:
         raise ValueError("steps must be >= 1")
-    if order not in (1, 2):
-        raise ValueError("order must be 1 or 2")
+    if order not in (1, 2, 4):
+        raise ValueError("order must be 1, 2 or 4")
     parsed = _validated(num_qubits, terms)
     c = QuantumCircuit(num_qubits)
     dt = float(time) / steps
@@ -137,13 +140,20 @@ def trotter_circuit(num_qubits: int, terms, time: float, steps: int,
                                 [coeff * dt * angle_scale], column=col))
         col += 1
 
+    def strang(scale):
+        for coeff, pstr, qubits in parsed:
+            emit(coeff, pstr, qubits, 0.5 * scale)
+        for coeff, pstr, qubits in reversed(parsed):
+            emit(coeff, pstr, qubits, 0.5 * scale)
+
+    p4 = 1.0 / (4.0 - 4.0 ** (1.0 / 3.0))
     for _ in range(steps):
         if order == 1:
             for coeff, pstr, qubits in parsed:
                 emit(coeff, pstr, qubits, 1.0)
+        elif order == 2:
+            strang(1.0)
         else:
-            for coeff, pstr, qubits in parsed:
-                emit(coeff, pstr, qubits, 0.5)
-            for coeff, pstr, qubits in reversed(parsed):
-                emit(coeff, pstr, qubits, 0.5)
+            for scale in (p4, p4, 1.0 - 4.0 * p4, p4, p4):
+                strang(scale)
     return c

@@ -160,3 +160,27 @@ class TestChunkedState:
             assert off == len(parts)
             parts.extend(amps)
         assert parts == full
+
+
+class TestMPSEngineOverBridge:
+    def test_wide_circuit_runs_on_mps_engine(self, client):
+        # GHZ-40 over the wire: no dense state exists anywhere, yet the
+        # bridge serves counts (+ the truncation ledger).
+        n = 40
+        gates = [{"name": "H", "targets": [0], "params": [],
+                  "column": 0}]
+        gates += [{"name": "CNOT", "targets": [q, q + 1],
+                   "params": [], "column": q + 1} for q in range(n - 1)]
+        client.set_circuit({"version": "1.0", "num_qubits": n,
+                            "gates": gates})
+        result = client.run(shots=200, seed=3, engine="mps", chi=4)
+        counts = result["measurement_counts"]
+        assert set(counts) <= {"0" * n, "1" * n}
+        assert sum(counts.values()) == 200
+        assert result["engine"] == "mps"
+        assert result["truncation_weight"] == 0.0
+
+    def test_unknown_engine_rejected(self, client):
+        client.set_circuit(bell_dict())
+        with pytest.raises(RuntimeError):
+            client.run(shots=10, engine="tensor-network-9000")

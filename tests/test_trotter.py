@@ -49,6 +49,10 @@ class TestGate:
             trotter_circuit(3, tfim_chain(3), 1.0, steps=0)
         with pytest.raises(ValueError):
             trotter_circuit(3, tfim_chain(3), 1.0, steps=2, order=3)
+        # 5 Strang substeps per step at order 4.
+        c2 = trotter_circuit(3, tfim_chain(3), 1.0, steps=2, order=2)
+        c4 = trotter_circuit(3, tfim_chain(3), 1.0, steps=2, order=4)
+        assert len(c4.gates) == 5 * len(c2.gates)
         with pytest.raises(ValueError):
             trotter_circuit(3, [(1.0, "ZZ", [0, 3])], 1.0, steps=1)
 
@@ -61,13 +65,16 @@ class TestEvolution:
         psi0[0] = 1.0
         want = exact_evolve(n, terms, t, psi0)
         errs = {}
-        for order in (1, 2):
+        for order in (1, 2, 4):
             c = trotter_circuit(n, terms, t, steps=12, order=order)
             res = Simulator().run(c, shots=0)
             got = np.asarray(res.final_state.data)
             errs[order] = 1.0 - abs(np.vdot(want, got)) ** 2
         assert errs[2] < 1e-4
         assert errs[2] < errs[1] / 10
+        # Suzuki 4th order: the residual sits at the f32 floor, far
+        # below 2nd order at the same step count.
+        assert errs[4] < max(errs[2] / 5, 3e-6)
 
     def test_statevector_and_mps_agree(self):
         n, t = 6, 0.6
