@@ -17,6 +17,7 @@ import logging
 import selectors
 import socket
 import threading
+from types import SimpleNamespace
 
 import numpy as np
 
@@ -145,6 +146,11 @@ class BridgeCommandHandler:
                     readout_error=getattr(self._noise_model,
                                           "readout_error", None))
                 trunc = state.truncation_weight
+            # Keep get_result serving the LATEST run (final_state=None
+            # marks "no dense state" for get_state/get_analysis).
+            self._last_result = SimpleNamespace(
+                measurement_counts=counts, num_shots=shots, seed=seed,
+                final_state=None)
             return BridgeMessage.ok_response(msg.id, {
                 "measurement_counts": counts,
                 "num_shots": shots,
@@ -187,6 +193,10 @@ class BridgeCommandHandler:
             return BridgeMessage.error_response(msg.id,
                                                 "No simulation result")
         sv = self._last_result.final_state
+        if sv is None:
+            return BridgeMessage.error_response(
+                msg.id, "No dense state: the last run used the MPS "
+                        "engine (counts via get_result)")
         total = 2 ** sv.num_qubits
         offset = int(msg.params.get("offset", 0))
         length = msg.params.get("length")
@@ -251,6 +261,10 @@ class BridgeCommandHandler:
             return BridgeMessage.error_response(msg.id,
                                                 "No simulation result")
         state = self._last_result.final_state
+        if state is None:
+            return BridgeMessage.error_response(
+                msg.id, "No dense state: the last run used the MPS "
+                        "engine (counts via get_result)")
         metrics = msg.params.get("metrics",
                                  ["fidelity", "entropy", "purity"])
         data: dict = {}

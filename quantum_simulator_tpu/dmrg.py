@@ -370,6 +370,39 @@ def _run_program(n, d, chi, sweeps, lanczos_k, dtype, w_stack, a0,
     return fn(w_stack, a0, phis, w_pen)
 
 
+def _product_stack(n: int, chi: int, bits, dtype):
+    a0 = np.zeros((n, chi, 2, chi), dtype=np.complex64)
+    for i, b in enumerate(bits):
+        a0[i, 0, b, 0] = 1.0
+    return jnp.asarray(a0, dtype)
+
+
+def _wrap_result(a_final, energies, disc, n, chi, terms, shift):
+    """Trim the edge bonds to 1 (the MPSState tensor contract; exact —
+    H_eff is a projector on the padded edge index, see boundary_env)
+    and re-measure the energy by the independent contraction."""
+    from .mps import expectation_hamiltonian
+
+    tensors = [a_final[i] for i in range(n)]
+    tensors[0] = tensors[0][:1]
+    tensors[-1] = tensors[-1][:, :, :1]
+    state = MPSState(tuple(tensors), n, chi, float(disc))
+    return DMRGResult(expectation_hamiltonian(state, terms), state,
+                      [float(e) + shift for e in np.asarray(energies)],
+                      float(disc))
+
+
+def _shifted_mpo(terms, n, dtype):
+    """(shift, MPO) with the spectral shift -(sum|coeff|+1) folded in:
+    sum|coeff| bounds the spectral radius, so the shifted H is strictly
+    negative definite and the projector-boundary zero-modes (see
+    _build_dmrg_program.boundary_env) can never win a local
+    minimization."""
+    shift = sum(abs(float(c)) for c, _, _ in terms) + 1.0
+    return shift, terms_to_mpo(n, list(terms) + [(-shift, "I", [0])],
+                               dtype)
+
+
 def _pad_state_stack(state: MPSState, chi: int):
     """Pad an MPSState's ragged tensors to a uniform (n, chi, 2, chi)
     stack (for the excited-state penalty environments)."""
@@ -411,39 +444,23 @@ def dmrg_ground_state(terms, num_qubits: int, chi: int = 32,
         raise ValueError("sweeps must be >= 1")
     if lanczos_k < 2:
         raise ValueError("lanczos_k must be >= 2")
+    # Materialize first: the shift computation below also iterates, and
+    # a one-shot iterable input would otherwise silently yield an empty
+    # Hamiltonian.
+    terms = [tuple(t) for t in terms]
     dtype = CONFIG.dtype
-    # Spectral shift: sum|coeff| bounds the spectral radius, so the
-    # shifted H is strictly negative definite and the projector-
-    # boundary zero-modes (see _build_dmrg_program.boundary_env) can
-    # never win a local minimization.
-    shift = sum(abs(float(c)) for c, _, _ in terms) + 1.0
-    w_stack = terms_to_mpo(n, list(terms) + [(-shift, "I", [0])], dtype)
+    shift, w_stack = _shifted_mpo(terms, n, dtype)
     d = int(w_stack.shape[1])
     if init_bits is None:
         init_bits = [i % 2 for i in range(n)]
     init_bits = [int(b) for b in init_bits]
     if len(init_bits) != n or any(b not in (0, 1) for b in init_bits):
         raise ValueError("init_bits must be n entries of 0/1")
-    a0 = np.zeros((n, chi, 2, chi), dtype=np.complex64)
-    for i, b in enumerate(init_bits):
-        a0[i, 0, b, 0] = 1.0
     a_final, energies, disc = _run_program(
         n, d, chi, int(sweeps), int(lanczos_k), dtype, w_stack,
-        jnp.asarray(a0, dtype),
+        _product_stack(n, chi, init_bits, dtype),
         jnp.zeros((0, n, chi, 2, chi), dtype), jnp.float32(0.0))
-    # Center is at site 0 after the final right-to-left pass; trim the
-    # edge bonds to 1 so the state honors the MPSState tensor contract
-    # (interior padding is inert for every observable).
-    tensors = [a_final[i] for i in range(n)]
-    tensors[0] = tensors[0][:1]
-    tensors[-1] = tensors[-1][:, :, :1]
-    state = MPSState(tuple(tensors), n, chi, float(disc))
-    from .mps import expectation_hamiltonian
-
-    energy = expectation_hamiltonian(state, terms)
-    return DMRGResult(energy, state,
-                      [float(e) + shift for e in np.asarray(energies)],
-                      float(disc))
+    return _wrap_result(a_final, energies, disc, n, chi, terms, shift)
 
 
 def dmrg_excited_states(terms, num_qubits: int, n_states: int = 2,
@@ -458,15 +475,16 @@ def dmrg_excited_states(terms, num_qubits: int, n_states: int = 2,
 
     ``penalty`` defaults to ``4 * sum|coeff| + 1``: ``sum|coeff|``
     bounds the spectral radius, so every penalized prior state lands
-    strictly above the whole physical spectrum.  Each excited search
-    seeds from the previous state's init flipped at one site (a cheap
-    symmetry-breaking kick; pass ``init_bits`` per usual to override
-    the ground state's seed).  Check residual overlaps with
-    ``mps.overlap`` — they are not enforced beyond the penalty."""
+    strictly above the whole physical spectrum.  The k-th excited
+    search seeds from the base init (``init_bits`` or Neel) with site
+    ``k-1`` flipped — a cheap symmetry-breaking kick.  Check residual
+    overlaps with ``mps.overlap`` — they are not enforced beyond the
+    penalty."""
     if n_states < 1:
         raise ValueError("n_states must be >= 1")
     n = int(num_qubits)
     dtype = CONFIG.dtype
+    terms = [tuple(t) for t in terms]  # one-shot-iterable safety
     if penalty is None:
         penalty = 4.0 * sum(abs(float(c)) for c, _, _ in terms) + 1.0
     results = [dmrg_ground_state(terms, n, chi=chi, sweeps=sweeps,
@@ -474,30 +492,18 @@ def dmrg_excited_states(terms, num_qubits: int, n_states: int = 2,
                                  init_bits=init_bits)]
     if init_bits is None:
         init_bits = [i % 2 for i in range(n)]
-    # Same spectral shift as dmrg_ground_state (see its comment).
-    shift = sum(abs(float(c)) for c, _, _ in terms) + 1.0
-    w_stack = terms_to_mpo(n, list(terms) + [(-shift, "I", [0])], dtype)
+    shift, w_stack = _shifted_mpo(terms, n, dtype)
     d = int(w_stack.shape[1])
-    from .mps import expectation_hamiltonian
-
     for k in range(1, n_states):
         phis = jnp.stack([_pad_state_stack(r.state, chi)
                           for r in results])
         bits = list(init_bits)
         bits[(k - 1) % n] ^= 1  # symmetry-breaking kick
-        a0 = np.zeros((n, chi, 2, chi), dtype=np.complex64)
-        for i, b in enumerate(bits):
-            a0[i, 0, b, 0] = 1.0
         a_final, energies, disc = _run_program(
             n, d, chi, int(sweeps), int(lanczos_k), dtype, w_stack,
-            jnp.asarray(a0, dtype), phis, jnp.float32(penalty))
-        tensors = [a_final[i] for i in range(n)]
-        tensors[0] = tensors[0][:1]
-        tensors[-1] = tensors[-1][:, :, :1]
-        state = MPSState(tuple(tensors), n, chi, float(disc))
-        results.append(DMRGResult(
-            expectation_hamiltonian(state, terms), state,
-            [float(e) + shift for e in np.asarray(energies)],
-            float(disc)))
+            _product_stack(n, chi, bits, dtype), phis,
+            jnp.float32(penalty))
+        results.append(_wrap_result(a_final, energies, disc, n, chi,
+                                    terms, shift))
     results.sort(key=lambda r: r.energy)
     return results

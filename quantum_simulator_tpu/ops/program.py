@@ -236,7 +236,7 @@ def _monitored_body(program: CircuitProgram, channels_for, events,
     exactly (ops are emitted in ``get_ordered_gates`` order and a
     within-column measure commutes with that column's gates on other
     qubits).  Returns (final state, outcomes[int32, M])."""
-    from .apply import collapse_qubit
+    from .apply import collapse_qubit, prob_qubit_zero
 
     n = program.num_qubits
     state = make_basis_state(n, program.initial_index, dtype)
@@ -247,11 +247,7 @@ def _monitored_body(program: CircuitProgram, channels_for, events,
     outcomes = []
 
     def measure(state, q, k):
-        dim = state.shape[-1]
-        bit_position = n - 1 - q
-        idx = jax.lax.broadcasted_iota(jnp.int32, (dim, 1), 0).squeeze(-1)
-        mask = ((idx >> bit_position) & 1) == 0
-        p0 = jnp.sum(jnp.where(mask, jnp.abs(state) ** 2, 0.0))
+        p0 = prob_qubit_zero(state, q, n)
         total = jnp.sum(jnp.abs(state) ** 2)
         bit = (jax.random.uniform(k) >= p0
                / jnp.maximum(total, 1e-30)).astype(jnp.int32)

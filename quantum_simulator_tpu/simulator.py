@@ -493,11 +493,30 @@ class Simulator:
         fn = prog.monitored_trajectories_fn(program, noise, events)
         rng = np.random.default_rng(seed)
         keys = jax.random.split(_key_from_rng(rng), n_trajectories)
-        states, outcomes = fn(jnp.asarray(program.initial_params), keys)
-        return (np.asarray(outcomes), sites,
-                [StateVector.from_device_array(states[i],
-                                               circuit.num_qubits)
-                 for i in range(n_trajectories)])
+        params = jnp.asarray(program.initial_params)
+        # Same fixed-shape chunking policy as run_batched_trajectories:
+        # bound the vmapped working set (the T returned states are the
+        # caller's, but the per-launch temps must not scale with T).
+        total = n_trajectories
+        chunk = min(_traj_chunk_size(2 ** circuit.num_qubits), total)
+        states_out: list = []
+        outs_parts: list = []
+        start = 0
+        while start < total:
+            take = min(chunk, total - start)
+            if take < chunk:
+                # Re-run the last fixed-shape window; overlapping keys
+                # reproduce already-collected trajectories and slice off.
+                s, o = fn(params, keys[total - chunk:])
+                s, o = s[chunk - take:], o[chunk - take:]
+            else:
+                s, o = fn(params, keys[start:start + chunk])
+            outs_parts.append(np.asarray(o))
+            states_out.extend(
+                StateVector.from_device_array(s[i], circuit.num_qubits)
+                for i in range(take))
+            start += take
+        return np.concatenate(outs_parts, axis=0), sites, states_out
 
     def run_with_noise(self, circuit: QuantumCircuit, shots: int = 1024,
                        seed: int | None = None,

@@ -331,3 +331,16 @@ class TestMonitoredTrajectories:
             c, n_trajectories=4, seed=0)
         assert outs.shape == (4, 0) and sites == []
         assert abs(states[0].data[0]) ** 2 == pytest.approx(0.5, abs=1e-5)
+
+    def test_chunked_equals_unchunked(self, monkeypatch):
+        import quantum_simulator_tpu.simulator as sim_mod
+        c = bell()
+        c.add_gate(GateInstance("Measure", [0], [], column=2))
+        full_o, _, full_s = Simulator().monitored_trajectories(
+            c, n_trajectories=11, seed=9)
+        monkeypatch.setattr(sim_mod, "_traj_chunk_size", lambda dim: 4)
+        part_o, _, part_s = Simulator().monitored_trajectories(
+            c, n_trajectories=11, seed=9)
+        np.testing.assert_array_equal(full_o, part_o)
+        for a, b in zip(full_s, part_s):
+            np.testing.assert_allclose(a.data, b.data, atol=1e-6)
