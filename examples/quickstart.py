@@ -149,6 +149,21 @@ def main():
           "| <X^100>:", round(mps_mod.expectation_pauli_string(
               state, "X" * 100), 4))
 
+    # Ground-state physics past the 2^n wall: two-site DMRG on the same
+    # Hamiltonian term lists VQE optimizes, plus the first excited
+    # state via penalty-orthogonalized sweeps.
+    from quantum_simulator_tpu.dmrg import dmrg_excited_states
+    from quantum_simulator_tpu.models.hamiltonians import tfim_chain
+
+    # h > |j|: paramagnetic phase, where the gap is visibly open (in the
+    # ordered phase it is an exponentially small tunneling splitting).
+    spectrum = dmrg_excited_states(tfim_chain(24, j=-1.0, h=-1.3), 24,
+                                   n_states=2, chi=8, sweeps=3)
+    print(f"TFIM-24 via DMRG: E0 = {spectrum[0].energy:.4f}, "
+          f"gap = {spectrum[1].energy - spectrum[0].energy:.4f} "
+          f"(orthogonality |<0|1>| = "
+          f"{abs(mps_mod.overlap(spectrum[0].state, spectrum[1].state)):.1e})")
+
     # QEC threshold sweeps with no 2^n state (Pauli-frame engine):
     from quantum_simulator_tpu.qec_frame import (
         FrameQECSimulator, repetition_frame_spec)
