@@ -130,3 +130,22 @@ class TestScripts:
         assert len(code["sweep"]) == 15
         rates = [pt["logical_rate"] for pt in code["sweep"]]
         assert rates[0] <= rates[-1]  # error grows with p
+
+    def test_dmrg_solve(self, monkeypatch, tmp_path):
+        data = _run_script(monkeypatch, tmp_path, "dmrg_solve.py",
+                           ["--qubits", "10", "--hamiltonian", "tfim",
+                            "--j", "-1.0", "--h", "-1.3",
+                            "--chi", "8", "--sweeps", "3",
+                            "--states", "2"])
+        assert data["experiment"] == "dmrg_solve"
+        assert len(data["energies"]) == 2
+        # Paramagnetic TFIM: gap = 2 * min quasiparticle energy.
+        m = np.zeros((10, 10))
+        for i in range(10):
+            m[i, i] = 1.3
+        for i in range(9):
+            m[i, i + 1] = 1.0
+        eps = np.linalg.svd(m, compute_uv=False)
+        assert data["energies"][0] == pytest.approx(-eps.sum(), rel=1e-4)
+        assert data["gaps"][0] == pytest.approx(2 * eps.min(), rel=1e-2)
+        assert data["overlaps"][0]["abs_overlap"] < 1e-4
