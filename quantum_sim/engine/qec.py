@@ -5,6 +5,7 @@ from quantum_simulator_tpu.qec import (  # noqa: F401
     QECCode,
     QECResult,
     QECSimulator,
+    RotatedSurfaceCode,
     SteaneCode,
     ThresholdPoint,
 )

@@ -1,4 +1,5 @@
-"""Quantum error correction: bit-flip, phase-flip, Steane [[7,1,3]].
+"""Quantum error correction: bit-flip, phase-flip, Steane [[7,1,3]],
+rotated surface code [[9,1,3]].
 
 Parity target: ``/root/reference/quantum_sim/engine/qec.py:25-701`` (QECCode
 interface, the three codes with identical layouts/codewords/decode tables,
@@ -398,6 +399,211 @@ class SteaneCode(QECCode):
 
 
 # ---------------------------------------------------------------------------
+# Rotated surface code [[d^2, 1, d]]
+# ---------------------------------------------------------------------------
+
+def _rotated_surface_geometry(distance: int):
+    """Stabilizer geometry of the rotated surface code on a d x d grid.
+
+    Data qubit (row, col) -> index ``row * d + col``.  A cell anchored at
+    (r, c) covers the grid points {(r,c), (r,c+1), (r+1,c), (r+1,c+1)}
+    clipped to the lattice; interior cells checkerboard Z/X by (r+c)
+    parity (Z when even), and the weight-2 boundary half-cells keep only
+    the X-type cells on the top/bottom rows and the Z-type cells on the
+    left/right columns — the standard rotated layout with (d^2-1)/2
+    stabilizers per sector.  Logical operators: Z_L = Z on row 0,
+    X_L = X on column 0 (each crosses between its pair of boundaries and
+    overlaps the other in exactly one qubit).
+
+    Returns ``(z_checks, x_checks, z_logical, x_logical)`` as qubit-index
+    lists.  Correctness (commutation, ranks, logical algebra) is locked
+    by ``tests/test_surface_code.py``.
+    """
+    d = distance
+    if d < 3 or d % 2 == 0:
+        raise ValueError("distance must be odd and >= 3")
+    z_checks: list[list[int]] = []
+    x_checks: list[list[int]] = []
+    for r in range(-1, d):
+        for c in range(-1, d):
+            cell = [(rr, cc) for rr in (r, r + 1) for cc in (c, c + 1)
+                    if 0 <= rr < d and 0 <= cc < d]
+            if len(cell) < 2:
+                continue  # corner half-cells are never stabilizers
+            is_z = (r + c) % 2 == 0
+            qubits = [rr * d + cc for rr, cc in cell]
+            if len(cell) == 2:
+                on_row_edge = r == -1 or r == d - 1
+                if on_row_edge and not is_z:
+                    x_checks.append(qubits)
+                elif not on_row_edge and is_z:
+                    z_checks.append(qubits)
+                continue
+            (z_checks if is_z else x_checks).append(qubits)
+    z_logical = list(range(d))
+    x_logical = [r * d for r in range(d)]
+    return z_checks, x_checks, z_logical, x_logical
+
+
+def _coset_leader_lut(checks: np.ndarray) -> np.ndarray:
+    """Exact minimum-weight decode table for one CSS error sector.
+
+    ``checks`` is the (n_checks, dq) GF(2) parity-check matrix; the
+    returned (2^n_checks, dq) 0/1 int32 table maps each syndrome to a
+    minimum-weight error producing it (a coset leader).  Built by BFS
+    over the syndrome graph whose edges are single-qubit toggles: a
+    syndrome first reached at BFS layer w has minimum error weight
+    exactly w, so every representative is minimal.  Memory is
+    O(2^n_checks * dq) — callers cap the check count accordingly.
+    """
+    nch, dq = checks.shape
+    n_syn = 1 << nch
+    col_syn = np.zeros(dq, dtype=np.int64)
+    for c in range(nch):
+        col_syn |= checks[c].astype(np.int64) << c
+    lut = np.zeros((n_syn, dq), dtype=np.int32)
+    seen = np.zeros(n_syn, dtype=bool)
+    seen[0] = True
+    frontier = [0]
+    found = 1
+    while frontier and found < n_syn:
+        nxt = []
+        for s in frontier:
+            for q in range(dq):
+                s2 = s ^ int(col_syn[q])
+                if not seen[s2]:
+                    seen[s2] = True
+                    lut[s2] = lut[s]
+                    lut[s2, q] ^= 1
+                    nxt.append(s2)
+                    found += 1
+        frontier = nxt
+    if found < n_syn:
+        raise ValueError("parity checks do not span the syndrome space")
+    return lut
+
+
+class RotatedSurfaceCode(QECCode):
+    """Rotated surface code [[d^2, 1, d]] — a 2D topological code.
+
+    A capability beyond the reference (its QEC zoo stops at Steane,
+    ``/root/reference/quantum_sim/engine/qec.py:697-701``).  Syndrome
+    extraction is ML-parity like the other codes here, so no ancilla
+    circuit is needed (``ancilla_qubits = 0``, total = d^2 qubits) and
+    the compiled cycle kernel serves it unchanged.  Decoding is exact
+    minimum-weight per CSS sector via host-built coset-leader tables
+    (``_coset_leader_lut``) — for surface codes this is the decoder
+    MWPM approximates, computed exactly.
+
+    The statevector realization is capped at d=3 (2^9 amplitudes per
+    trial); larger distances run 2^n-free on the Pauli-frame engine
+    (``qec_frame.surface_code_frame_spec``), which shares this geometry
+    and is draw-exact against this class under the same seed.
+    """
+
+    def __init__(self, distance: int = 3):
+        if distance != 3:
+            raise ValueError(
+                "statevector surface code is capped at d=3 (the cycle "
+                "kernel materializes 2^(d^2) amplitudes per trial); use "
+                "qec_frame.surface_code_frame_spec for d=5")
+        self._d = distance
+        z_checks, x_checks, z_log, x_log = \
+            _rotated_surface_geometry(distance)
+        self._z_checks = z_checks
+        self._x_checks = x_checks
+        self._z_logical = z_log
+        self._x_logical = x_log
+        dq = distance * distance
+        comp = np.zeros((len(z_checks), dq), dtype=np.uint8)
+        for i, qs in enumerate(z_checks):
+            comp[i, qs] = 1
+        h = np.zeros((len(x_checks), dq), dtype=np.uint8)
+        for i, qs in enumerate(x_checks):
+            h[i, qs] = 1
+        self._lut_x = _coset_leader_lut(comp)   # comp syndrome -> X corr
+        self._lut_z = _coset_leader_lut(h)      # h syndrome -> Z corr
+
+    @property
+    def name(self) -> str:
+        return f"Surface [[{self._d * self._d},1,{self._d}]]"
+
+    @property
+    def data_qubits(self) -> int:
+        return self._d * self._d
+
+    @property
+    def ancilla_qubits(self) -> int:
+        return 0
+
+    @property
+    def code_distance(self) -> int:
+        return self._d
+
+    def encode(self, logical_state: int) -> StateVector:
+        """|b>_L = X_L^b applied to the uniform X-stabilizer orbit of
+        |0...0> (the CSS codeword construction, built directly into the
+        amplitude array like SteaneCode.encode)."""
+        n = self.data_qubits
+        base = 0
+        if logical_state & 1:
+            for q in self._x_logical:
+                base |= 1 << (n - 1 - q)
+        masks = []
+        for check in self._x_checks:
+            m = 0
+            for q in check:
+                m |= 1 << (n - 1 - q)
+            masks.append(m)
+        indices = set()
+        for sub in range(1 << len(masks)):
+            idx = base
+            for i, m in enumerate(masks):
+                if (sub >> i) & 1:
+                    idx ^= m
+            indices.add(idx)
+        amp = 1.0 / np.sqrt(len(indices))
+        data = np.zeros(2 ** n, dtype=np.complex128)
+        data[sorted(indices)] = amp
+        sv = StateVector(n)
+        sv.data = data
+        return sv
+
+    def comp_frame_checks(self) -> list[list[int]]:
+        return [list(qs) for qs in self._z_checks]
+
+    def h_frame_checks(self) -> list[list[int]]:
+        return [list(qs) for qs in self._x_checks]
+
+    def decode_syndrome(self, syndrome: list[int]) -> list[tuple[str, int]]:
+        nc = len(self._z_checks)
+        ic = sum(int(b) << i for i, b in enumerate(syndrome[:nc]))
+        ih = sum(int(b) << i
+                 for i, b in enumerate(syndrome[nc:nc + len(self._x_checks)]))
+        corrections = [("X", int(q)) for q in np.nonzero(self._lut_x[ic])[0]]
+        corrections += [("Z", int(q)) for q in np.nonzero(self._lut_z[ih])[0]]
+        return corrections
+
+    def decode_masks(self, syn_comp, syn_h, n: int):
+        dq = self.data_qubits
+        w = np.asarray([1 << (n - 1 - q) for q in range(dq)], dtype=np.int64)
+        mask_x = jnp.asarray((self._lut_x @ w).astype(np.int32))
+        mask_z = jnp.asarray((self._lut_z @ w).astype(np.int32))
+        pow_c = jnp.asarray([1 << i for i in range(len(self._z_checks))],
+                            jnp.int32)
+        pow_h = jnp.asarray([1 << i for i in range(len(self._x_checks))],
+                            jnp.int32)
+        return (mask_x[jnp.sum(syn_comp * pow_c)],
+                mask_z[jnp.sum(syn_h * pow_h)])
+
+    def logical_z_operators(self) -> list[int]:
+        return list(self._z_logical)
+
+    def logical_x_operators(self) -> list[int]:
+        return list(self._x_logical)
+
+
+# ---------------------------------------------------------------------------
 # Compiled cycle kernel
 # ---------------------------------------------------------------------------
 
@@ -667,4 +873,5 @@ AVAILABLE_CODES = {
     "Bit-Flip [3,1,1]": BitFlipCode,
     "Phase-Flip [3,1,1]": PhaseFlipCode,
     "Steane [[7,1,3]]": SteaneCode,
+    "Surface [[9,1,3]]": RotatedSurfaceCode,
 }

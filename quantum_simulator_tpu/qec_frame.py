@@ -34,8 +34,15 @@ frame engine reads them off the bits.
 Beyond parity, the frame engine scales where the statevector cannot:
 ``repetition_frame_spec(distance)`` builds bit-flip/phase-flip
 repetition codes of ANY odd distance (the reference caps at d=3 / 5
-qubits; the statevector engine at ~n=30), with a maximum-likelihood
-prefix-parity decoder, and trials shard over a device mesh.
+qubits; the statevector engine at ~n=30), ``surface_code_frame_spec``
+builds rotated surface codes [[d^2,1,d]] with exact minimum-weight
+coset-leader decoding (d=3, 5), and trials shard over a device mesh.
+R-round memory experiments run with per-round decoding
+(``build_memory_fn``) or EXACT space-time maximum likelihood via
+Walsh-Hadamard-diagonalized HMM inference — ``build_ml_memory_fn`` for
+repetition chains, ``build_ml_css_memory_fn`` for any CSS sector
+including the surface code's (degenerate ML: the final decision
+integrates the posterior over whole stabilizer-equivalence classes).
 """
 
 from __future__ import annotations
@@ -48,7 +55,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .qec import QECCode, ThresholdPoint
+from .qec import (QECCode, ThresholdPoint, _coset_leader_lut,
+                  _rotated_surface_geometry)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -201,6 +209,52 @@ def repetition_frame_spec(distance: int,
         h_checks=h,
         logical_support=np.ones(d, dtype=np.uint8),
         logical_in_h_frame=in_h,
+        decode=decode,
+    )
+
+
+def surface_code_frame_spec(distance: int) -> FrameSpec:
+    """Rotated surface code [[d^2, 1, d]], frame-native (d in {3, 5}).
+
+    Shares ``qec._rotated_surface_geometry`` with the statevector
+    ``RotatedSurfaceCode`` (so d=3 is draw-exact against it under the
+    same seed); decoding is exact minimum-weight per CSS sector via
+    coset-leader tables (``qec._coset_leader_lut``) — 2^((d^2-1)/2)
+    syndromes per sector: 16 at d=3, 4096 at d=5.  d >= 7 would need a
+    matching decoder instead of a table and is rejected.
+
+    Z-checks (detecting X errors) are the computational-frame checks;
+    X-checks (detecting Z errors) read in the H frame; the logical
+    readout is Z_L = Z on row 0, flipped by residual X bits.
+    """
+    if distance > 5:
+        raise ValueError(
+            "coset-leader tables are 2^((d^2-1)/2) rows; surface frame "
+            "specs are capped at d=5 (d=7 needs a matching decoder)")
+    z_checks, x_checks, z_logical, _ = _rotated_surface_geometry(distance)
+    dq = distance * distance
+    comp = _checks_matrix(z_checks, dq)
+    h = _checks_matrix(x_checks, dq)
+    lut_x = _coset_leader_lut(comp)
+    lut_z = _coset_leader_lut(h)
+    nc, nh = comp.shape[0], h.shape[0]
+    pow_c = np.asarray([1 << i for i in range(nc)], dtype=np.int32)
+    pow_h = np.asarray([1 << i for i in range(nh)], dtype=np.int32)
+
+    def decode(syn_comp, syn_h):
+        idx_c = syn_comp @ jnp.asarray(pow_c)
+        idx_h = syn_h @ jnp.asarray(pow_h)
+        return jnp.asarray(lut_x)[idx_c], jnp.asarray(lut_z)[idx_h]
+
+    support = np.zeros(dq, dtype=np.uint8)
+    support[z_logical] = 1
+    return FrameSpec(
+        name=f"Surface [[{dq},1,{distance}]]",
+        data_qubits=dq,
+        comp_checks=comp,
+        h_checks=h,
+        logical_support=support,
+        logical_in_h_frame=False,
         decode=decode,
     )
 
@@ -511,6 +565,171 @@ def build_ml_memory_fn(distance: int, n_rounds: int,
     return jax.jit(run)
 
 
+def _gf2_nullspace(mat: np.ndarray) -> np.ndarray:
+    """Basis of the GF(2) null space of an (m, n) 0/1 matrix, as rows."""
+    a = (mat.astype(np.int8) % 2).copy()
+    m, n = a.shape
+    pivots: list[int] = []
+    row = 0
+    for col in range(n):
+        piv = None
+        for r in range(row, m):
+            if a[r, col]:
+                piv = r
+                break
+        if piv is None:
+            continue
+        a[[row, piv]] = a[[piv, row]]
+        for r in range(m):
+            if r != row and a[r, col]:
+                a[r] ^= a[row]
+        pivots.append(col)
+        row += 1
+        if row == m:
+            break
+    free = [c for c in range(n) if c not in pivots]
+    basis = []
+    for fc in free:
+        v = np.zeros(n, np.int8)
+        v[fc] = 1
+        for i, pc in enumerate(pivots):
+            v[pc] = a[i, fc]
+        basis.append(v)
+    return (np.asarray(basis, np.int8) if basis
+            else np.zeros((0, n), np.int8))
+
+
+def build_ml_css_memory_fn(checks: np.ndarray, logical_support: np.ndarray,
+                           n_rounds: int, return_trace: bool = False):
+    """jitted ``(p, q, keys[T, key_dim]) -> (fail_ml, fail_minw)`` — an
+    R-round memory experiment for ONE CSS error sector of ANY code,
+    decoded by EXACT maximum likelihood over the space-time history.
+
+    Generalizes ``build_ml_memory_fn`` from the repetition chain to an
+    arbitrary GF(2) parity-check matrix (e.g. the surface code's
+    Z-sector via ``surface_code_frame_spec``): the forward pass is the
+    same WHT-diagonalized hidden-Markov recursion over (trials, 2^dq)
+    posteriors, and the final decision integrates the posterior over
+    the WHOLE coset consistent with the exact final syndrome, split by
+    logical class — for degenerate codes (kernel dim > 1, e.g. surface)
+    this sums each class over its 2^(k-1) stabilizer-equivalent
+    candidates, i.e. true degenerate ML, strictly more information than
+    any single-candidate (min-weight / matching) rule.  ``fail_minw``
+    is the single-shot coset-leader baseline on the same trials.
+
+    Protocol per round: each data bit flips w.p. ``p``, then every
+    syndrome bit is read flipped w.p. ``q``; after ``n_rounds`` rounds a
+    perfect readout yields the exact final syndrome.  For the
+    repetition-code checks this reproduces ``build_ml_memory_fn``
+    draw-for-draw (test-locked).  Memory: O(trials * 2^dq); ``dq <= 14``.
+    """
+    checks = np.asarray(checks, np.uint8)
+    support_np = np.asarray(logical_support, np.uint8)
+    nch, dq = checks.shape
+    if dq > 14:
+        raise ValueError("posterior state is 2^dq; data qubits capped at 14")
+    dim = 1 << dq
+    lut = _coset_leader_lut(checks)                     # (2^nch, dq)
+    kernel = _gf2_nullspace(checks)                     # (kdim, dq)
+    kdim = kernel.shape[0]
+    pow2 = (2 ** np.arange(dq)).astype(np.int64)
+    basis_idx = kernel.astype(np.int64) @ pow2
+    basis_par = (kernel.astype(np.int64) @ support_np.astype(np.int64)) % 2
+    ker_idx = np.zeros(1 << kdim, np.int64)
+    ker_par = np.zeros(1 << kdim, np.int32)
+    for sub in range(1 << kdim):
+        vi, vp = 0, 0
+        for b in range(kdim):
+            if (sub >> b) & 1:
+                vi ^= int(basis_idx[b])
+                vp ^= int(basis_par[b])
+        ker_idx[sub] = vi
+        ker_par[sub] = vp
+    rep_idx = (lut.astype(np.int64) @ pow2).astype(np.int32)
+    rep_par = ((lut.astype(np.int64)
+                @ support_np.astype(np.int64)) % 2).astype(np.int32)
+
+    idx = np.arange(dim, dtype=np.int64)
+    idx_bits = ((idx[:, None] >> np.arange(dq)) & 1).astype(np.int8)
+    par = ((idx_bits.astype(np.int64) @ checks.T.astype(np.int64)) % 2
+           ).astype(np.float32)                         # (dim, nch)
+    popcount = idx_bits.sum(axis=1).astype(np.float32)
+    pow_syn = (2 ** np.arange(nch)).astype(np.int32)
+
+    def run(p, q, keys):
+        T = keys.shape[0]
+        w_meas = q / (1.0 - q)          # q=0 -> 0; 0**0 == 1 below
+        decay = jnp.power(1.0 - 2.0 * p, jnp.asarray(popcount))
+        par_j = jnp.asarray(par)
+        checks_f = jnp.asarray(checks.astype(np.float32))
+        support_f = jnp.asarray(support_np.astype(np.float32))
+
+        def _syn(X):
+            odd = jnp.matmul(X.astype(jnp.float32), checks_f.T,
+                             precision=_HI)
+            return odd.astype(jnp.int32) & 1
+
+        def gen_round(carry, r):
+            X = carry
+            round_keys = jax.vmap(jax.random.fold_in, (0, None))(keys, r)
+            data_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, 1))(round_keys)
+            meas_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, 2))(round_keys)
+            flips = (jax.vmap(lambda k: jax.random.uniform(k, (dq,)))(
+                data_keys) < p).astype(jnp.int32)
+            X = X ^ flips
+            meas = (jax.vmap(lambda k: jax.random.uniform(k, (nch,)))(
+                meas_keys) < q).astype(jnp.int32)
+            return X, _syn(X) ^ meas
+
+        X0 = jnp.zeros((T, dq), jnp.int32)
+        X_final, syndromes = jax.lax.scan(
+            gen_round, X0, jnp.arange(n_rounds))        # (R, T, nch)
+
+        def decode_round(alpha, s_r):
+            alpha = _wht(alpha, dq) * decay
+            alpha = _wht(alpha, dq) / dim
+            s_sum = jnp.sum(s_r, axis=1, dtype=jnp.float32)[:, None]
+            par_sum = jnp.sum(par_j, axis=1)[None, :]
+            cross = jnp.matmul(s_r.astype(jnp.float32), par_j.T,
+                               precision=_HI)
+            n_mis = s_sum + par_sum - 2.0 * cross
+            alpha = alpha * jnp.power(w_meas, n_mis)
+            alpha = alpha / (jnp.sum(alpha, axis=1, keepdims=True) + 1e-30)
+            return alpha, None
+
+        alpha0 = jnp.zeros((T, dim), jnp.float32).at[:, 0].set(1.0)
+        alpha, _ = jax.lax.scan(decode_round, alpha0, syndromes)
+
+        s_int = _syn(X_final) @ jnp.asarray(pow_syn)    # (T,)
+        r_idx = jnp.asarray(rep_idx)[s_int]
+        r_par = jnp.asarray(rep_par)[s_int]
+        cand = r_idx[:, None] ^ jnp.asarray(
+            ker_idx.astype(np.int32))[None, :]          # (T, 2^kdim)
+        cand_par = (r_par[:, None] ^ jnp.asarray(ker_par)[None, :]
+                    ).astype(jnp.float32)
+        mass = jnp.take_along_axis(alpha, cand, axis=1)
+        m1 = jnp.sum(mass * cand_par, axis=1)
+        m0 = jnp.sum(mass * (1.0 - cand_par), axis=1)
+        pred_ml = (m1 > m0).astype(jnp.int32)
+
+        def _log_par(X):
+            overlap = jnp.matmul(X.astype(jnp.float32), support_f,
+                                 precision=_HI)
+            return overlap.astype(jnp.int32) & 1
+
+        actual = _log_par(X_final)
+        resid = X_final ^ jnp.asarray(lut)[s_int]
+        fail_minw = (_log_par(resid) != 0).astype(jnp.int32)
+        fails = ((pred_ml != actual).astype(jnp.int32), fail_minw)
+        if return_trace:
+            return fails + (syndromes, X_final)
+        return fails
+
+    return jax.jit(run)
+
+
 # ---------------------------------------------------------------------------
 # Simulator
 # ---------------------------------------------------------------------------
@@ -700,6 +919,53 @@ class FrameQECSimulator:
         return {
             "ml_failure_probability": p_ml,
             "final_syndrome_failure_probability": p_fin,
+            "per_round_ml_rate":
+                1.0 - (1.0 - min(p_ml, 1.0 - 1e-12)) ** (1.0 / n_rounds),
+            "n_rounds": n_rounds,
+            "n_trials": n_trials,
+            "distance": distance,
+            "meas_error_prob": float(meas_error_prob),
+        }
+
+    @staticmethod
+    def ml_surface_memory_experiment(noise_prob: float, n_rounds: int,
+                                     n_trials: int = 1000,
+                                     meas_error_prob: float = 0.0,
+                                     distance: int = 3,
+                                     seed: int = 0,
+                                     mesh: jax.sharding.Mesh | None = None
+                                     ) -> dict:
+        """d=3 rotated-surface-code memory (X-error sector) decoded by
+        the exact DEGENERATE-ML space-time decoder
+        (``build_ml_css_memory_fn``), with the single-shot coset-leader
+        baseline measured on the same trials.  d=3 only: the posterior
+        is (trials, 2^(d^2))."""
+        if distance != 3:
+            raise ValueError("ML surface memory is capped at d=3 "
+                             "(posterior state is 2^(d^2))")
+        key = ("surface", distance, n_rounds)
+        fn = _ml_fn_cache.get(key)
+        if fn is None:
+            z_checks, _, z_logical, _ = _rotated_surface_geometry(distance)
+            dq = distance * distance
+            support = np.zeros(dq, dtype=np.uint8)
+            support[z_logical] = 1
+            fn = build_ml_css_memory_fn(
+                _checks_matrix(z_checks, dq), support, n_rounds)
+            _ml_fn_cache[key] = fn
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            keys = jax.device_put(
+                keys, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(axis)))
+        fail_ml, fail_minw = fn(jnp.float32(noise_prob),
+                                jnp.float32(meas_error_prob), keys)
+        p_ml = float(np.asarray(fail_ml, dtype=np.float64).mean())
+        p_mw = float(np.asarray(fail_minw, dtype=np.float64).mean())
+        return {
+            "ml_failure_probability": p_ml,
+            "final_syndrome_failure_probability": p_mw,
             "per_round_ml_rate":
                 1.0 - (1.0 - min(p_ml, 1.0 - 1e-12)) ** (1.0 / n_rounds),
             "n_rounds": n_rounds,

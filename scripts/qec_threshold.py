@@ -11,9 +11,10 @@ Usage:
 TPU extension (defaults unchanged): ``--engine frame`` runs the sweep on
 the Pauli-frame engine (``quantum_simulator_tpu/qec_frame.py``) — same
 per-trial outcomes for the reference codes under the same seed, but pure
-GF(2) bit algebra, so it also accepts arbitrary-odd-distance repetition
-codes the statevector engine cannot hold: ``--codes repetition:25`` /
-``phase_repetition:25``.
+GF(2) bit algebra, so it also accepts codes the statevector engine cannot
+hold: arbitrary-odd-distance repetition codes (``--codes repetition:25`` /
+``phase_repetition:25``) and rotated surface codes (``--codes surface:5``;
+plain ``surface`` = d=3 runs on either engine).
 """
 
 from __future__ import annotations
@@ -31,6 +32,7 @@ from quantum_sim.engine.qec import (  # noqa: E402
     BitFlipCode,
     PhaseFlipCode,
     QECSimulator,
+    RotatedSurfaceCode,
     SteaneCode,
 )
 
@@ -38,6 +40,7 @@ CODE_MAP = {
     "bit_flip": BitFlipCode,
     "phase_flip": PhaseFlipCode,
     "steane": SteaneCode,
+    "surface": RotatedSurfaceCode,
 }
 
 
@@ -46,7 +49,8 @@ def _parse_code(name: str):
     if name in CODE_MAP:
         return name, None
     for prefix, kind in (("repetition:", "bit_flip"),
-                         ("phase_repetition:", "phase_flip")):
+                         ("phase_repetition:", "phase_flip"),
+                         ("surface:", "surface")):
         if name.startswith(prefix):
             try:
                 distance = int(name[len(prefix):])
@@ -61,7 +65,8 @@ def _parse_code(name: str):
 def _make_sim(code_name: str, engine: str):
     """-> (simulator, metadata dict). Frame engine mirrors the sweep API."""
     from quantum_simulator_tpu.qec_frame import (
-        FrameQECSimulator, frame_spec_from_code, repetition_frame_spec)
+        FrameQECSimulator, frame_spec_from_code, repetition_frame_spec,
+        surface_code_frame_spec)
 
     kind, distance = _parse_code(code_name)
     if distance is not None:
@@ -69,9 +74,15 @@ def _make_sim(code_name: str, engine: str):
             raise SystemExit(
                 f"{code_name} requires --engine frame (the statevector "
                 "engine cannot hold arbitrary-distance codes)")
-        spec = repetition_frame_spec(distance, kind)
+        if kind == "surface":
+            # ML-parity syndromes need no ancillas (RotatedSurfaceCode).
+            spec = surface_code_frame_spec(distance)
+            ancillas = 0
+        else:
+            spec = repetition_frame_spec(distance, kind)
+            ancillas = distance - 1
         meta = {"code": spec.name, "data_qubits": spec.data_qubits,
-                "total_qubits": spec.data_qubits + distance - 1,
+                "total_qubits": spec.data_qubits + ancillas,
                 "code_distance": distance}
         return FrameQECSimulator(spec), meta
 
@@ -127,7 +138,8 @@ def main():
     parser = argparse.ArgumentParser(description="QEC threshold analysis")
     parser.add_argument(
         "--codes", type=str, default="bit_flip,steane",
-        help="Comma-separated code names: bit_flip, phase_flip, steane")
+        help="Comma-separated code names: bit_flip, phase_flip, steane, "
+             "surface (d=3), surface:D / repetition:D / phase_repetition:D")
     parser.add_argument("--noise", type=str, default="bit_flip",
                         choices=["bit_flip", "phase_flip", "depolarizing"])
     parser.add_argument("--trials", type=int, default=100)
@@ -145,7 +157,8 @@ def main():
         kind, distance = _parse_code(name)
         if kind is None:
             print(f"Unknown code: {name}. Available: {list(CODE_MAP)} "
-                  "or repetition:D / phase_repetition:D (odd D >= 3)")
+                  "or repetition:D / phase_repetition:D / surface:D "
+                  "(odd D >= 3)")
             sys.exit(1)
 
     print(f"Running QEC threshold: codes={code_names}, noise={args.noise}, "

@@ -124,6 +124,7 @@ class TestThresholdSweep:
 
 def test_available_codes():
     assert set(AVAILABLE_CODES) == {
-        "Bit-Flip [3,1,1]", "Phase-Flip [3,1,1]", "Steane [[7,1,3]]"}
+        "Bit-Flip [3,1,1]", "Phase-Flip [3,1,1]", "Steane [[7,1,3]]",
+        "Surface [[9,1,3]]"}
     for name, cls in AVAILABLE_CODES.items():
         assert cls().name == name
