@@ -26,6 +26,7 @@ from .clifford import CliffordSimulator
 from .dmrg import DMRGResult, dmrg_excited_states, dmrg_ground_state
 from .mps import MPSSimulator, MPSState
 from .density import DensityMatrixResult, DensityMatrixSimulator
+from .lindblad import LindbladResult, LindbladSimulator
 from .simulator import SimulationResult, Simulator
 from .state import StateVector
 
@@ -46,6 +47,8 @@ __all__ = [
     "GateType",
     "MeasurementBasis",
     "MeasurementEngine",
+    "LindbladResult",
+    "LindbladSimulator",
     "MPSSimulator",
     "MPSState",
     "NoiseChannel",
