@@ -27,6 +27,7 @@ from .dmrg import DMRGResult, dmrg_excited_states, dmrg_ground_state
 from .mps import MPSSimulator, MPSState
 from .density import DensityMatrixResult, DensityMatrixSimulator
 from .lindblad import LindbladResult, LindbladSimulator
+from .shadows import ShadowData, collect_shadows
 from .simulator import SimulationResult, Simulator
 from .state import StateVector
 
@@ -59,6 +60,8 @@ __all__ = [
     "AmplitudeDampingNoise",
     "ReadoutError",
     "QuantumCircuit",
+    "ShadowData",
+    "collect_shadows",
     "SimulationResult",
     "Simulator",
     "StateVector",
