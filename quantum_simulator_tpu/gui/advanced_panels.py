@@ -44,6 +44,7 @@ from ..qec_frame import (
     FrameQECSimulator,
     frame_spec_from_code,
     repetition_frame_spec,
+    surface_code_frame_spec,
 )
 
 
@@ -518,12 +519,14 @@ class QECPanel(_Canvas):
 
     REPETITION_CODES = ("Repetition (distance d)",
                         "Phase-flip repetition (distance d)")
+    SURFACE_CODE = "Surface (distance d, frame)"
 
     def __init__(self, parent=None):
         super().__init__(parent)
         self.code_combo = QComboBox()
         self.code_combo.addItems(list(AVAILABLE_CODES)
-                                 + list(self.REPETITION_CODES))
+                                 + list(self.REPETITION_CODES)
+                                 + [self.SURFACE_CODE])
         self.engine_combo = QComboBox()
         self.engine_combo.addItems(["statevector", "frame"])
         self.d_spin = QSpinBox()
@@ -572,12 +575,27 @@ class QECPanel(_Canvas):
         d = int(self.d_spin.value())
         return d if d % 2 else d + 1  # repetition specs require odd d
 
+    def _surface_spec(self):
+        """Frame spec for the surface entry; the coset-leader tables cap
+        at d=5, so the spinbox value clamps."""
+        d = min(self._distance(), 5)
+        return surface_code_frame_spec(d)
+
     def show_layout(self) -> None:
         """Code-layout diagram: data qubits (circles) in a row, one row
         per parity check below, with edges to the check's members
         (the reference's Code Layout tab, ``qec_panel.py:32-483``)."""
         kind = self._repetition_kind()
-        if kind is not None:
+        if self.code_combo.currentText() == self.SURFACE_CODE:
+            spec = self._surface_spec()
+            nd = spec.data_qubits
+            checks = ([("Z", list(np.nonzero(row)[0]))
+                       for row in spec.comp_checks]
+                      + [("X", list(np.nonzero(row)[0]))
+                         for row in spec.h_checks])
+            name = spec.name
+            n_anc = 0
+        elif kind is not None:
             spec = repetition_frame_spec(self._distance(), kind)
             nd = spec.data_qubits
             mat = spec.comp_checks if kind == "bit_flip" else spec.h_checks
@@ -616,6 +634,8 @@ class QECPanel(_Canvas):
         engine is draw-exact vs the statevector one for the reference
         codes and is the only engine that holds repetition codes."""
         kind = self._repetition_kind()
+        if self.code_combo.currentText() == self.SURFACE_CODE:
+            return FrameQECSimulator(self._surface_spec())
         if kind is not None:
             return FrameQECSimulator(
                 repetition_frame_spec(self._distance(), kind))
@@ -626,6 +646,7 @@ class QECPanel(_Canvas):
 
     def run_cycle(self) -> None:
         if (self._repetition_kind() is not None
+                or self.code_combo.currentText() == self.SURFACE_CODE
                 or self.engine_combo.currentText() == "frame"):
             self.status.setText(
                 "Cycle view needs the statevector engine (state plots); "
@@ -660,20 +681,27 @@ class QECPanel(_Canvas):
 
     def run_memory(self) -> None:
         """R-round memory experiment with the exact space-time ML
-        decoder (repetition codes; ``qec_frame.build_ml_memory_fn``)."""
+        decoder (repetition codes via ``build_ml_memory_fn``; the d=3
+        surface code via the degenerate-ML ``build_ml_css_memory_fn``)."""
         kind = self._repetition_kind()
-        if kind is None:
+        is_surface = self.code_combo.currentText() == self.SURFACE_CODE
+        if kind is None and not is_surface:
             self.status.setText(
-                "Memory (ML) runs on repetition codes — select "
-                "'Repetition (distance d)' and the frame engine")
+                "Memory (ML) runs on repetition or surface codes — "
+                "select a '(distance d)' entry")
             return
-        d = self._distance()
+        d = 3 if is_surface else self._distance()
         p = self.p_spin.value()
 
         def work():
-            res = FrameQECSimulator.ml_memory_experiment(
-                distance=d, noise_prob=p, n_rounds=10, n_trials=2048,
-                meas_error_prob=p, seed=42)
+            if is_surface:
+                res = FrameQECSimulator.ml_surface_memory_experiment(
+                    noise_prob=p, n_rounds=10, n_trials=2048,
+                    meas_error_prob=p, distance=3, seed=42)
+            else:
+                res = FrameQECSimulator.ml_memory_experiment(
+                    distance=d, noise_prob=p, n_rounds=10, n_trials=2048,
+                    meas_error_prob=p, seed=42)
             self.memory_done.emit(res)
 
         threading.Thread(target=work, daemon=True).start()
