@@ -576,10 +576,10 @@ class QECPanel(_Canvas):
         return d if d % 2 else d + 1  # repetition specs require odd d
 
     def _surface_spec(self):
-        """Frame spec for the surface entry; the coset-leader tables cap
-        at d=5, so the spinbox value clamps."""
-        d = min(self._distance(), 5)
-        return surface_code_frame_spec(d)
+        """Frame spec for the surface entry at the spinbox distance
+        ('auto' decoder: exact coset-leader tables at d<=5, union-find
+        matching above)."""
+        return surface_code_frame_spec(self._distance())
 
     def show_layout(self) -> None:
         """Code-layout diagram: data qubits (circles) in a row, one row

@@ -64,6 +64,11 @@ _native = _load()
 HAS_NATIVE = _native is not None
 
 
+def get_native_module():
+    """The loaded C extension module, or None (callers fall back)."""
+    return _native
+
+
 def counts_from_array_native(counts_array, num_qubits: int):
     """C path for {bitstring: count} dict building, or None if no native
     module is available (callers fall back to Python)."""

@@ -203,7 +203,246 @@ pack_bits(PyObject *self, PyObject *args)
     return out;
 }
 
+/* uf_decode(edges, n_edges, n_checks, boundary, syndromes, n_trials, out)
+ *
+ * Union-find matching decoder over a batch of syndromes (the C twin of
+ * qec_matching._decode_one_py — same deterministic choices, so outputs
+ * are bit-identical; test-locked).
+ *
+ *   edges:     C-contiguous int32 (n_edges x 2) vertex pairs
+ *   syndromes: C-contiguous uint8 (n_trials x n_checks) 0/1
+ *   out:       writable C-contiguous uint8 (n_trials x n_edges)
+ *   boundary:  virtual boundary vertex index (== n_checks) or -1
+ *
+ * Returns 0 on success, 1 if any syndrome is unmatchable (odd defect
+ * parity in a boundary-free component).
+ */
+
+typedef struct {
+    int *parent;
+    signed char *parity;    /* valid at roots */
+    unsigned char *on_bnd;  /* valid at roots */
+    unsigned char *occupied;
+    unsigned char *active;
+    unsigned char *defect;
+    unsigned char *visited;
+    signed char *growth;
+    int *newly_full;
+    int *adj_head;          /* CSR adjacency over full edges */
+    int *adj_next;
+    int *adj_vert;
+    int *adj_edge;
+    int *order;
+    int *tree_par;
+    int *tree_edge;
+} UFWork;
+
+static int
+uf_find(int *parent, int v)
+{
+    int root = v;
+    while (parent[root] != root) root = parent[root];
+    while (parent[v] != root) { int nxt = parent[v]; parent[v] = root; v = nxt; }
+    return root;
+}
+
+static int
+uf_decode_one(const int32_t *edges, int ne, int nc, int bnd, int nv,
+              const uint8_t *syn, uint8_t *corr, UFWork *w)
+{
+    for (int v = 0; v < nv; v++) {
+        w->parent[v] = v;
+        w->defect[v] = (v < nc) ? (syn[v] & 1u) : 0;
+        w->occupied[v] = w->defect[v];
+        w->parity[v] = (signed char)w->defect[v];
+        w->on_bnd[v] = 0;
+        w->visited[v] = 0;
+    }
+    memset(w->growth, 0, (size_t)ne);
+    memset(corr, 0, (size_t)ne);
+
+    /* growth rounds */
+    int converged = 0;
+    for (int it = 0; it < 2 * nv + 4; it++) {
+        int any_active = 0;
+        for (int v = 0; v < nv; v++) {
+            w->active[v] = 0;
+            if (w->occupied[v]) {
+                int r = uf_find(w->parent, v);
+                w->active[v] = (w->parity[r] & 1) && !w->on_bnd[r];
+                any_active |= w->active[v];
+            }
+        }
+        if (!any_active) { converged = 1; break; }
+        int grew = 0, n_full = 0;
+        for (int e = 0; e < ne; e++) {
+            if (w->growth[e] >= 2) continue;
+            int u = edges[2 * e], v = edges[2 * e + 1];
+            int add = (int)w->active[u] + (int)w->active[v];
+            if (add) {
+                grew = 1;
+                w->growth[e] = (signed char)((w->growth[e] + add > 2)
+                                             ? 2 : w->growth[e] + add);
+                if (w->growth[e] == 2) w->newly_full[n_full++] = e;
+            }
+        }
+        if (!grew) return 1;  /* unmatchable */
+        for (int i = 0; i < n_full; i++) {
+            int e = w->newly_full[i];
+            int u = edges[2 * e], v = edges[2 * e + 1];
+            if (!w->occupied[u]) {
+                w->occupied[u] = 1;
+                if (u == bnd) w->on_bnd[u] = 1;
+            }
+            if (!w->occupied[v]) {
+                w->occupied[v] = 1;
+                if (v == bnd) w->on_bnd[v] = 1;
+            }
+            int ru = uf_find(w->parent, u), rv = uf_find(w->parent, v);
+            if (ru != rv) {
+                w->parent[rv] = ru;
+                w->parity[ru] ^= w->parity[rv];
+                w->on_bnd[ru] |= w->on_bnd[rv];
+            }
+        }
+    }
+    if (!converged) return 2;
+
+    /* CSR adjacency over fully-grown edges; heads in edge-index order
+     * (build by prepending in REVERSE edge order so traversal order
+     * matches the Python adjacency lists). */
+    for (int v = 0; v < nv; v++) w->adj_head[v] = -1;
+    for (int e = ne - 1; e >= 0; e--) {
+        if (w->growth[e] != 2) continue;
+        int u = edges[2 * e], v = edges[2 * e + 1];
+        int su = 2 * e, sv = 2 * e + 1;
+        w->adj_vert[su] = v; w->adj_edge[su] = e;
+        w->adj_next[su] = w->adj_head[u]; w->adj_head[u] = su;
+        w->adj_vert[sv] = u; w->adj_edge[sv] = e;
+        w->adj_next[sv] = w->adj_head[v]; w->adj_head[v] = sv;
+    }
+
+    /* peeling */
+    int bnd_root = (bnd >= 0 && w->occupied[bnd])
+                   ? uf_find(w->parent, bnd) : -1;
+    for (int start = 0; start < nv; start++) {
+        if (!w->occupied[start] || w->visited[start]) continue;
+        int root = (bnd_root >= 0 && uf_find(w->parent, start) == bnd_root)
+                   ? bnd : start;
+        int n_order = 0;
+        w->order[n_order++] = root;
+        w->visited[root] = 1;
+        for (int head = 0; head < n_order; head++) {
+            int u = w->order[head];
+            for (int s = w->adj_head[u]; s >= 0; s = w->adj_next[s]) {
+                int nb = w->adj_vert[s];
+                if (!w->visited[nb]) {
+                    w->visited[nb] = 1;
+                    w->tree_par[nb] = u;
+                    w->tree_edge[nb] = w->adj_edge[s];
+                    w->order[n_order++] = nb;
+                }
+            }
+        }
+        for (int i = n_order - 1; i >= 1; i--) {
+            int u = w->order[i];
+            if (w->defect[u]) {
+                corr[w->tree_edge[u]] ^= 1;
+                w->defect[u] = 0;
+                w->defect[w->tree_par[u]] ^= 1;
+            }
+        }
+        if (root != bnd && w->defect[root]) return 2;
+    }
+    return 0;
+}
+
+static PyObject *
+uf_decode(PyObject *self, PyObject *args)
+{
+    PyObject *edges_obj, *syn_obj, *out_obj;
+    int ne, nc, bnd;
+    Py_ssize_t n_trials;
+    if (!PyArg_ParseTuple(args, "OiiiOnO", &edges_obj, &ne, &nc, &bnd,
+                          &syn_obj, &n_trials, &out_obj)) {
+        return NULL;
+    }
+    Py_buffer ev, sv, ov;
+    if (PyObject_GetBuffer(edges_obj, &ev, PyBUF_CONTIG_RO) < 0) return NULL;
+    if (PyObject_GetBuffer(syn_obj, &sv, PyBUF_CONTIG_RO) < 0) {
+        PyBuffer_Release(&ev);
+        return NULL;
+    }
+    if (PyObject_GetBuffer(out_obj, &ov, PyBUF_CONTIG) < 0) {
+        PyBuffer_Release(&ev); PyBuffer_Release(&sv);
+        return NULL;
+    }
+    int nv = nc + (bnd >= 0 ? 1 : 0);
+    if (ev.len < (Py_ssize_t)ne * 2 * 4
+        || sv.len < n_trials * (Py_ssize_t)nc
+        || ov.len < n_trials * (Py_ssize_t)ne
+        || (bnd >= 0 && bnd != nc)) {
+        PyBuffer_Release(&ev); PyBuffer_Release(&sv); PyBuffer_Release(&ov);
+        PyErr_SetString(PyExc_ValueError, "uf_decode: bad buffer shapes");
+        return NULL;
+    }
+
+    UFWork w;
+    w.parent = (int *)malloc(sizeof(int) * (size_t)nv);
+    w.parity = (signed char *)malloc((size_t)nv);
+    w.on_bnd = (unsigned char *)malloc((size_t)nv);
+    w.occupied = (unsigned char *)malloc((size_t)nv);
+    w.active = (unsigned char *)malloc((size_t)nv);
+    w.defect = (unsigned char *)malloc((size_t)nv);
+    w.visited = (unsigned char *)malloc((size_t)nv);
+    w.growth = (signed char *)malloc((size_t)ne);
+    w.newly_full = (int *)malloc(sizeof(int) * (size_t)(ne > 0 ? ne : 1));
+    w.adj_head = (int *)malloc(sizeof(int) * (size_t)nv);
+    w.adj_next = (int *)malloc(sizeof(int) * (size_t)(2 * (ne > 0 ? ne : 1)));
+    w.adj_vert = (int *)malloc(sizeof(int) * (size_t)(2 * (ne > 0 ? ne : 1)));
+    w.adj_edge = (int *)malloc(sizeof(int) * (size_t)(2 * (ne > 0 ? ne : 1)));
+    w.order = (int *)malloc(sizeof(int) * (size_t)nv);
+    w.tree_par = (int *)malloc(sizeof(int) * (size_t)nv);
+    w.tree_edge = (int *)malloc(sizeof(int) * (size_t)nv);
+
+    int rc = 0;
+    if (!w.parent || !w.parity || !w.on_bnd || !w.occupied || !w.active
+        || !w.defect || !w.visited || !w.growth || !w.newly_full
+        || !w.adj_head || !w.adj_next || !w.adj_vert || !w.adj_edge
+        || !w.order || !w.tree_par || !w.tree_edge) {
+        rc = -1;
+    } else {
+        const int32_t *edges = (const int32_t *)ev.buf;
+        const uint8_t *syn = (const uint8_t *)sv.buf;
+        uint8_t *out = (uint8_t *)ov.buf;
+        Py_BEGIN_ALLOW_THREADS
+        for (Py_ssize_t t = 0; t < n_trials; t++) {
+            int r = uf_decode_one(edges, ne, nc, bnd, nv,
+                                  syn + t * nc, out + t * ne, &w);
+            if (r != 0) { rc = r; break; }
+        }
+        Py_END_ALLOW_THREADS
+    }
+
+    free(w.parent); free(w.parity); free(w.on_bnd); free(w.occupied);
+    free(w.active); free(w.defect); free(w.visited); free(w.growth);
+    free(w.newly_full); free(w.adj_head); free(w.adj_next);
+    free(w.adj_vert); free(w.adj_edge); free(w.order);
+    free(w.tree_par); free(w.tree_edge);
+
+    PyBuffer_Release(&ev); PyBuffer_Release(&sv); PyBuffer_Release(&ov);
+    if (rc == -1) return PyErr_NoMemory();
+    if (rc == 2) {
+        PyErr_SetString(PyExc_RuntimeError,
+                        "uf_decode: internal convergence failure");
+        return NULL;
+    }
+    return PyLong_FromLong(rc);
+}
+
 static PyMethodDef Methods[] = {
+    {"uf_decode", uf_decode, METH_VARARGS,
+     "Batched union-find matching decode over a CSS sector graph."},
     {"counts_from_array", counts_from_array, METH_VARARGS,
      "Dense int64 histogram -> {bitstring: count} dict (zeros skipped)."},
     {"histogram_from_indices", histogram_from_indices, METH_VARARGS,

@@ -1,0 +1,309 @@
+"""Union-find matching decoder for CSS sector syndromes.
+
+Scales surface-code decoding past the d<=5 coset-leader tables
+(``qec_frame.surface_code_frame_spec``): exact-ML enumeration is
+2^((d^2-1)/2) rows per sector, so d=7 already needs 2^24 x 49 tables.
+The Delfosse-Nickerson union-find decoder (arXiv:1709.06218) instead
+runs in near-linear time on the *matching graph* — vertices are parity
+checks (plus one virtual boundary vertex), edges are data qubits — so
+threshold sweeps reach d=7/9/11 and beyond.
+
+The decoder is a host-side sequential algorithm (cluster growth + tree
+peeling), which is exactly the shape the reference keeps in Python
+dictionaries for its 3-qubit codes
+(``/root/reference/quantum_sim/engine/qec.py:497-549``); here it is a C
+hot loop over trial batches (``native/qsim_native.c:uf_decode``, pure
+Python fallback) exposed to the jitted frame kernels through
+``jax.pure_callback`` with static batch shapes — the device program
+never recompiles, and draws/syndrome extraction/logical readout stay
+on the accelerator.
+
+Guarantee (test-locked): every returned correction reproduces the
+observed syndrome exactly (``H @ c % 2 == s``), the invariant the
+R-round memory experiments rely on.  Union-find is near-ML: its
+accuracy threshold for iid X errors on the rotated surface code is
+~9.9% vs ~10.3% for min-weight matching.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .native import get_native_module
+
+
+# ---------------------------------------------------------------------------
+# Matching graph
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class MatchingGraph:
+    """One CSS sector's syndrome graph.
+
+    ``edges[q] = (u, v)``: data qubit ``q`` toggles check vertices ``u``
+    and ``v``; a qubit touching a single check connects it to the
+    virtual ``boundary`` vertex (index ``n_checks``).  Requires every
+    data qubit to touch 1 or 2 checks of the sector — true for
+    repetition chains and the rotated surface code, and the defining
+    property of "matchable" codes.
+    """
+
+    n_checks: int
+    n_qubits: int
+    edges: np.ndarray          # (n_qubits, 2) int32, vertex indices
+    has_boundary: bool
+
+    @property
+    def n_vertices(self) -> int:
+        return self.n_checks + (1 if self.has_boundary else 0)
+
+    @property
+    def boundary(self) -> int:
+        return self.n_checks if self.has_boundary else -1
+
+    @classmethod
+    def from_checks(cls, checks: np.ndarray) -> "MatchingGraph":
+        checks = np.asarray(checks)
+        nc, dq = checks.shape
+        weights = checks.sum(axis=0)
+        if (weights < 1).any() or (weights > 2).any():
+            bad = int(np.argmax((weights < 1) | (weights > 2)))
+            raise ValueError(
+                f"qubit {bad} touches {int(weights[bad])} checks of this "
+                "sector; the matching decoder needs every column weight "
+                "in {1, 2}")
+        has_boundary = bool((weights == 1).any())
+        boundary = nc
+        edges = np.empty((dq, 2), dtype=np.int32)
+        for q in range(dq):
+            rows = np.flatnonzero(checks[:, q])
+            if rows.size == 2:
+                edges[q] = rows
+            else:
+                edges[q] = (rows[0], boundary)
+        return cls(n_checks=nc, n_qubits=dq, edges=edges,
+                   has_boundary=has_boundary)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python union-find + peeling (reference implementation / fallback)
+# ---------------------------------------------------------------------------
+
+def _decode_one_py(graph: MatchingGraph, syndrome: np.ndarray) -> np.ndarray:
+    """Decode one syndrome.  Deterministic: edges scan in index order,
+    unions always attach the second root under the first, BFS follows
+    adjacency in edge-index order — the C twin replays the exact same
+    choices, so both paths return bit-identical corrections."""
+    nc = graph.n_checks
+    nv = graph.n_vertices
+    ne = graph.n_qubits
+    edges = graph.edges
+    bnd = graph.boundary
+
+    parent = list(range(nv))
+
+    def find(v: int) -> int:
+        root = v
+        while parent[root] != root:
+            root = parent[root]
+        while parent[v] != root:
+            parent[v], v = root, parent[v]
+        return root
+
+    defect = np.zeros(nv, dtype=np.uint8)
+    defect[:nc] = syndrome
+    occupied = defect.astype(bool).copy()
+    parity = defect.astype(np.int8).copy()           # valid at roots
+    on_bnd = np.zeros(nv, dtype=bool)                # valid at roots
+    growth = np.zeros(ne, dtype=np.int8)
+
+    def absorb(w: int) -> None:
+        if not occupied[w]:
+            occupied[w] = True
+            if w == bnd:
+                on_bnd[w] = True
+
+    # --- growth rounds -----------------------------------------------
+    for _ in range(2 * nv + 4):
+        active = np.zeros(nv, dtype=bool)
+        for v in range(nv):
+            if occupied[v]:
+                r = find(v)
+                active[v] = bool(parity[r] & 1) and not on_bnd[r]
+        if not active.any():
+            break
+        grew = False
+        newly_full = []
+        for e in range(ne):
+            if growth[e] >= 2:
+                continue
+            u, v = int(edges[e, 0]), int(edges[e, 1])
+            add = int(active[u]) + int(active[v])
+            if add:
+                grew = True
+                growth[e] = min(2, growth[e] + add)
+                if growth[e] == 2:
+                    newly_full.append(e)
+        if not grew:
+            raise ValueError("syndrome is not matchable on this graph "
+                             "(odd defect parity in a boundary-free "
+                             "component)")
+        for e in newly_full:
+            u, v = int(edges[e, 0]), int(edges[e, 1])
+            absorb(u)
+            absorb(v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[rv] = ru
+                parity[ru] ^= parity[rv]
+                on_bnd[ru] |= on_bnd[rv]
+    else:
+        raise RuntimeError("union-find growth failed to converge")
+
+    # --- peeling -----------------------------------------------------
+    corr = np.zeros(ne, dtype=np.uint8)
+    # Adjacency over fully-grown edges, built in edge-index order.
+    adj: list[list[tuple[int, int]]] = [[] for _ in range(nv)]
+    for e in range(ne):
+        if growth[e] == 2:
+            u, v = int(edges[e, 0]), int(edges[e, 1])
+            adj[u].append((v, e))
+            adj[v].append((u, e))
+
+    visited = np.zeros(nv, dtype=bool)
+    for start in range(nv):
+        if not occupied[start] or visited[start]:
+            continue
+        # Root at the boundary vertex when the cluster contains it, so
+        # leftover defect parity drains there.
+        root = bnd if (bnd >= 0 and find(start) == find(bnd)
+                       and occupied[bnd]) else start
+        order = [root]
+        tree_edge: dict[int, tuple[int, int]] = {}
+        visited[root] = True
+        head = 0
+        while head < len(order):
+            u = order[head]
+            head += 1
+            for w, e in adj[u]:
+                if not visited[w]:
+                    visited[w] = True
+                    tree_edge[w] = (u, e)
+                    order.append(w)
+        for u in reversed(order[1:]):      # leaves toward the root
+            if defect[u]:
+                par, e = tree_edge[u]
+                corr[e] ^= 1
+                defect[u] = 0
+                defect[par] ^= 1
+        if root != bnd and defect[root]:
+            raise RuntimeError("peeling left an unmatched defect")
+    return corr
+
+
+def _decode_batch_py(graph: MatchingGraph,
+                     syndromes: np.ndarray) -> np.ndarray:
+    out = np.empty((syndromes.shape[0], graph.n_qubits), dtype=np.uint8)
+    for t in range(syndromes.shape[0]):
+        out[t] = _decode_one_py(graph, syndromes[t])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched entry (C fast path, Python fallback)
+# ---------------------------------------------------------------------------
+
+def decode_batch(graph: MatchingGraph, syndromes: np.ndarray,
+                 force_python: bool = False) -> np.ndarray:
+    """(T, n_checks) 0/1 syndromes -> (T, n_qubits) 0/1 corrections."""
+    syndromes = np.ascontiguousarray(
+        np.asarray(syndromes, dtype=np.uint8) & 1)
+    if syndromes.ndim != 2 or syndromes.shape[1] != graph.n_checks:
+        raise ValueError(
+            f"syndromes must be (T, {graph.n_checks}), "
+            f"got {syndromes.shape}")
+    native = None if force_python else get_native_module()
+    if native is not None and hasattr(native, "uf_decode"):
+        T = syndromes.shape[0]
+        out = np.zeros((T, graph.n_qubits), dtype=np.uint8)
+        rc = native.uf_decode(
+            np.ascontiguousarray(graph.edges).data,
+            graph.n_qubits, graph.n_checks,
+            graph.boundary, syndromes.data, T, out.data)
+        if rc == 0:
+            return out
+        raise ValueError(
+            "syndrome is not matchable on this graph (odd defect "
+            "parity in a boundary-free component)")
+    return _decode_batch_py(graph, syndromes)
+
+
+def union_find_host_decode_fn(comp_checks: np.ndarray,
+                              h_checks: np.ndarray):
+    """Build a numpy ``FrameSpec.host_decode`` from sector check matrices.
+
+    Returns ``decode(syn_comp[T, nc], syn_h[T, nh]) -> (cx, cz)`` int32
+    0/1 numpy batches; each sector decodes through the union-find batch
+    (C fast path).  An empty sector (e.g. a repetition code's missing
+    frame) yields zeros.
+    """
+    comp_checks = np.asarray(comp_checks)
+    h_checks = np.asarray(h_checks)
+    dq = comp_checks.shape[1] if comp_checks.size else h_checks.shape[1]
+    graph_c = (MatchingGraph.from_checks(comp_checks)
+               if comp_checks.shape[0] else None)
+    graph_h = (MatchingGraph.from_checks(h_checks)
+               if h_checks.shape[0] else None)
+
+    def _sector(graph, syn):
+        syn = np.asarray(syn)
+        if graph is None:
+            return np.zeros((syn.shape[0], dq), np.int32)
+        return decode_batch(graph, syn).astype(np.int32)
+
+    def decode(syn_comp, syn_h):
+        return _sector(graph_c, syn_comp), _sector(graph_h, syn_h)
+
+    return decode
+
+
+def union_find_decode_fn(comp_checks: np.ndarray, h_checks: np.ndarray):
+    """Build a traceable ``FrameSpec.decode`` from sector check matrices.
+
+    Wraps :func:`union_find_host_decode_fn` in ``jax.pure_callback``
+    (static shapes: jit- and scan-safe on a single device).  CAUTION —
+    do NOT embed this in a mesh-sharded program: XLA compiles host
+    callbacks maximal-on-device-0 (full rematerialization) and the CPU
+    in-process communicator then deadlocks at the next collective
+    rendezvous (measured: 8-device sweep aborts after the 40 s
+    watchdog).  Sharded flows use ``FrameSpec.host_decode`` instead —
+    the frame kernels split into jitted draw generation and host
+    decoding (``qec_frame._build_host_sweep_fn``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    comp_checks = np.asarray(comp_checks)
+    h_checks = np.asarray(h_checks)
+    dq = comp_checks.shape[1] if comp_checks.size else h_checks.shape[1]
+    graph_c = (MatchingGraph.from_checks(comp_checks)
+               if comp_checks.shape[0] else None)
+    graph_h = (MatchingGraph.from_checks(h_checks)
+               if h_checks.shape[0] else None)
+
+    def _sector(graph, syn):
+        if graph is None:
+            return jnp.zeros((syn.shape[0], dq), jnp.int32)
+
+        def cb(s):
+            return decode_batch(graph, s).astype(np.int32)
+
+        return jax.pure_callback(
+            cb, jax.ShapeDtypeStruct((syn.shape[0], dq), jnp.int32), syn)
+
+    def decode(syn_comp, syn_h):
+        return _sector(graph_c, syn_comp), _sector(graph_h, syn_h)
+
+    return decode

@@ -13,8 +13,9 @@ the Pauli-frame engine (``quantum_simulator_tpu/qec_frame.py``) — same
 per-trial outcomes for the reference codes under the same seed, but pure
 GF(2) bit algebra, so it also accepts codes the statevector engine cannot
 hold: arbitrary-odd-distance repetition codes (``--codes repetition:25`` /
-``phase_repetition:25``) and rotated surface codes (``--codes surface:5``;
-plain ``surface`` = d=3 runs on either engine).
+``phase_repetition:25``) and rotated surface codes at any odd distance
+(``--codes surface:9``; exact coset-leader decoding at d<=5, union-find
+matching above; plain ``surface`` = d=3 runs on either engine).
 """
 
 from __future__ import annotations

@@ -1,0 +1,188 @@
+"""Union-find matching decoder (`qec_matching`) + d>=7 surface frames.
+
+Locks the three contracts the module documents:
+  - C extension and pure-Python decoder are bit-identical,
+  - every correction reproduces its syndrome exactly (H @ c % 2 == s),
+  - near-ML accuracy: all weight-1 errors corrected, distance scaling
+    below threshold, and within a bounded factor of the exact
+    coset-leader decoder at d<=5.
+"""
+
+import numpy as np
+import pytest
+
+from quantum_simulator_tpu import qec_matching as qm
+from quantum_simulator_tpu.qec import _rotated_surface_geometry
+from quantum_simulator_tpu.qec_frame import (
+    FrameQECSimulator, _checks_matrix, surface_code_frame_spec)
+
+
+def _surface_z_sector(d):
+    z_checks, _, _, _ = _rotated_surface_geometry(d)
+    return _checks_matrix(z_checks, d * d)
+
+
+def _repetition_checks(d):
+    H = np.zeros((d - 1, d), dtype=np.uint8)
+    for i in range(d - 1):
+        H[i, i] = H[i, i + 1] = 1
+    return H
+
+
+# ---------------------------------------------------------------------------
+# Graph construction
+# ---------------------------------------------------------------------------
+
+def test_from_checks_repetition_chain():
+    g = qm.MatchingGraph.from_checks(_repetition_checks(5))
+    assert g.n_checks == 4 and g.n_qubits == 5
+    assert g.has_boundary and g.boundary == 4
+    # end qubits hit the boundary vertex
+    assert g.boundary in g.edges[0] and g.boundary in g.edges[4]
+
+
+def test_from_checks_rejects_weight3_columns():
+    H = np.array([[1, 1, 0], [1, 0, 1], [1, 1, 1]], dtype=np.uint8)
+    with pytest.raises(ValueError, match="touches 3 checks"):
+        qm.MatchingGraph.from_checks(H)
+
+
+def test_surface_sectors_are_matchable_graphs():
+    for d in (3, 5, 7):
+        g = qm.MatchingGraph.from_checks(_surface_z_sector(d))
+        assert g.n_qubits == d * d
+        assert g.has_boundary
+
+
+# ---------------------------------------------------------------------------
+# Decoder correctness
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("d", [3, 5, 7, 9])
+def test_syndrome_reproduction_invariant(d):
+    H = _surface_z_sector(d)
+    g = qm.MatchingGraph.from_checks(H)
+    rng = np.random.default_rng(d)
+    errs = (rng.random((256, d * d)) < 0.10).astype(np.uint8)
+    syn = (errs @ H.T) % 2
+    corr = qm.decode_batch(g, syn)
+    assert (((corr @ H.T) % 2) == syn).all()
+
+
+@pytest.mark.parametrize("d", [3, 5, 7])
+def test_c_and_python_paths_bit_identical(d):
+    H = _surface_z_sector(d)
+    g = qm.MatchingGraph.from_checks(H)
+    rng = np.random.default_rng(7 * d)
+    syn = ((rng.random((128, d * d)) < 0.12).astype(np.uint8) @ H.T) % 2
+    c_py = qm.decode_batch(g, syn, force_python=True)
+    c_c = qm.decode_batch(g, syn)
+    assert (c_py == c_c).all()
+
+
+@pytest.mark.parametrize("d", [3, 5, 7])
+def test_all_weight1_errors_corrected_up_to_stabilizer(d):
+    """Every single data error must be corrected: the residual
+    ``corr ^ err`` must be a stabilizer — weight-1 correction, zero
+    syndrome, and no logical flip (even overlap with Z_L's support).
+    Exact identity is NOT required: a boundary qubit's syndrome has
+    degenerate weight-1 representatives and any of them is correct."""
+    H = _surface_z_sector(d)
+    _, _, z_logical, _ = _rotated_surface_geometry(d)
+    sup = np.zeros(d * d, dtype=np.uint8)
+    sup[z_logical] = 1
+    g = qm.MatchingGraph.from_checks(H)
+    errs = np.eye(d * d, dtype=np.uint8)
+    corr = qm.decode_batch(g, (errs @ H.T) % 2)
+    assert (corr.sum(axis=1) == 1).all()
+    residual = corr ^ errs
+    assert (((residual @ H.T) % 2) == 0).all()
+    assert ((residual @ sup) % 2 == 0).all()
+
+
+def test_repetition_matches_exact_coset_leaders():
+    """On a chain graph union-find peeling IS min-weight: check every
+    syndrome of the d=7 repetition code against the coset-leader LUT."""
+    from quantum_simulator_tpu.qec import _coset_leader_lut
+    H = _repetition_checks(7)
+    g = qm.MatchingGraph.from_checks(H)
+    lut = np.asarray(_coset_leader_lut(H))
+    syn = np.array([[(s >> i) & 1 for i in range(6)] for s in range(64)],
+                   dtype=np.uint8)
+    corr = qm.decode_batch(g, syn)
+    assert (corr.sum(axis=1) == lut.sum(axis=1)).all()
+
+
+def test_unmatchable_ring_syndrome_raises():
+    """A 4-cycle (toric-like, no boundary) with odd defect parity has no
+    matching; both paths must reject rather than return garbage."""
+    H = np.array([[1, 1, 0, 0],
+                  [0, 1, 1, 0],
+                  [0, 0, 1, 1],
+                  [1, 0, 0, 1]], dtype=np.uint8)
+    g = qm.MatchingGraph.from_checks(H)
+    assert not g.has_boundary
+    odd = np.array([[1, 0, 0, 0]], dtype=np.uint8)
+    with pytest.raises((ValueError, RuntimeError)):
+        qm.decode_batch(g, odd, force_python=True)
+    with pytest.raises((ValueError, RuntimeError)):
+        qm.decode_batch(g, odd)
+    # even parity on the same ring decodes fine
+    even = np.array([[1, 1, 0, 0], [1, 0, 1, 0]], dtype=np.uint8)
+    corr = qm.decode_batch(g, even)
+    assert (((corr @ H.T) % 2) == even).all()
+
+
+def test_decode_batch_validates_shape():
+    g = qm.MatchingGraph.from_checks(_repetition_checks(3))
+    with pytest.raises(ValueError, match="syndromes must be"):
+        qm.decode_batch(g, np.zeros((4, 7), dtype=np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# Frame-spec integration (d >= 7 surface codes)
+# ---------------------------------------------------------------------------
+
+def test_surface_spec_decoder_selection():
+    assert surface_code_frame_spec(3).name == "Surface [[9,1,3]]"
+    assert surface_code_frame_spec(7).name == "Surface [[49,1,7]]"
+    with pytest.raises(ValueError, match="union_find"):
+        surface_code_frame_spec(7, decoder="exact")
+    with pytest.raises(ValueError, match="unknown decoder"):
+        surface_code_frame_spec(3, decoder="mwpm")
+
+
+def test_union_find_close_to_exact_at_d3():
+    """Same seed, same draws: union-find's logical rate may exceed the
+    exact ML tables' but only boundedly (the accuracy-threshold gap)."""
+    pts = {}
+    for dec in ("exact", "union_find"):
+        sim = FrameQECSimulator(surface_code_frame_spec(3, decoder=dec))
+        pt = sim.threshold_sweep([0.06], n_trials=4096,
+                                 noise_type="depolarizing", seed=5)[0]
+        pts[dec] = pt.logical_rate
+    assert pts["exact"] > 0.0
+    assert pts["union_find"] <= 2.0 * pts["exact"] + 0.01
+
+
+def test_union_find_distance_scaling_below_threshold():
+    """Below the ~10% accuracy threshold, d=7 must beat d=3."""
+    rates = {}
+    for d in (3, 7):
+        sim = FrameQECSimulator(surface_code_frame_spec(d,
+                                                        decoder="union_find"))
+        pt = sim.threshold_sweep([0.04], n_trials=4096,
+                                 noise_type="depolarizing", seed=11)[0]
+        rates[d] = pt.logical_rate
+    assert rates[7] < rates[3]
+
+
+def test_union_find_memory_experiment_d7():
+    """The pure_callback decode must run inside the jitted scan."""
+    sim = FrameQECSimulator(surface_code_frame_spec(7))
+    res = sim.memory_experiment(0.01, n_rounds=3, n_trials=512,
+                                noise_type="depolarizing",
+                                meas_error_prob=0.0, seed=3)
+    assert 0.0 <= res["logical_failure_probability"] <= 0.1
+    zero = sim.memory_experiment(0.0, n_rounds=3, n_trials=64, seed=4)
+    assert zero["logical_failure_probability"] == 0.0
