@@ -680,9 +680,12 @@ class QECPanel(_Canvas):
         threading.Thread(target=work, daemon=True).start()
 
     def run_memory(self) -> None:
-        """R-round memory experiment with the exact space-time ML
-        decoder (repetition codes via ``build_ml_memory_fn``; the d=3
-        surface code via the degenerate-ML ``build_ml_css_memory_fn``)."""
+        """R-round memory experiment with a space-time decoder:
+        exact ML for repetition codes (``build_ml_memory_fn``) and the
+        d=3 surface code (degenerate-ML ``build_ml_css_memory_fn``);
+        union-find matching on the detection-event graph
+        (``matching_memory_experiment``) for surface codes above d=3,
+        where the 2^(d^2) ML posterior is impossible."""
         kind = self._repetition_kind()
         is_surface = self.code_combo.currentText() == self.SURFACE_CODE
         if kind is None and not is_surface:
@@ -690,14 +693,19 @@ class QECPanel(_Canvas):
                 "Memory (ML) runs on repetition or surface codes — "
                 "select a '(distance d)' entry")
             return
-        d = 3 if is_surface else self._distance()
+        d = self._distance()
         p = self.p_spin.value()
 
         def work():
-            if is_surface:
+            if is_surface and d <= 3:
                 res = FrameQECSimulator.ml_surface_memory_experiment(
                     noise_prob=p, n_rounds=10, n_trials=2048,
                     meas_error_prob=p, distance=3, seed=42)
+            elif is_surface:
+                res = FrameQECSimulator.matching_memory_experiment(
+                    noise_prob=p, n_rounds=10, n_trials=2048,
+                    meas_error_prob=p, distance=d, code="surface",
+                    seed=42)
             else:
                 res = FrameQECSimulator.ml_memory_experiment(
                     distance=d, noise_prob=p, n_rounds=10, n_trials=2048,
@@ -708,14 +716,17 @@ class QECPanel(_Canvas):
 
     def _plot_memory(self, res) -> None:
         ax = self.axes()
-        ax.bar(["space-time ML", "single-shot"],
-               [res["ml_failure_probability"],
-                res["final_syndrome_failure_probability"]],
+        if "matching_failure_probability" in res:
+            label, fail = "space-time UF", res["matching_failure_probability"]
+        else:
+            label, fail = "space-time ML", res["ml_failure_probability"]
+        ax.bar([label, "single-shot"],
+               [fail, res["final_syndrome_failure_probability"]],
                color=["#a6e3a1", "#f38ba8"])
         ax.set_ylabel(f"Logical failure ({res['n_rounds']} rounds, "
                       f"d={res['distance']}, p=q)")
         self.status.setText(
-            f"ML {res['ml_failure_probability']:.4f} vs single-shot "
+            f"{label} {fail:.4f} vs single-shot "
             f"{res['final_syndrome_failure_probability']:.4f} "
             f"({res['n_trials']} trials)")
         self.redraw()

@@ -747,6 +747,100 @@ def build_ml_css_memory_fn(checks: np.ndarray, logical_support: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Space-time matching memory (union-find — any matchable sector, any d)
+# ---------------------------------------------------------------------------
+
+def build_matching_memory_fn(checks: np.ndarray, logical_support: np.ndarray,
+                             n_rounds: int):
+    """``(p, q, keys[T, key_dim]) -> (fail_st, fail_single)`` — an
+    R-round memory experiment for one CSS sector decoded by union-find
+    matching over the SPACE-TIME detection-event graph
+    (``qec_matching.space_time_graph``).
+
+    Same protocol and per-trial key schedule as
+    ``build_ml_css_memory_fn`` — under the same ``(p, q, keys)`` the
+    generated syndromes and cumulative errors are draw-identical
+    (test-locked), so the matching decoder is directly comparable to
+    exact ML where ML is feasible.  Unlike ML's ``(trials, 2^dq)``
+    posterior, matching needs no 2^dq state: d=7+ surface-code memory
+    under measurement noise runs here and nowhere else in the framework.
+
+    ``fail_st`` decodes all ``(R+1) * n_checks`` detection events jointly
+    (measurement errors become vertical edges); ``fail_single`` is the
+    union-find single-shot baseline that decodes only the exact final
+    syndrome, on the same trials.  Syndrome generation runs jitted on
+    device; decoding is the host C hot loop (``native/qsim_native.c``),
+    so the function is NOT traceable — call it from host code.
+    Reference anchor: the reference decodes each cycle independently
+    from Python dicts (``/root/reference/quantum_sim/engine/qec.py:
+    497-549``); space-time decoding is the capability its 3-qubit codes
+    never needed.
+    """
+    from .qec_matching import (MatchingGraph, decode_batch,
+                               space_time_decode_fn)
+
+    checks_np = np.asarray(checks, np.uint8)
+    support_np = np.asarray(logical_support, np.uint8)
+    nch, dq = checks_np.shape
+    R = n_rounds
+    st_decode = space_time_decode_fn(checks_np, R)
+    base_graph = MatchingGraph.from_checks(checks_np)
+    checks_f = jnp.asarray(checks_np.astype(np.float32))
+
+    def gen(p, q, keys):
+        T = keys.shape[0]
+
+        def _syn(X):
+            odd = jnp.matmul(X.astype(jnp.float32), checks_f.T,
+                             precision=_HI)
+            return odd.astype(jnp.int32) & 1
+
+        def gen_round(carry, r):
+            X = carry
+            round_keys = jax.vmap(jax.random.fold_in, (0, None))(keys, r)
+            data_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, 1))(round_keys)
+            meas_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, 2))(round_keys)
+            flips = (jax.vmap(lambda k: jax.random.uniform(k, (dq,)))(
+                data_keys) < p).astype(jnp.int32)
+            X = X ^ flips
+            meas = (jax.vmap(lambda k: jax.random.uniform(k, (nch,)))(
+                meas_keys) < q).astype(jnp.int32)
+            return X, _syn(X) ^ meas
+
+        X0 = jnp.zeros((T, dq), jnp.int32)
+        X_final, syndromes = jax.lax.scan(
+            gen_round, X0, jnp.arange(n_rounds))        # (R, T, nch)
+        return X_final, syndromes
+
+    gen_j = jax.jit(gen)
+
+    def run(p, q, keys):
+        X_final, syndromes = gen_j(jnp.float32(p), jnp.float32(q), keys)
+        X_final = np.asarray(X_final, np.uint8)
+        syn = np.moveaxis(np.asarray(syndromes, np.uint8), 0, 1)
+        T = X_final.shape[0]
+        final = (X_final @ checks_np.T) % 2              # exact readout
+        det = np.empty((T, R + 1, nch), np.uint8)
+        det[:, 0] = syn[:, 0]
+        if R > 1:
+            det[:, 1:R] = syn[:, 1:] ^ syn[:, :-1]
+        det[:, R] = final ^ syn[:, R - 1]
+        corr = st_decode(det.reshape(T, (R + 1) * nch)).astype(np.uint8)
+        resid = X_final ^ corr
+        if ((resid @ checks_np.T) % 2).any():            # invariant
+            raise RuntimeError("space-time correction left a nonzero "
+                               "final syndrome")
+        fail_st = ((resid @ support_np) % 2).astype(np.int32)
+        resid1 = X_final ^ decode_batch(base_graph, final).astype(np.uint8)
+        fail_single = ((resid1 @ support_np) % 2).astype(np.int32)
+        return fail_st, fail_single
+
+    return run
+
+
+# ---------------------------------------------------------------------------
 # Simulator
 # ---------------------------------------------------------------------------
 
@@ -987,6 +1081,59 @@ class FrameQECSimulator:
             "n_rounds": n_rounds,
             "n_trials": n_trials,
             "distance": distance,
+            "meas_error_prob": float(meas_error_prob),
+        }
+
+    @staticmethod
+    def matching_memory_experiment(noise_prob: float, n_rounds: int,
+                                   n_trials: int = 1000,
+                                   meas_error_prob: float = 0.0,
+                                   distance: int = 3,
+                                   code: str = "surface",
+                                   seed: int = 0) -> dict:
+        """Memory experiment decoded by space-time union-find matching
+        (``build_matching_memory_fn``) — any odd distance, no 2^dq
+        posterior: the only decoder in the framework that serves d >= 7
+        surface-code memory under measurement noise.  ``code`` picks the
+        X-error sector: ``"surface"`` (rotated, Z-checks) or
+        ``"repetition"`` (bit-flip chain; the logical observable is data
+        bit 0, matching ``ml_memory_experiment``).  Reports the
+        single-shot exact-final-syndrome union-find baseline on the same
+        trials."""
+        key = ("uf", code, distance, n_rounds)
+        fn = _ml_fn_cache.get(key)
+        if fn is None:
+            if code == "surface":
+                z_checks, _, z_logical, _ = _rotated_surface_geometry(
+                    distance)
+                dq = distance * distance
+                checks = _checks_matrix(z_checks, dq)
+                support = np.zeros(dq, dtype=np.uint8)
+                support[z_logical] = 1
+            elif code == "repetition":
+                dq = distance
+                checks = np.zeros((dq - 1, dq), dtype=np.uint8)
+                for c in range(dq - 1):
+                    checks[c, c] = checks[c, c + 1] = 1
+                support = np.zeros(dq, dtype=np.uint8)
+                support[0] = 1
+            else:
+                raise ValueError(f"unknown code: {code!r}")
+            fn = build_matching_memory_fn(checks, support, n_rounds)
+            _ml_fn_cache[key] = fn
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
+        fail_st, fail_single = fn(noise_prob, meas_error_prob, keys)
+        p_st = float(np.asarray(fail_st, dtype=np.float64).mean())
+        p_1 = float(np.asarray(fail_single, dtype=np.float64).mean())
+        return {
+            "matching_failure_probability": p_st,
+            "final_syndrome_failure_probability": p_1,
+            "per_round_matching_rate":
+                1.0 - (1.0 - min(p_st, 1.0 - 1e-12)) ** (1.0 / n_rounds),
+            "n_rounds": n_rounds,
+            "n_trials": n_trials,
+            "distance": distance,
+            "code": code,
             "meas_error_prob": float(meas_error_prob),
         }
 

@@ -240,6 +240,71 @@ def decode_batch(graph: MatchingGraph, syndromes: np.ndarray,
     return _decode_batch_py(graph, syndromes)
 
 
+# ---------------------------------------------------------------------------
+# Space-time (phenomenological) matching: R noisy rounds + perfect readout
+# ---------------------------------------------------------------------------
+
+def space_time_graph(checks: np.ndarray, n_rounds: int) -> MatchingGraph:
+    """Phenomenological space-time matching graph for one CSS sector.
+
+    Vertices are *detection events*: layer 0 is round 0's syndrome,
+    layers 1..R-1 are consecutive-round syndrome differences, layer R is
+    the perfect final readout against round R-1 — ``(R+1) * n_checks``
+    vertices plus the sector's virtual boundary.  Edges:
+
+    - **horizontal** (first ``R * dq``, round-major): a data error in
+      round r's noise window flips its qubit's two checks in layer r
+      only (the flip telescopes out of every later difference);
+    - **vertical** (next ``R * n_checks``): a syndrome-readout error in
+      round r flips the same check in layers r and r+1.
+
+    This is the standard decoding graph for phenomenological noise
+    (Dennis et al., arXiv:quant-ph/0110143 §IV); the union-find decoder
+    runs on it unchanged — ``decode_batch`` already takes an arbitrary
+    1-or-2-endpoint edge list.
+    """
+    if n_rounds < 1:
+        raise ValueError("space-time graph needs n_rounds >= 1")
+    base = MatchingGraph.from_checks(checks)
+    nc, dq, R = base.n_checks, base.n_qubits, n_rounds
+    nv_checks = (R + 1) * nc
+    bnd = nv_checks
+    edges = np.empty((R * dq + R * nc, 2), dtype=np.int32)
+    for r in range(R):
+        off = r * nc
+        for q in range(dq):
+            u, v = int(base.edges[q, 0]), int(base.edges[q, 1])
+            edges[r * dq + q, 0] = off + u
+            edges[r * dq + q, 1] = bnd if v == base.n_checks else off + v
+    for r in range(R):
+        for c in range(nc):
+            edges[R * dq + r * nc + c] = (r * nc + c, (r + 1) * nc + c)
+    return MatchingGraph(n_checks=nv_checks, n_qubits=edges.shape[0],
+                         edges=edges, has_boundary=base.has_boundary)
+
+
+def space_time_decode_fn(checks: np.ndarray, n_rounds: int):
+    """Host batch decoder over the space-time graph.
+
+    Returns ``decode(detections[T, (R+1)*nc]) -> corrections[T, dq]``:
+    the per-qubit XOR of the matched horizontal edges across rounds —
+    the decoder's estimate of the *cumulative* data error, guaranteed
+    (by the telescoping of detection layers) to reproduce the exact
+    final syndrome: ``H @ c % 2 == H @ X_final % 2`` always.
+    """
+    checks = np.asarray(checks)
+    nc, dq = checks.shape
+    graph = space_time_graph(checks, n_rounds)
+    R = n_rounds
+
+    def decode(detections: np.ndarray) -> np.ndarray:
+        corr = decode_batch(graph, detections)
+        horiz = corr[:, :R * dq].reshape(-1, R, dq)
+        return np.bitwise_xor.reduce(horiz, axis=1)
+
+    return decode
+
+
 def union_find_host_decode_fn(comp_checks: np.ndarray,
                               h_checks: np.ndarray):
     """Build a numpy ``FrameSpec.host_decode`` from sector check matrices.
