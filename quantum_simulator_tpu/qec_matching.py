@@ -244,7 +244,8 @@ def decode_batch(graph: MatchingGraph, syndromes: np.ndarray,
 # Space-time (phenomenological) matching: R noisy rounds + perfect readout
 # ---------------------------------------------------------------------------
 
-def space_time_graph(checks: np.ndarray, n_rounds: int) -> MatchingGraph:
+def space_time_graph(checks: np.ndarray, n_rounds: int,
+                     diagonals: list | None = None) -> MatchingGraph:
     """Phenomenological space-time matching graph for one CSS sector.
 
     Vertices are *detection events*: layer 0 is round 0's syndrome,
@@ -262,6 +263,19 @@ def space_time_graph(checks: np.ndarray, n_rounds: int) -> MatchingGraph:
     (Dennis et al., arXiv:quant-ph/0110143 §IV); the union-find decoder
     runs on it unchanged — ``decode_batch`` already takes an arbitrary
     1-or-2-endpoint edge list.
+
+    ``diagonals`` upgrades the graph for CIRCUIT-level noise: under a
+    real extraction schedule a data fault striking BETWEEN its two
+    checks' CNOT steps is seen by the later-reading check this round
+    and by the earlier-reading check only next round — a diagonal
+    detection pair no phenomenological edge covers.  Pass a length-dq
+    list with ``None`` (no diagonal; boundary qubits) or
+    ``(early_check, late_check)`` row indices per qubit; each such
+    qubit gains edges ``(r, late) - (r+1, early)`` for every r (layer
+    R is the perfect readout, which always sees the data error, so the
+    orientation also holds at the last round).  Diagonal edges are data
+    corrections and fold into the per-qubit estimate exactly like
+    horizontal ones (``space_time_decode_fn``).
     """
     if n_rounds < 1:
         raise ValueError("space-time graph needs n_rounds >= 1")
@@ -269,7 +283,23 @@ def space_time_graph(checks: np.ndarray, n_rounds: int) -> MatchingGraph:
     nc, dq, R = base.n_checks, base.n_qubits, n_rounds
     nv_checks = (R + 1) * nc
     bnd = nv_checks
-    edges = np.empty((R * dq + R * nc, 2), dtype=np.int32)
+    diag_qubits = []
+    if diagonals is not None:
+        if len(diagonals) != dq:
+            raise ValueError(f"diagonals must have one entry per data "
+                             f"qubit ({dq}), got {len(diagonals)}")
+        diag_qubits = [(q, int(e), int(l))
+                       for q, pair in enumerate(diagonals)
+                       if pair is not None
+                       for e, l in [pair]]
+        for q, e, l in diag_qubits:
+            rows = set(np.flatnonzero(np.asarray(checks)[:, q]).tolist())
+            if {e, l} != rows:
+                raise ValueError(
+                    f"diagonal for qubit {q} names checks {(e, l)}; its "
+                    f"column touches {sorted(rows)}")
+    edges = np.empty((R * dq + R * nc + R * len(diag_qubits), 2),
+                     dtype=np.int32)
     for r in range(R):
         off = r * nc
         for q in range(dq):
@@ -279,28 +309,41 @@ def space_time_graph(checks: np.ndarray, n_rounds: int) -> MatchingGraph:
     for r in range(R):
         for c in range(nc):
             edges[R * dq + r * nc + c] = (r * nc + c, (r + 1) * nc + c)
+    off0 = R * (dq + nc)
+    for r in range(R):
+        for i, (q, e, l) in enumerate(diag_qubits):
+            edges[off0 + r * len(diag_qubits) + i] = (
+                r * nc + l, (r + 1) * nc + e)
     return MatchingGraph(n_checks=nv_checks, n_qubits=edges.shape[0],
                          edges=edges, has_boundary=base.has_boundary)
 
 
-def space_time_decode_fn(checks: np.ndarray, n_rounds: int):
+def space_time_decode_fn(checks: np.ndarray, n_rounds: int,
+                         diagonals: list | None = None):
     """Host batch decoder over the space-time graph.
 
     Returns ``decode(detections[T, (R+1)*nc]) -> corrections[T, dq]``:
-    the per-qubit XOR of the matched horizontal edges across rounds —
-    the decoder's estimate of the *cumulative* data error, guaranteed
+    the per-qubit XOR of the matched horizontal (and diagonal, when
+    ``diagonals`` is given — both are data errors) edges across rounds
+    — the decoder's estimate of the *cumulative* data error, guaranteed
     (by the telescoping of detection layers) to reproduce the exact
     final syndrome: ``H @ c % 2 == H @ X_final % 2`` always.
     """
     checks = np.asarray(checks)
     nc, dq = checks.shape
-    graph = space_time_graph(checks, n_rounds)
+    graph = space_time_graph(checks, n_rounds, diagonals=diagonals)
     R = n_rounds
+    diag_q = np.asarray([q for q, pair in enumerate(diagonals or [])
+                         if pair is not None], dtype=np.int64)
 
     def decode(detections: np.ndarray) -> np.ndarray:
         corr = decode_batch(graph, detections)
         horiz = corr[:, :R * dq].reshape(-1, R, dq)
-        return np.bitwise_xor.reduce(horiz, axis=1)
+        total = np.bitwise_xor.reduce(horiz, axis=1)
+        if diag_q.size:     # diag_q entries are unique: plain fancy XOR
+            diag = corr[:, R * (dq + nc):].reshape(-1, R, diag_q.size)
+            total[:, diag_q] ^= np.bitwise_xor.reduce(diag, axis=1)
+        return total
 
     return decode
 

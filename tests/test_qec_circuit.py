@@ -1,0 +1,112 @@
+"""Circuit-level-noise QEC memory (`qec_circuit`) on the Clifford engine.
+
+Locks the construction (extraction circuit shape, no-reset outcome
+chains), the noise-free silence of the Z sector, deterministic
+correction of injected X preparations, and sane noisy behavior.
+"""
+
+import numpy as np
+import pytest
+
+from quantum_simulator_tpu.clifford import (_lower, _scan_evolve_fn,
+                                            is_clifford_circuit)
+from quantum_simulator_tpu.qec_circuit import (circuit_level_memory,
+                                               decode_memory_record,
+                                               surface_extraction_circuit)
+
+import jax
+
+
+def _run_noise_free(circ, lay, n_trials=8, seed=0):
+    codes, qa, qb, pp, _ = _lower(circ, collapse_measures=True)
+    evolve = _scan_evolve_fn(circ.num_qubits, codes, qa, qb, pp)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
+    run = jax.jit(jax.vmap(lambda k: evolve(k)[1]))
+    return np.asarray(run(keys), dtype=np.uint8)
+
+
+def test_extraction_circuit_structure():
+    for d, R in ((3, 2), (5, 1)):
+        circ, lay = surface_extraction_circuit(d, R)
+        assert circ.num_qubits == 2 * d * d - 1
+        assert is_clifford_circuit(circ)
+        n_meas = sum(1 for g in circ.gates if g.gate_name == "Measure")
+        assert n_meas == R * (lay.n_z + lay.n_x) + d * d
+        assert lay.n_z == lay.n_x == (d * d - 1) // 2
+        # every CNOT touches exactly one ancilla
+        for g in circ.gates:
+            if g.gate_name == "CNOT":
+                anc = [q for q in g.target_qubits if q >= d * d]
+                assert len(anc) == 1
+
+
+def test_noise_free_z_sector_is_silent():
+    """|0...0> is a +1 eigenstate of every Z check: all Z-ancilla
+    outcomes are deterministic 0 through the no-reset chain, every
+    detection layer is empty, and nothing fails."""
+    circ, lay = surface_extraction_circuit(3, 3)
+    outs = _run_noise_free(circ, lay, n_trials=16)
+    assert (lay.z_outcomes(outs) == 0).all()
+    # The final readout is a RANDOM codeword (the X projections leave a
+    # codespace superposition), but always syndrome-free and Z_L = +1.
+    data = lay.data_outcomes(outs)
+    assert ((data @ lay.z_matrix.T) % 2 == 0).all()
+    fail, raw, det = decode_memory_record(lay, outs)
+    assert fail.sum() == 0 and raw.sum() == 0 and det.sum() == 0
+
+
+def test_noise_free_x_outcomes_random_then_alternating():
+    """X-ancilla outcomes project |0...0> into the codespace: the first
+    round is a coin flip per ancilla, and the no-reset chain
+    ``o_r = o_{r-1} xor s`` with the projected value s = o_1 makes the
+    record ALTERNATE exactly: o_2 = 0, o_3 = o_1."""
+    circ, lay = surface_extraction_circuit(3, 3)
+    outs = _run_noise_free(circ, lay, n_trials=64, seed=3)
+    per_round = lay.n_z + lay.n_x
+    o = outs[:, :3 * per_round].reshape(-1, 3, per_round)[:, :, lay.n_z:]
+    frac = o[:, 0].mean()
+    assert 0.3 < frac < 0.7                     # first round is random
+    assert (o[:, 1] == 0).all()
+    assert (o[:, 2] == o[:, 0]).all()
+
+
+@pytest.mark.parametrize("q", [0, 2, 4, 8])
+def test_injected_x_prep_is_corrected(q):
+    """A |1> preparation on any single data qubit is an X error before
+    round 1: the decoder must fix it — corrected logical parity 0 even
+    when the raw readout parity is flipped (q on row 0)."""
+    circ, lay = surface_extraction_circuit(3, 2)
+    circ.initial_states[q] = 1
+    outs = _run_noise_free(circ, lay, n_trials=4, seed=1)
+    fail, raw, det = decode_memory_record(lay, outs)
+    assert det.sum() > 0                        # the error is visible
+    assert (raw == (1 if q < 3 else 0)).all()   # row 0 flips Z_L raw
+    assert fail.sum() == 0
+
+
+def test_injected_logical_x_fails_raw_and_decoder():
+    """X on all of column 0 IS X_L: zero syndrome everywhere, so the
+    decoder sees nothing and the logical flip goes through — locks that
+    the failure metric measures genuine logical errors."""
+    circ, lay = surface_extraction_circuit(3, 2)
+    for r in range(3):
+        circ.initial_states[r * 3] = 1
+    outs = _run_noise_free(circ, lay, n_trials=4, seed=2)
+    fail, raw, det = decode_memory_record(lay, outs)
+    assert det.sum() == 0
+    assert (raw == 1).all() and (fail == 1).all()
+
+
+def test_circuit_level_memory_noisy_behavior():
+    res = circuit_level_memory(3, 2, 0.004, n_trials=400, seed=7)
+    assert 0.0 <= res["logical_failure_probability"] < 0.25
+    assert res["detection_fraction"] > 0.0
+    assert res["n_qubits"] == 17
+    zero = circuit_level_memory(3, 2, 0.0, n_trials=16, seed=8)
+    assert zero["logical_failure_probability"] == 0.0
+    assert zero["detection_fraction"] == 0.0
+
+
+def test_rejects_bad_rounds():
+    with pytest.raises(ValueError, match="n_rounds"):
+        surface_extraction_circuit(3, 0)

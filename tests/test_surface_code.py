@@ -189,8 +189,11 @@ class TestFrameSurface:
         spec5 = surface_code_frame_spec(5)
         assert spec5.data_qubits == 25
         assert spec5.comp_checks.shape == (12, 25)
+        # d=7 routes to union-find matching (the exact tables cap at 5)
+        spec7 = surface_code_frame_spec(7)
+        assert spec7.data_qubits == 49
         with pytest.raises(ValueError):
-            surface_code_frame_spec(7)
+            surface_code_frame_spec(7, decoder="exact")
 
     def test_draw_exact_vs_statevector(self):
         """Same seed -> identical per-trial outcomes on both engines."""
