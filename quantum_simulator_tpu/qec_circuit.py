@@ -100,27 +100,32 @@ class ExtractionLayout:
     n_data: int
     n_z: int
     n_x: int
-    z_matrix: np.ndarray        # (n_z, n_data) GF(2)
-    z_support: np.ndarray       # (n_data,) Z_L support
-    z_diagonals: tuple          # per data qubit: None | (early, late)
-                                # Z-check rows by CNOT step order —
-                                # the circuit-aware diagonal edges
+    basis: str                  # "z" (|0>_L vs X errors) | "x" (|+>_L)
+    sector_matrix: np.ndarray   # decoded sector's (nc, n_data) checks
+    sector_support: np.ndarray  # (n_data,) decoded logical's support
+    sector_diagonals: tuple     # per data qubit: None | (early, late)
+                                # check rows by CNOT step order — the
+                                # circuit-aware diagonal edges
 
-    def z_outcomes(self, outcomes: np.ndarray) -> np.ndarray:
-        """(T, M) full record -> (T, R, n_z) Z-ancilla outcomes."""
+    def sector_outcomes(self, outcomes: np.ndarray) -> np.ndarray:
+        """(T, M) full record -> (T, R, nc) decoded-sector ancilla
+        outcomes (Z ancillas come first in each round's block)."""
         per_round = self.n_z + self.n_x
         o = outcomes[:, :self.n_rounds * per_round]
-        return o.reshape(-1, self.n_rounds, per_round)[:, :, :self.n_z]
+        o = o.reshape(-1, self.n_rounds, per_round)
+        return (o[:, :, :self.n_z] if self.basis == "z"
+                else o[:, :, self.n_z:])
 
     def data_outcomes(self, outcomes: np.ndarray) -> np.ndarray:
-        """(T, M) full record -> (T, n_data) final data readout."""
+        """(T, M) full record -> (T, n_data) final transversal readout
+        (Z basis for the z memory, X basis for the x memory)."""
         start = self.n_rounds * (self.n_z + self.n_x)
         return outcomes[:, start:start + self.n_data]
 
 
 def surface_extraction_circuit(
-        distance: int, n_rounds: int) -> tuple[QuantumCircuit,
-                                               ExtractionLayout]:
+        distance: int, n_rounds: int,
+        basis: str = "z") -> tuple[QuantumCircuit, ExtractionLayout]:
     """R-round rotated-surface-code syndrome-extraction circuit.
 
     Qubits: ``d^2`` data (index = row * d + col, the framework-wide
@@ -132,11 +137,21 @@ def surface_extraction_circuit(
     noise models measurement faults on the mid-circuit rounds, the
     final transversal readout is taken fault-free as in
     ``qec_frame.build_matching_memory_fn``).
+
+    ``basis`` picks the memory experiment: ``"z"`` prepares ``|0...0>``
+    (a ``+Z_L`` eigenstate, decode the Z sector against X errors);
+    ``"x"`` prepares ``|+...+>`` via a transversal H column and reads
+    the data out in the X basis (H before the final measures), decoding
+    the X sector against Z errors — the same extraction rounds serve
+    both, only the data-qubit boundary columns differ.
     """
     if n_rounds < 1:
         raise ValueError("need n_rounds >= 1")
+    if basis not in ("z", "x"):
+        raise ValueError(f"basis must be 'z' or 'x', got {basis!r}")
     d = distance
-    z_checks, x_checks, z_logical, _ = _rotated_surface_geometry(d)
+    z_checks, x_checks, z_logical, x_logical = \
+        _rotated_surface_geometry(d)
     nd, nz, nx = d * d, len(z_checks), len(x_checks)
     z_anc = [nd + i for i in range(nz)]
     x_anc = [nd + nz + j for j in range(nx)]
@@ -149,6 +164,10 @@ def surface_extraction_circuit(
 
     circ = QuantumCircuit(nd + nz + nx)
     col = 0
+    if basis == "x":                        # transversal |+...+> prep
+        for q in range(nd):
+            circ.add_gate(GateInstance("H", [q], [], col))
+        col += 1
     for _ in range(n_rounds):
         for j, a in enumerate(x_anc):
             circ.add_gate(GateInstance("H", [a], [], col))
@@ -169,77 +188,88 @@ def surface_extraction_circuit(
         for a in z_anc + x_anc:                         # Z first, X second
             circ.add_gate(GateInstance("Measure", [a], [], col))
         col += 1
+    if basis == "x":                        # transversal X-basis readout
+        for q in range(nd):                 # (the H column carries gate
+            circ.add_gate(GateInstance("H", [q], [], col)) # noise: the
+        col += 1                            # x memory's final layer is a
+                                            # ~2p/3 noisy readout, unlike
+                                            # the z memory's noise-free
+                                            # one — see module docstring)
     for q in range(nd):
         circ.add_gate(GateInstance("Measure", [q], [], col))
 
-    z_matrix = np.zeros((nz, nd), dtype=np.uint8)
-    for i, sup in enumerate(z_checks):
-        z_matrix[i, sup] = 1
-    z_support = np.zeros(nd, dtype=np.uint8)
-    z_support[z_logical] = 1
-    # Circuit-aware diagonals: qubit q's two Z checks read it at
+    sec_checks = z_checks if basis == "z" else x_checks
+    sec_sched = z_sched if basis == "z" else x_sched
+    sec_logical = z_logical if basis == "z" else x_logical
+    matrix = np.zeros((len(sec_checks), nd), dtype=np.uint8)
+    for i, sup in enumerate(sec_checks):
+        matrix[i, sup] = 1
+    support = np.zeros(nd, dtype=np.uint8)
+    support[sec_logical] = 1
+    # Circuit-aware diagonals: qubit q's two sector checks read it at
     # different steps; a fault in the window between them is seen by
     # the later check this round and the earlier one next round.
     read_at: dict[int, list[tuple[int, int]]] = {}
-    for i, sched in enumerate(z_sched):
+    for i, sched in enumerate(sec_sched):
         for step, q in sched.items():
             read_at.setdefault(q, []).append((step, i))
-    z_diagonals = []
+    diagonals = []
     for q in range(nd):
         reads = sorted(read_at.get(q, []))
         if len(reads) == 2 and reads[0][0] != reads[1][0]:
-            z_diagonals.append((reads[0][1], reads[1][1]))
+            diagonals.append((reads[0][1], reads[1][1]))
         else:
-            z_diagonals.append(None)
+            diagonals.append(None)
     return circ, ExtractionLayout(
         distance=d, n_rounds=n_rounds, n_data=nd, n_z=nz, n_x=nx,
-        z_matrix=z_matrix, z_support=z_support,
-        z_diagonals=tuple(z_diagonals))
+        basis=basis, sector_matrix=matrix, sector_support=support,
+        sector_diagonals=tuple(diagonals))
 
 
 def decode_memory_record(lay: ExtractionLayout,
                          outcomes: np.ndarray) -> tuple:
     """Measurement record -> ``(fail, raw, det)`` per trial.
 
-    Recovers per-round Z syndromes from the no-reset outcome chains
-    (``s_r = o_r XOR o_{r-1}``), forms the R+1 detection layers (closed
-    by the final transversal readout's exact syndrome), decodes with
-    space-time union-find matching, and returns the corrected logical
-    parity ``fail``, the uncorrected readout parity ``raw``, and the
-    detection-event tensor ``det[T, R+1, n_z]``.
+    Recovers the decoded sector's per-round syndromes from the no-reset
+    outcome chains (``s_r = o_r XOR o_{r-1}``), forms the R+1 detection
+    layers (closed by the final transversal readout's syndrome), decodes
+    with space-time union-find matching, and returns the corrected
+    logical parity ``fail``, the uncorrected readout parity ``raw``, and
+    the detection-event tensor ``det[T, R+1, nc]``.
     """
     R = lay.n_rounds
     T = outcomes.shape[0]
-    o = lay.z_outcomes(outcomes)                       # (T, R, nz)
+    o = lay.sector_outcomes(outcomes)                  # (T, R, nc)
     syn = o.copy()                                     # no-reset chain
     syn[:, 1:] = o[:, 1:] ^ o[:, :-1]
     data = lay.data_outcomes(outcomes)                 # (T, nd)
-    final = (data @ lay.z_matrix.T) % 2
-    det = np.empty((T, R + 1, lay.n_z), dtype=np.uint8)
+    final = (data @ lay.sector_matrix.T) % 2
+    det = np.empty((T, R + 1, lay.sector_matrix.shape[0]), dtype=np.uint8)
     det[:, 0] = syn[:, 0]
     if R > 1:
         det[:, 1:R] = syn[:, 1:] ^ syn[:, :-1]
     det[:, R] = final ^ syn[:, R - 1]
     corr = space_time_decode_fn(
-        lay.z_matrix, R, diagonals=list(lay.z_diagonals))(
+        lay.sector_matrix, R, diagonals=list(lay.sector_diagonals))(
         det.reshape(T, -1)).astype(np.uint8)
-    raw = ((data @ lay.z_support) % 2).astype(np.int32)
-    fail = (raw ^ (corr @ lay.z_support) % 2).astype(np.int32)
+    raw = ((data @ lay.sector_support) % 2).astype(np.int32)
+    fail = (raw ^ (corr @ lay.sector_support) % 2).astype(np.int32)
     return fail, raw, det
 
 
 _traj_cache: dict[tuple, tuple] = {}
 
 
-def _trajectory_fn(distance: int, n_rounds: int, noise_prob: float):
+def _trajectory_fn(distance: int, n_rounds: int, noise_prob: float,
+                   basis: str = "z"):
     """Compiled ``keys[T] -> outcomes[T, M]`` for one (d, R, p) point,
     cached per structure (the scan program is identical across p only
     up to the embedded channel probability, so p is part of the key)."""
-    key = (distance, n_rounds, float(noise_prob))
+    key = (distance, n_rounds, float(noise_prob), basis)
     hit = _traj_cache.get(key)
     if hit is not None:
         return hit
-    circ, lay = surface_extraction_circuit(distance, n_rounds)
+    circ, lay = surface_extraction_circuit(distance, n_rounds, basis)
     nm = NoiseModel()
     if noise_prob > 0.0:
         nm.add_global_noise(DepolarizingNoise(noise_prob))
@@ -253,21 +283,27 @@ def _trajectory_fn(distance: int, n_rounds: int, noise_prob: float):
 
 
 def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
-                         n_trials: int = 1000, seed: int = 0) -> dict:
-    """Z-basis memory experiment under circuit-level depolarizing noise.
+                         n_trials: int = 1000, seed: int = 0,
+                         basis: str = "z") -> dict:
+    """Memory experiment under circuit-level depolarizing noise.
 
-    Prepares ``|0...0>`` (a ``+Z_L`` eigenstate), runs ``n_rounds`` of
-    real extraction with depolarizing probability ``noise_prob`` after
-    every gate on each touched qubit, then measures the data
-    transversally.  The Z sector's detection events (consecutive-round
-    syndrome differences, closed by the final readout's exact syndrome)
-    are decoded by space-time union-find matching; failure is the
-    corrected ``Z_L`` parity.  X-check extraction is fully simulated —
-    its first-round outcomes are random (they project ``|0...0>`` into
-    the codespace) and its CNOTs contribute fault locations — but only
-    the Z sector is decoded, as only X-type residuals flip ``Z_L``.
+    ``basis="z"`` prepares ``|0...0>`` (a ``+Z_L`` eigenstate), runs
+    ``n_rounds`` of real extraction with depolarizing probability
+    ``noise_prob`` after every gate on each touched qubit, then measures
+    the data transversally.  The Z sector's detection events
+    (consecutive-round syndrome differences, closed by the final
+    readout's syndrome) are decoded by space-time union-find matching;
+    failure is the corrected ``Z_L`` parity.  X-check extraction is
+    fully simulated — its first-round outcomes are random (they project
+    ``|0...0>`` into the codespace) and its CNOTs contribute fault
+    locations — but only the Z sector is decoded, as only X-type
+    residuals flip ``Z_L``.  ``basis="x"`` is the mirror experiment:
+    ``|+...+>`` prep, X-sector decoding, ``X_L`` readout (its
+    transversal H columns carry gate noise, so its prep and final
+    readout are ~2p/3 noisy where the z memory's are noise-free —
+    honest circuit modeling, not an artifact).
     """
-    run, lay = _trajectory_fn(distance, n_rounds, noise_prob)
+    run, lay = _trajectory_fn(distance, n_rounds, noise_prob, basis)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
     outcomes = np.asarray(run(keys), dtype=np.uint8)
     fail, raw, det = decode_memory_record(lay, outcomes)
@@ -282,6 +318,7 @@ def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
         "n_rounds": R,
         "n_trials": n_trials,
         "distance": distance,
+        "basis": basis,
         "noise_prob": float(noise_prob),
         "n_qubits": lay.n_data + lay.n_z + lay.n_x,
     }

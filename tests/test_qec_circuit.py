@@ -8,6 +8,7 @@ correction of injected X preparations, and sane noisy behavior.
 import numpy as np
 import pytest
 
+from quantum_simulator_tpu.circuit import GateInstance
 from quantum_simulator_tpu.clifford import (_lower, _scan_evolve_fn,
                                             is_clifford_circuit)
 from quantum_simulator_tpu.qec_circuit import (circuit_level_memory,
@@ -46,11 +47,11 @@ def test_noise_free_z_sector_is_silent():
     detection layer is empty, and nothing fails."""
     circ, lay = surface_extraction_circuit(3, 3)
     outs = _run_noise_free(circ, lay, n_trials=16)
-    assert (lay.z_outcomes(outs) == 0).all()
+    assert (lay.sector_outcomes(outs) == 0).all()
     # The final readout is a RANDOM codeword (the X projections leave a
     # codespace superposition), but always syndrome-free and Z_L = +1.
     data = lay.data_outcomes(outs)
-    assert ((data @ lay.z_matrix.T) % 2 == 0).all()
+    assert ((data @ lay.sector_matrix.T) % 2 == 0).all()
     fail, raw, det = decode_memory_record(lay, outs)
     assert fail.sum() == 0 and raw.sum() == 0 and det.sum() == 0
 
@@ -110,3 +111,47 @@ def test_circuit_level_memory_noisy_behavior():
 def test_rejects_bad_rounds():
     with pytest.raises(ValueError, match="n_rounds"):
         surface_extraction_circuit(3, 0)
+
+
+# ---------------------------------------------------------------------------
+# X-basis memory (the mirror experiment)
+# ---------------------------------------------------------------------------
+
+def test_x_basis_noise_free_is_silent():
+    """|+...+> is a +1 eigenstate of every X check; now it is the
+    Z-ancilla record that is random-then-alternating, while the decoded
+    X sector is silent and X_L reads +1."""
+    circ, lay = surface_extraction_circuit(3, 3, basis="x")
+    assert lay.basis == "x"
+    outs = _run_noise_free(circ, lay, n_trials=32, seed=4)
+    assert (lay.sector_outcomes(outs) == 0).all()
+    data = lay.data_outcomes(outs)
+    assert ((data @ lay.sector_matrix.T) % 2 == 0).all()
+    fail, raw, det = decode_memory_record(lay, outs)
+    assert fail.sum() == 0 and raw.sum() == 0 and det.sum() == 0
+    # the Z ancillas are the random sector here
+    per_round = lay.n_z + lay.n_x
+    o = outs[:, :3 * per_round].reshape(-1, 3, per_round)[:, :, :lay.n_z]
+    assert 0.3 < o[:, 0].mean() < 0.7
+    assert (o[:, 1] == 0).all() and (o[:, 2] == o[:, 0]).all()
+
+
+def test_x_basis_injected_z_error_is_corrected():
+    """A Z fault on one data qubit right after the |+> prep flips X
+    checks only: the x memory's decoder must fix it."""
+    circ, lay = surface_extraction_circuit(3, 2, basis="x")
+    circ.add_gate(GateInstance("Z", [4], [], 0))   # same column as the
+    outs = _run_noise_free(circ, lay, 4, seed=6)   # preps, inserted after
+    fail, raw, det = decode_memory_record(lay, outs)
+    assert det.sum() > 0
+    assert fail.sum() == 0
+
+
+def test_x_basis_noisy_behavior():
+    res = circuit_level_memory(3, 2, 0.004, n_trials=400, seed=11,
+                               basis="x")
+    assert res["basis"] == "x"
+    assert 0.0 <= res["logical_failure_probability"] < 0.25
+    assert res["detection_fraction"] > 0.0
+    with pytest.raises(ValueError, match="basis"):
+        surface_extraction_circuit(3, 2, basis="y")
