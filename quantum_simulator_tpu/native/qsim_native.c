@@ -203,13 +203,16 @@ pack_bits(PyObject *self, PyObject *args)
     return out;
 }
 
-/* uf_decode(edges, n_edges, n_checks, boundary, syndromes, n_trials, out)
+/* uf_decode(edges, n_edges, n_checks, boundary, weights, syndromes,
+ *           n_trials, out)
  *
  * Union-find matching decoder over a batch of syndromes (the C twin of
  * qec_matching._decode_one_py — same deterministic choices, so outputs
  * are bit-identical; test-locked).
  *
  *   edges:     C-contiguous int32 (n_edges x 2) vertex pairs
+ *   weights:   C-contiguous int32 (n_edges,) integer edge costs >= 1
+ *              (an edge is traversable after 2*weight growth units)
  *   syndromes: C-contiguous uint8 (n_trials x n_checks) 0/1
  *   out:       writable C-contiguous uint8 (n_trials x n_edges)
  *   boundary:  virtual boundary vertex index (== n_checks) or -1
@@ -226,7 +229,7 @@ typedef struct {
     unsigned char *active;
     unsigned char *defect;
     unsigned char *visited;
-    signed char *growth;
+    int *growth;
     int *newly_full;
     int *adj_head;          /* CSR adjacency over full edges */
     int *adj_next;
@@ -247,7 +250,8 @@ uf_find(int *parent, int v)
 }
 
 static int
-uf_decode_one(const int32_t *edges, int ne, int nc, int bnd, int nv,
+uf_decode_one(const int32_t *edges, const int32_t *wts, int maxcap,
+              int ne, int nc, int bnd, int nv,
               const uint8_t *syn, uint8_t *corr, UFWork *w)
 {
     for (int v = 0; v < nv; v++) {
@@ -258,12 +262,12 @@ uf_decode_one(const int32_t *edges, int ne, int nc, int bnd, int nv,
         w->on_bnd[v] = 0;
         w->visited[v] = 0;
     }
-    memset(w->growth, 0, (size_t)ne);
+    memset(w->growth, 0, sizeof(int) * (size_t)ne);
     memset(corr, 0, (size_t)ne);
 
     /* growth rounds */
     int converged = 0;
-    for (int it = 0; it < 2 * nv + 4; it++) {
+    for (int it = 0; it < maxcap * nv + 4; it++) {
         int any_active = 0;
         for (int v = 0; v < nv; v++) {
             w->active[v] = 0;
@@ -276,14 +280,15 @@ uf_decode_one(const int32_t *edges, int ne, int nc, int bnd, int nv,
         if (!any_active) { converged = 1; break; }
         int grew = 0, n_full = 0;
         for (int e = 0; e < ne; e++) {
-            if (w->growth[e] >= 2) continue;
+            int cap = 2 * wts[e];
+            if (w->growth[e] >= cap) continue;
             int u = edges[2 * e], v = edges[2 * e + 1];
             int add = (int)w->active[u] + (int)w->active[v];
             if (add) {
                 grew = 1;
-                w->growth[e] = (signed char)((w->growth[e] + add > 2)
-                                             ? 2 : w->growth[e] + add);
-                if (w->growth[e] == 2) w->newly_full[n_full++] = e;
+                w->growth[e] = (w->growth[e] + add > cap)
+                               ? cap : w->growth[e] + add;
+                if (w->growth[e] == cap) w->newly_full[n_full++] = e;
             }
         }
         if (!grew) return 1;  /* unmatchable */
@@ -313,7 +318,7 @@ uf_decode_one(const int32_t *edges, int ne, int nc, int bnd, int nv,
      * matches the Python adjacency lists). */
     for (int v = 0; v < nv; v++) w->adj_head[v] = -1;
     for (int e = ne - 1; e >= 0; e--) {
-        if (w->growth[e] != 2) continue;
+        if (w->growth[e] != 2 * wts[e]) continue;
         int u = edges[2 * e], v = edges[2 * e + 1];
         int su = 2 * e, sv = 2 * e + 1;
         w->adj_vert[su] = v; w->adj_edge[su] = e;
@@ -360,29 +365,44 @@ uf_decode_one(const int32_t *edges, int ne, int nc, int bnd, int nv,
 static PyObject *
 uf_decode(PyObject *self, PyObject *args)
 {
-    PyObject *edges_obj, *syn_obj, *out_obj;
+    PyObject *edges_obj, *wts_obj, *syn_obj, *out_obj;
     int ne, nc, bnd;
     Py_ssize_t n_trials;
-    if (!PyArg_ParseTuple(args, "OiiiOnO", &edges_obj, &ne, &nc, &bnd,
-                          &syn_obj, &n_trials, &out_obj)) {
+    if (!PyArg_ParseTuple(args, "OiiiOOnO", &edges_obj, &ne, &nc, &bnd,
+                          &wts_obj, &syn_obj, &n_trials, &out_obj)) {
         return NULL;
     }
-    Py_buffer ev, sv, ov;
+    Py_buffer ev, wv, sv, ov;
     if (PyObject_GetBuffer(edges_obj, &ev, PyBUF_CONTIG_RO) < 0) return NULL;
-    if (PyObject_GetBuffer(syn_obj, &sv, PyBUF_CONTIG_RO) < 0) {
+    if (PyObject_GetBuffer(wts_obj, &wv, PyBUF_CONTIG_RO) < 0) {
         PyBuffer_Release(&ev);
         return NULL;
     }
+    if (PyObject_GetBuffer(syn_obj, &sv, PyBUF_CONTIG_RO) < 0) {
+        PyBuffer_Release(&ev); PyBuffer_Release(&wv);
+        return NULL;
+    }
     if (PyObject_GetBuffer(out_obj, &ov, PyBUF_CONTIG) < 0) {
-        PyBuffer_Release(&ev); PyBuffer_Release(&sv);
+        PyBuffer_Release(&ev); PyBuffer_Release(&wv); PyBuffer_Release(&sv);
         return NULL;
     }
     int nv = nc + (bnd >= 0 ? 1 : 0);
+    const int32_t *wts = (const int32_t *)wv.buf;
+    int maxcap = 2;
+    int wts_ok = (wv.len >= (Py_ssize_t)ne * 4);
+    if (wts_ok) {
+        for (int e = 0; e < ne; e++) {
+            if (wts[e] < 1) { wts_ok = 0; break; }
+            if (2 * wts[e] > maxcap) maxcap = 2 * wts[e];
+        }
+    }
     if (ev.len < (Py_ssize_t)ne * 2 * 4
+        || !wts_ok
         || sv.len < n_trials * (Py_ssize_t)nc
         || ov.len < n_trials * (Py_ssize_t)ne
         || (bnd >= 0 && bnd != nc)) {
-        PyBuffer_Release(&ev); PyBuffer_Release(&sv); PyBuffer_Release(&ov);
+        PyBuffer_Release(&ev); PyBuffer_Release(&wv);
+        PyBuffer_Release(&sv); PyBuffer_Release(&ov);
         PyErr_SetString(PyExc_ValueError, "uf_decode: bad buffer shapes");
         return NULL;
     }
@@ -395,7 +415,7 @@ uf_decode(PyObject *self, PyObject *args)
     w.active = (unsigned char *)malloc((size_t)nv);
     w.defect = (unsigned char *)malloc((size_t)nv);
     w.visited = (unsigned char *)malloc((size_t)nv);
-    w.growth = (signed char *)malloc((size_t)ne);
+    w.growth = (int *)malloc(sizeof(int) * (size_t)(ne > 0 ? ne : 1));
     w.newly_full = (int *)malloc(sizeof(int) * (size_t)(ne > 0 ? ne : 1));
     w.adj_head = (int *)malloc(sizeof(int) * (size_t)nv);
     w.adj_next = (int *)malloc(sizeof(int) * (size_t)(2 * (ne > 0 ? ne : 1)));
@@ -417,7 +437,7 @@ uf_decode(PyObject *self, PyObject *args)
         uint8_t *out = (uint8_t *)ov.buf;
         Py_BEGIN_ALLOW_THREADS
         for (Py_ssize_t t = 0; t < n_trials; t++) {
-            int r = uf_decode_one(edges, ne, nc, bnd, nv,
+            int r = uf_decode_one(edges, wts, maxcap, ne, nc, bnd, nv,
                                   syn + t * nc, out + t * ne, &w);
             if (r != 0) { rc = r; break; }
         }
@@ -430,7 +450,8 @@ uf_decode(PyObject *self, PyObject *args)
     free(w.adj_vert); free(w.adj_edge); free(w.order);
     free(w.tree_par); free(w.tree_edge);
 
-    PyBuffer_Release(&ev); PyBuffer_Release(&sv); PyBuffer_Release(&ov);
+    PyBuffer_Release(&ev); PyBuffer_Release(&wv);
+    PyBuffer_Release(&sv); PyBuffer_Release(&ov);
     if (rc == -1) return PyErr_NoMemory();
     if (rc == 2) {
         PyErr_SetString(PyExc_RuntimeError,

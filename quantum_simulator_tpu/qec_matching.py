@@ -48,12 +48,21 @@ class MatchingGraph:
     data qubit to touch 1 or 2 checks of the sector — true for
     repetition chains and the rotated surface code, and the defining
     property of "matchable" codes.
+
+    ``weights`` (optional, default all-1) are integer edge costs
+    (~ -log of the edge's fault probability, rescaled): cluster growth
+    must deposit ``2 * weight`` units before an edge is traversable, so
+    cheaper (likelier) edges are matched first — weighted union-find in
+    the Huang-Newman-Brown sense (arXiv:2004.04693 uses real weights;
+    integer rescaling keeps growth rounds exact and both decoder twins
+    bit-identical).
     """
 
     n_checks: int
     n_qubits: int
     edges: np.ndarray          # (n_qubits, 2) int32, vertex indices
     has_boundary: bool
+    weights: np.ndarray | None = None   # (n_qubits,) int8 >= 1, or None
 
     @property
     def n_vertices(self) -> int:
@@ -101,6 +110,8 @@ def _decode_one_py(graph: MatchingGraph, syndrome: np.ndarray) -> np.ndarray:
     ne = graph.n_qubits
     edges = graph.edges
     bnd = graph.boundary
+    cap = 2 * (np.ones(ne, np.int32) if graph.weights is None
+               else np.asarray(graph.weights, np.int32))
 
     parent = list(range(nv))
 
@@ -117,7 +128,7 @@ def _decode_one_py(graph: MatchingGraph, syndrome: np.ndarray) -> np.ndarray:
     occupied = defect.astype(bool).copy()
     parity = defect.astype(np.int8).copy()           # valid at roots
     on_bnd = np.zeros(nv, dtype=bool)                # valid at roots
-    growth = np.zeros(ne, dtype=np.int8)
+    growth = np.zeros(ne, dtype=np.int32)
 
     def absorb(w: int) -> None:
         if not occupied[w]:
@@ -126,7 +137,7 @@ def _decode_one_py(graph: MatchingGraph, syndrome: np.ndarray) -> np.ndarray:
                 on_bnd[w] = True
 
     # --- growth rounds -----------------------------------------------
-    for _ in range(2 * nv + 4):
+    for _ in range(int(cap.max(initial=2)) * nv + 4):
         active = np.zeros(nv, dtype=bool)
         for v in range(nv):
             if occupied[v]:
@@ -137,14 +148,14 @@ def _decode_one_py(graph: MatchingGraph, syndrome: np.ndarray) -> np.ndarray:
         grew = False
         newly_full = []
         for e in range(ne):
-            if growth[e] >= 2:
+            if growth[e] >= cap[e]:
                 continue
             u, v = int(edges[e, 0]), int(edges[e, 1])
             add = int(active[u]) + int(active[v])
             if add:
                 grew = True
-                growth[e] = min(2, growth[e] + add)
-                if growth[e] == 2:
+                growth[e] = min(int(cap[e]), growth[e] + add)
+                if growth[e] == cap[e]:
                     newly_full.append(e)
         if not grew:
             raise ValueError("syndrome is not matchable on this graph "
@@ -167,7 +178,7 @@ def _decode_one_py(graph: MatchingGraph, syndrome: np.ndarray) -> np.ndarray:
     # Adjacency over fully-grown edges, built in edge-index order.
     adj: list[list[tuple[int, int]]] = [[] for _ in range(nv)]
     for e in range(ne):
-        if growth[e] == 2:
+        if growth[e] == cap[e]:
             u, v = int(edges[e, 0]), int(edges[e, 1])
             adj[u].append((v, e))
             adj[v].append((u, e))
@@ -228,10 +239,12 @@ def decode_batch(graph: MatchingGraph, syndromes: np.ndarray,
     if native is not None and hasattr(native, "uf_decode"):
         T = syndromes.shape[0]
         out = np.zeros((T, graph.n_qubits), dtype=np.uint8)
+        wts = (np.ones(graph.n_qubits, np.int32) if graph.weights is None
+               else np.ascontiguousarray(graph.weights, dtype=np.int32))
         rc = native.uf_decode(
             np.ascontiguousarray(graph.edges).data,
             graph.n_qubits, graph.n_checks,
-            graph.boundary, syndromes.data, T, out.data)
+            graph.boundary, wts.data, syndromes.data, T, out.data)
         if rc == 0:
             return out
         raise ValueError(

@@ -324,3 +324,41 @@ def test_matching_memory_repetition_code_kwarg():
     with pytest.raises(ValueError, match="unknown code"):
         FrameQECSimulator.matching_memory_experiment(
             0.01, 2, n_trials=8, code="steane")
+
+
+# ---------------------------------------------------------------------------
+# Weighted union-find
+# ---------------------------------------------------------------------------
+
+def test_weighted_growth_prefers_cheap_path():
+    """Two defects joined by a heavy direct edge (w=3) and by two cheap
+    boundary edges (w=1 each): weighted growth must fill the cheap path
+    first and peel the correction through the boundary, leaving the
+    heavy edge unused.  Unweighted, the direct edge wins in one round."""
+    edges = np.array([[0, 1], [0, 2], [1, 2]], dtype=np.int32)
+    syn = np.array([[1, 1]], dtype=np.uint8)
+    flat = qm.MatchingGraph(n_checks=2, n_qubits=3, edges=edges,
+                            has_boundary=True)
+    corr_flat = qm.decode_batch(flat, syn, force_python=True)
+    assert corr_flat.tolist() == [[1, 0, 0]]
+    heavy = qm.MatchingGraph(n_checks=2, n_qubits=3, edges=edges,
+                             has_boundary=True,
+                             weights=np.array([3, 1, 1], dtype=np.int32))
+    corr_w = qm.decode_batch(heavy, syn, force_python=True)
+    assert corr_w.tolist() == [[0, 1, 1]]
+
+
+def test_weighted_c_and_python_bit_identical():
+    H = _surface_z_sector(5)
+    g0 = qm.MatchingGraph.from_checks(H)
+    rng = np.random.default_rng(11)
+    w = rng.integers(1, 5, size=g0.n_qubits).astype(np.int32)
+    g = qm.MatchingGraph(n_checks=g0.n_checks, n_qubits=g0.n_qubits,
+                         edges=g0.edges, has_boundary=g0.has_boundary,
+                         weights=w)
+    syn = ((rng.random((96, 25)) < 0.12).astype(np.uint8) @ H.T) % 2
+    c_py = qm.decode_batch(g, syn, force_python=True)
+    c_c = qm.decode_batch(g, syn)
+    assert (c_py == c_c).all()
+    # weighted corrections still reproduce every syndrome
+    assert (((c_py @ H.T) % 2) == syn).all()
