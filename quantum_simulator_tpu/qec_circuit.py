@@ -226,6 +226,27 @@ def surface_extraction_circuit(
         sector_diagonals=tuple(diagonals))
 
 
+def detection_events(lay: ExtractionLayout,
+                     outcomes: np.ndarray) -> np.ndarray:
+    """Measurement record -> detection tensor ``det[T, R+1, nc]``:
+    per-round sector syndromes recovered from the no-reset outcome
+    chains (``s_r = o_r XOR o_{r-1}``), differenced between consecutive
+    rounds and closed by the final transversal readout's syndrome."""
+    R = lay.n_rounds
+    T = outcomes.shape[0]
+    o = lay.sector_outcomes(outcomes)                  # (T, R, nc)
+    syn = o.copy()                                     # no-reset chain
+    syn[:, 1:] = o[:, 1:] ^ o[:, :-1]
+    data = lay.data_outcomes(outcomes)                 # (T, nd)
+    final = (data @ lay.sector_matrix.T) % 2
+    det = np.empty((T, R + 1, lay.sector_matrix.shape[0]), dtype=np.uint8)
+    det[:, 0] = syn[:, 0]
+    if R > 1:
+        det[:, 1:R] = syn[:, 1:] ^ syn[:, :-1]
+    det[:, R] = final ^ syn[:, R - 1]
+    return det
+
+
 def decode_memory_record(lay: ExtractionLayout,
                          outcomes: np.ndarray) -> tuple:
     """Measurement record -> ``(fail, raw, det)`` per trial.
@@ -239,16 +260,8 @@ def decode_memory_record(lay: ExtractionLayout,
     """
     R = lay.n_rounds
     T = outcomes.shape[0]
-    o = lay.sector_outcomes(outcomes)                  # (T, R, nc)
-    syn = o.copy()                                     # no-reset chain
-    syn[:, 1:] = o[:, 1:] ^ o[:, :-1]
+    det = detection_events(lay, outcomes)
     data = lay.data_outcomes(outcomes)                 # (T, nd)
-    final = (data @ lay.sector_matrix.T) % 2
-    det = np.empty((T, R + 1, lay.sector_matrix.shape[0]), dtype=np.uint8)
-    det[:, 0] = syn[:, 0]
-    if R > 1:
-        det[:, 1:R] = syn[:, 1:] ^ syn[:, :-1]
-    det[:, R] = final ^ syn[:, R - 1]
     corr = space_time_decode_fn(
         lay.sector_matrix, R, diagonals=list(lay.sector_diagonals))(
         det.reshape(T, -1)).astype(np.uint8)
@@ -284,7 +297,8 @@ def _trajectory_fn(distance: int, n_rounds: int, noise_prob: float,
 
 def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
                          n_trials: int = 1000, seed: int = 0,
-                         basis: str = "z") -> dict:
+                         basis: str = "z",
+                         decoder: str = "dem") -> dict:
     """Memory experiment under circuit-level depolarizing noise.
 
     ``basis="z"`` prepares ``|0...0>`` (a ``+Z_L`` eigenstate), runs
@@ -302,11 +316,34 @@ def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
     transversal H columns carry gate noise, so its prep and final
     readout are ~2p/3 noisy where the z memory's are noise-free —
     honest circuit modeling, not an artifact).
+
+    ``decoder``: ``"dem"`` (default) matches on the circuit's own
+    measured detector error model (``qec_dem.extract_dem`` — one cached
+    fault-enumeration launch per (d, R, basis)) and predicts the
+    logical directly from matched edges' flags; measured strictly
+    better than ``"phenomenological"`` (the hand-built
+    graph + schedule diagonals, zero precompute) at every sampled
+    point — e.g. d=3 p=0.002: 0.0027 vs 0.0077, d=5 p=0.005: 0.0047
+    vs 0.0120 (3k/1.5k trials, same draws).
     """
     run, lay = _trajectory_fn(distance, n_rounds, noise_prob, basis)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
     outcomes = np.asarray(run(keys), dtype=np.uint8)
-    fail, raw, det = decode_memory_record(lay, outcomes)
+    if decoder == "phenomenological":
+        fail, raw, det = decode_memory_record(lay, outcomes)
+    elif decoder == "dem":
+        # Measured detector error model: weighted matching on the
+        # circuit's own fault signatures, logical prediction straight
+        # from matched edges' flags (qec_dem).
+        from .qec_dem import extract_dem
+        dem = extract_dem(distance, n_rounds, basis)
+        det = detection_events(lay, outcomes)
+        raw = ((lay.data_outcomes(outcomes) @ lay.sector_support) % 2
+               ).astype(np.int32)
+        pred = dem.decode(det.reshape(n_trials, -1), noise_prob)
+        fail = raw ^ pred
+    else:
+        raise ValueError(f"unknown decoder: {decoder!r}")
     p_fail = float(fail.mean())
     R = n_rounds
     return {
@@ -319,6 +356,7 @@ def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
         "n_trials": n_trials,
         "distance": distance,
         "basis": basis,
+        "decoder": decoder,
         "noise_prob": float(noise_prob),
         "n_qubits": lay.n_data + lay.n_z + lay.n_x,
     }

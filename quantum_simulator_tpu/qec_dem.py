@@ -1,0 +1,273 @@
+"""Detector-error-model (DEM) extraction for circuit-level QEC.
+
+``qec_circuit`` decodes real extraction circuits on a hand-built
+phenomenological graph plus schedule-derived diagonals.  This module
+derives the decoding graph FROM THE CIRCUIT ITSELF, the way stim builds
+detector error models: every single-fault location (each Pauli on each
+gate target, exactly the support of the depolarizing noise model) is
+injected into ONE compiled Clifford program as runtime data and all
+faults run in a single vmapped launch; each fault's *detection
+signature* (which decoded-sector detection events it flips — purely
+fault-determined, because Pauli errors change stabilizer measurement
+signs but never their random/deterministic structure) and *logical
+flag* (does it flip the logical readout) are measured, not modeled.
+
+Signatures with <= 2 detection events become matching-graph edges whose
+weights are ``-log`` of the summed fault probability (integer-rescaled
+for the weighted union-find decoder); heavier signatures (hook faults
+hitting two data qubits) are greedily decomposed into existing edges,
+stim's ``decompose_errors`` strategy, crediting their probability to
+each component.  Decoding then needs no per-qubit correction fold at
+all: the matched edges' logical flags XOR directly into the readout
+prediction — the decoder literally answers "did the errors flip Z_L",
+the only question the memory experiment asks.
+
+Reference anchor: the reference has no circuit-level noise anywhere
+(``/root/reference/quantum_sim/engine/qec.py`` decodes ideal one-cycle
+syndromes from Python dicts); this is the subsystem a real QEC stack
+runs, built TPU-style — enumeration as one batched device launch, the
+graph walk as the C union-find hot loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from math import log
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .clifford import _OP_MEASURE, _branches, _lower, Tableau
+from .qec_circuit import (ExtractionLayout, detection_events,
+                          surface_extraction_circuit)
+from .qec_matching import MatchingGraph, decode_batch
+
+_GATE_TARGET_OPS = {"H": 1, "CNOT": 2}
+
+
+def _fault_evolve_fn(n: int, codes, qa, qb, pp):
+    """jitted ``(key, fault_step, fault_qubit, fx, fz) -> outcomes`` —
+    the clean schedule with one Pauli ``X^fx Z^fz`` injected on
+    ``fault_qubit`` right AFTER schedule step ``fault_step`` (pass
+    ``fault_step=-1`` for the clean run).  The injection is runtime
+    data, so every fault shares one compile and the enumeration is one
+    vmapped launch."""
+    branches = _branches()
+    L = len(codes)
+    measure_idx = np.nonzero(codes == _OP_MEASURE)[0]
+    codes_j = jnp.asarray(codes)
+    qa_j = jnp.asarray(qa)
+    qb_j = jnp.asarray(qb)
+    pp_j = jnp.asarray(pp)
+    idx_j = jnp.arange(L)
+
+    @jax.jit
+    def evolve(key, fault_step, fault_qubit, fx, fz):
+        u = jax.random.uniform(key, (L,))
+
+        def body(tab, xs):
+            idx, code, a, b, uu, p = xs
+            tab, out = jax.lax.switch(code, branches, tab, a, b, uu, p)
+            x, z, r = tab
+            hit = idx == fault_step
+            mx = (hit & (fx > 0)).astype(r.dtype)
+            mz = (hit & (fz > 0)).astype(r.dtype)
+            r = r ^ (mx * z[:, fault_qubit]) ^ (mz * x[:, fault_qubit])
+            return Tableau(x, z, r), out
+
+        tab, outs = jax.lax.scan(
+            body,
+            Tableau(*map(jnp.asarray, _identity_parts(n))),
+            (idx_j, codes_j, qa_j, qb_j, u, pp_j))
+        return outs[jnp.asarray(measure_idx)]
+
+    return evolve
+
+
+def _identity_parts(n: int):
+    from .clifford import identity_tableau
+    return identity_tableau(n)
+
+
+@dataclass(frozen=True)
+class DetectorErrorModel:
+    """Measured single-fault error model of one extraction circuit.
+
+    ``edges[k]`` is a detection-event pair (site indices into the
+    flattened ``(R+1) * nc`` grid; a single-event fault pairs with the
+    boundary vertex), ``logicals[k]`` its logical flag, ``counts[k]``
+    how many elementary faults produce it (directly or via hook
+    decomposition).  ``dropped`` counts faults whose signature could
+    not be expressed (kept for honesty — silent truncation reads as
+    coverage)."""
+
+    lay: ExtractionLayout
+    n_sites: int
+    edges: np.ndarray           # (E, 2) int32; boundary = n_sites
+    logicals: np.ndarray        # (E,) uint8
+    counts: np.ndarray          # (E,) int64
+    n_faults: int
+    dropped: int
+    ambiguous: int
+
+    def graph(self, noise_prob: float,
+              scale: float = 0.0) -> MatchingGraph:
+        """Matching graph at physical rate ``noise_prob``.
+
+        ``scale > 0`` turns on log-likelihood edge costs
+        (round(scale * -ln(count * p / 3)), shifted so the cheapest
+        edge costs 1).  Default is UNWEIGHTED — measured at d=3 R=3
+        p=0.005 (3000 trials, same draws): scale 0 -> 0.0157 logical,
+        0.5 -> 0.0213, 1.0 -> 0.0377, 3.0 -> 0.0440.  Integer-weighted
+        growth monotonically HURTS the union-find approximation here:
+        rare-signature edges become nearly uncrossable and force
+        two-edge detours through wrong logical flags, while the
+        unweighted measured topology already beats the hand-built
+        phenomenological graph (0.0157 vs 0.0217 on the same trials).
+        The machinery stays for graphs where weighting is known to
+        help; the default follows the measurement."""
+        if scale <= 0.0:
+            weights = None
+        else:
+            p_edge = self.counts * (max(noise_prob, 1e-12) / 3.0)
+            cost = -np.log(np.clip(p_edge, 1e-30, 1.0 - 1e-9))
+            w = np.round(scale * (cost - cost.min())).astype(np.int32) + 1
+            weights = np.minimum(w, 31)
+        return MatchingGraph(
+            n_checks=self.n_sites, n_qubits=self.edges.shape[0],
+            edges=self.edges, has_boundary=True, weights=weights)
+
+    def decode(self, detections: np.ndarray,
+               noise_prob: float) -> np.ndarray:
+        """(T, (R+1)*nc) detection batches -> (T,) logical predictions
+        (the XOR of matched edges' logical flags)."""
+        corr = decode_batch(self.graph(noise_prob), detections)
+        return ((corr @ self.logicals.astype(np.int64)) % 2).astype(
+            np.int32)
+
+
+_dem_cache: dict[tuple, DetectorErrorModel] = {}
+
+
+def extract_dem(distance: int, n_rounds: int,
+                basis: str = "z") -> DetectorErrorModel:
+    """Enumerate every single-fault location of the extraction circuit
+    and build its detector error model (cached per (d, R, basis)).
+
+    Fault support mirrors ``qec_circuit``'s noise model exactly: after
+    every gate, each target qubit suffers X, Y, or Z with probability
+    p/3 — so the enumeration is (gate step, target, Pauli) triples.
+    All runs share one fixed PRNG key: the random sector's projections
+    are identical across runs and cancel in the signature diff.
+    """
+    key_t = (distance, n_rounds, basis)
+    hit = _dem_cache.get(key_t)
+    if hit is not None:
+        return hit
+    circ, lay = surface_extraction_circuit(distance, n_rounds, basis)
+    codes, qa, qb, pp, _ = _lower(circ, collapse_measures=True)
+    evolve = _fault_evolve_fn(circ.num_qubits, codes, qa, qb, pp)
+    run = jax.jit(jax.vmap(evolve, in_axes=(None, 0, 0, 0, 0)))
+
+    # (step, qubit, fx, fz) per elementary fault, schedule order.
+    gate_names = {1: "?"}
+    faults: list[tuple[int, int, int, int]] = []
+    from .clifford import _GATE_OPCODES
+    op_targets = {_GATE_OPCODES["H"]: 1, _GATE_OPCODES["CNOT"]: 2}
+    for s, code in enumerate(codes):
+        nt = op_targets.get(int(code))
+        if nt is None:
+            continue
+        targets = [int(qa[s])] + ([int(qb[s])] if nt == 2 else [])
+        for q in targets:
+            for fx, fz in ((1, 0), (1, 1), (0, 1)):    # X, Y, Z
+                faults.append((s, q, fx, fz))
+    F = len(faults)
+    fs = np.asarray([f[0] for f in faults], np.int32)
+    fq = np.asarray([f[1] for f in faults], np.int32)
+    fx = np.asarray([f[2] for f in faults], np.int32)
+    fz = np.asarray([f[3] for f in faults], np.int32)
+
+    key = jax.random.PRNGKey(0)
+    clean = np.asarray(evolve(key, jnp.int32(-1), jnp.int32(0),
+                              jnp.int32(0), jnp.int32(0)),
+                       np.uint8)[None]
+    det0 = detection_events(lay, clean)[0].reshape(-1)
+    raw0 = int((lay.data_outcomes(clean)[0] @ lay.sector_support) % 2)
+
+    sigs: dict[tuple, list] = {}
+    ambiguous = 0
+    chunk = 512
+    for lo in range(0, F, chunk):
+        hi = min(F, lo + chunk)
+        outs = np.asarray(run(key, jnp.asarray(fs[lo:hi]),
+                              jnp.asarray(fq[lo:hi]),
+                              jnp.asarray(fx[lo:hi]),
+                              jnp.asarray(fz[lo:hi])), np.uint8)
+        det = detection_events(lay, outs).reshape(hi - lo, -1) ^ det0
+        raw = ((lay.data_outcomes(outs) @ lay.sector_support) % 2
+               ) ^ raw0
+        for i in range(hi - lo):
+            sites = tuple(np.flatnonzero(det[i]).tolist())
+            if not sites:
+                # A fault invisible to this sector: it must not flip
+                # the logical either, or the circuit is sub-distance.
+                if raw[i]:
+                    ambiguous += 1
+                continue
+            rec = sigs.setdefault(sites, [0, int(raw[i])])
+            rec[0] += 1
+            if rec[1] != int(raw[i]):
+                ambiguous += 1
+
+    n_sites = (n_rounds + 1) * lay.sector_matrix.shape[0]
+    bnd = n_sites
+    edge_of: dict[tuple, int] = {}
+    edges: list[tuple[int, int]] = []
+    logicals: list[int] = []
+    counts: list[int] = []
+    for sites, (cnt, flag) in sorted(sigs.items()):
+        if len(sites) > 2:
+            continue
+        pair = (sites[0], bnd) if len(sites) == 1 else (sites[0], sites[1])
+        edge_of[sites] = len(edges)
+        edges.append(pair)
+        logicals.append(flag)
+        counts.append(cnt)
+
+    # Hook decomposition: a >2-event signature splits into two existing
+    # edges (try every bipartition); credit its count to both parts.
+    dropped = 0
+    for sites, (cnt, flag) in sorted(sigs.items()):
+        if len(sites) <= 2:
+            continue
+        placed = False
+        ss = list(sites)
+        import itertools
+        for k in (1, 2):
+            for part in itertools.combinations(ss, k):
+                a = tuple(sorted(part))
+                b = tuple(sorted(set(ss) - set(part)))
+                ia, ib = edge_of.get(a), edge_of.get(b)
+                if ia is None or ib is None:
+                    continue
+                if (logicals[ia] ^ logicals[ib]) != flag:
+                    continue
+                counts[ia] += cnt
+                counts[ib] += cnt
+                placed = True
+                break
+            if placed:
+                break
+        if not placed:
+            dropped += cnt
+
+    dem = DetectorErrorModel(
+        lay=lay, n_sites=n_sites,
+        edges=np.asarray(edges, np.int32).reshape(-1, 2),
+        logicals=np.asarray(logicals, np.uint8),
+        counts=np.asarray(counts, np.int64),
+        n_faults=F, dropped=dropped, ambiguous=ambiguous)
+    _dem_cache[key_t] = dem
+    return dem
