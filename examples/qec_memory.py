@@ -52,6 +52,12 @@ def main() -> None:
     ap.add_argument("--surface", action="store_true",
                     help="also run rotated-surface-code memory decoded "
                          "by space-time union-find matching")
+    ap.add_argument("--circuit", action="store_true",
+                    help="also run CIRCUIT-LEVEL surface memory: real "
+                         "extraction circuits as noisy Clifford "
+                         "trajectories, decoded on the measured "
+                         "detector error model (p is per-gate here — "
+                         "try 0.002-0.01)")
     args = ap.parse_args()
     distances = [int(d) for d in args.distances.split(",")]
 
@@ -110,6 +116,22 @@ def main() -> None:
         if lams:
             print("-- surface Lambda: "
                   + ", ".join(f"{l:.1f}x" for l in lams))
+
+    if args.circuit:
+        from quantum_simulator_tpu.qec_circuit import circuit_level_memory
+        print(f"-- CIRCUIT-LEVEL surface memory, p={args.p}/gate, "
+              f"{args.rounds} rounds, DEM-matched")
+        for d in distances:
+            if d % 2 == 0:
+                continue
+            res = circuit_level_memory(
+                distance=d, n_rounds=args.rounds, noise_prob=args.p,
+                n_trials=args.trials, seed=d)
+            print(f"   d={d:2d}: logical "
+                  f"{res['logical_failure_probability']:.4f}  "
+                  f"uncorrected {res['raw_failure_probability']:.4f}  "
+                  f"({res['n_qubits']} qubits, "
+                  f"det fraction {res['detection_fraction']:.3f})")
 
 
 if __name__ == "__main__":

@@ -548,6 +548,8 @@ class QECPanel(_Canvas):
         sweep_btn.clicked.connect(self.run_sweep)
         memory_btn = QPushButton("Memory (ML)")
         memory_btn.clicked.connect(self.run_memory)
+        circuit_btn = QPushButton("Memory (circuit)")
+        circuit_btn.clicked.connect(self.run_circuit_memory)
         layout_btn = QPushButton("Code Layout")
         layout_btn.clicked.connect(self.show_layout)
         self.status = QLabel("")
@@ -556,7 +558,7 @@ class QECPanel(_Canvas):
                   QLabel("d:"), self.d_spin, QLabel("Noise:"),
                   self.noise_combo, QLabel("p:"), self.p_spin,
                   self.logical_combo, cycle_btn, sweep_btn, memory_btn,
-                  layout_btn, self.status):
+                  circuit_btn, layout_btn, self.status):
             self.controls.addWidget(w)
         self.controls.addStretch(1)
         self.sweep_done.connect(self._plot_sweep)
@@ -714,8 +716,46 @@ class QECPanel(_Canvas):
 
         threading.Thread(target=work, daemon=True).start()
 
+    def run_circuit_memory(self) -> None:
+        """Circuit-level-noise memory (surface codes only): the real
+        extraction circuit as noisy Clifford trajectories, decoded on
+        the measured detector error model (``qec_circuit`` +
+        ``qec_dem``).  The spinbox p is the per-gate depolarizing rate
+        — circuit noise is ~an order harsher than phenomenological, so
+        sensible values are 0.001-0.02."""
+        if self.code_combo.currentText() != self.SURFACE_CODE:
+            self.status.setText(
+                "Circuit-level memory runs the surface extraction "
+                "circuit — select the surface code entry")
+            return
+        d = self._distance()
+        p = min(self.p_spin.value(), 0.05)
+
+        def work():
+            from ..qec_circuit import circuit_level_memory
+            res = circuit_level_memory(
+                distance=d, n_rounds=3, noise_prob=p, n_trials=1000,
+                seed=42)
+            self.memory_done.emit(res)
+
+        threading.Thread(target=work, daemon=True).start()
+
     def _plot_memory(self, res) -> None:
         ax = self.axes()
+        if "raw_failure_probability" in res:    # circuit-level result
+            ax.bar(["DEM matching", "uncorrected"],
+                   [res["logical_failure_probability"],
+                    res["raw_failure_probability"]],
+                   color=["#a6e3a1", "#f38ba8"])
+            ax.set_ylabel(
+                f"Logical failure ({res['n_rounds']} rounds, "
+                f"d={res['distance']}, circuit-level p/gate)")
+            self.status.setText(
+                f"circuit-level {res['logical_failure_probability']:.4f}"
+                f" vs uncorrected {res['raw_failure_probability']:.4f} "
+                f"({res['n_trials']} trials, {res['n_qubits']} qubits)")
+            self.redraw()
+            return
         if "matching_failure_probability" in res:
             label, fail = "space-time UF", res["matching_failure_probability"]
         else:
