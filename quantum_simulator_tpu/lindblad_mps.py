@@ -1,0 +1,262 @@
+"""Lindblad dynamics at MPS widths: quantum-trajectory unraveling.
+
+``lindblad.py`` integrates the master equation exactly but holds a 4^n
+density matrix — n <= 13.  This module unravels the SAME equation into
+Monte-Carlo wave-function trajectories (Dalibard-Castin-Molmer) living
+on the MPS engine: open-system dynamics of 40+ qubit chains under a
+bond-dimension cap, something neither the reference (discrete per-gate
+Kraus only, ``/root/reference/quantum_sim/engine/noise.py:224-260``)
+nor the dense solver can touch.
+
+Scheme per time step ``dt`` (exactly CPTP per step, first-order in the
+Lindblad generator):
+
+* **Hamiltonian**: a 1st/2nd-order Trotter step of ``exp(-i H dt)``;
+  every Pauli term applies in closed form
+  (``exp(-i c dt P) = cos(c dt) I - i sin(c dt) P``) as a dense k-site
+  gate routed through the trace-time MPS (``mps._TraceMPS``).
+* **Dissipators**: each jump ``(rate, L, qubit)`` becomes the exact
+  binary Kraus channel ``{K0 = sqrt(I - rate dt L^dag L),
+  K1 = sqrt(rate dt) L}`` and rides the engine's per-shot Kraus-draw
+  machinery (``apply_kraus_1q``): branch weights are O(chi^2) local
+  norms at the orthogonality center, the draw renormalizes in place —
+  this IS the trajectory unraveling, channel by channel.
+
+The whole trajectory (every Trotter gate, every stochastic draw, every
+recorded observable) traces into ONE jitted program with a static
+bond-growth schedule, so ``n_trajectories`` runs are a single
+``vmap``-ped device launch; recorded Pauli expectations transfer as
+scalars, never a state.  Validated against the dense ``lindblad.py``
+integrator at n <= 4 (statistical tolerance) and against closed-form
+dephasing/damping curves (``tests/test_lindblad_mps.py``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import CONFIG
+from .lindblad import JUMP_OPERATORS, _normalize_jumps, _pauli_term_matrix
+from .models.trotter import _PAULI, _validated
+from .mps import MPSState, _TraceMPS, _PREC
+
+__all__ = ["MPSLindbladSimulator", "MPSLindbladResult", "JUMP_OPERATORS"]
+
+
+def _expectation_pstr(tensors, ops: dict[int, jnp.ndarray]):
+    """<psi|P|psi> by one left-to-right transfer contraction over the
+    ragged trajectory tensors — works in ANY canonical form (the bra
+    side carries the full conjugate network), O(n chi^3)."""
+    dtype = tensors[0].dtype
+    env = jnp.ones((1, 1), dtype)
+    for i, t in enumerate(tensors):
+        op = ops.get(i)
+        tt = t if op is None else jnp.einsum(
+            "qp,lpr->lqr", op.astype(dtype), t, precision=_PREC)
+        env = jnp.einsum("ab,apx,bpy->xy", env, jnp.conj(t), tt,
+                         precision=_PREC)
+    return jnp.real(env[0, 0]).astype(jnp.float32)
+
+
+def _kraus_pair(rate: float, L: np.ndarray, dt: float) -> np.ndarray:
+    """Exact binary Kraus channel for one jump over one step:
+    ``K1 = sqrt(rate dt) L`` and ``K0 = sqrt(I - K1^dag K1)`` via a
+    2x2 eigendecomposition — CPTP by construction, equal to the
+    Lindblad dissipator's step map to O(dt^2)."""
+    M = rate * dt * (np.conj(L.T) @ L)
+    w, v = np.linalg.eigh(M)
+    if w.max() >= 1.0:
+        raise ValueError(
+            f"rate*dt*||L^dag L|| = {w.max():.3f} >= 1; shrink dt "
+            "(more steps) so the no-jump Kraus stays positive")
+    k0 = (v * np.sqrt(np.maximum(1.0 - w, 0.0))) @ np.conj(v.T)
+    k1 = np.sqrt(rate * dt) * L
+    return np.stack([k0, k1])
+
+
+@dataclass
+class MPSLindbladResult:
+    """Trajectory-averaged record: ``times[i]`` pairs with
+    ``expectations[k, i]`` (mean over trajectories of observable k) and
+    ``stderr[k, i]`` (standard error of that mean)."""
+
+    times: np.ndarray                 # (n_records,)
+    expectations: np.ndarray          # (n_observables, n_records)
+    stderr: np.ndarray                # (n_observables, n_records)
+    observable_labels: list[str]
+    n_trajectories: int
+    truncation_weight: float          # mean discarded Schmidt weight
+
+
+class MPSLindbladSimulator:
+    """``LindbladSimulator``'s surface past the 2^n wall.
+
+    Same constructor contracts (``hamiltonian_terms`` as
+    ``(coeff, pauli_string, qubits)`` tuples, ``jump_operators`` as
+    ``(rate, op, qubit)`` with named or 2x2-matrix ops); ``chi`` caps
+    the bond dimension, ``order`` picks the Trotter splitting.
+    """
+
+    def __init__(self, num_qubits: int, hamiltonian_terms=(),
+                 jump_operators=(), chi: int = 32, order: int = 2):
+        if num_qubits < 1:
+            raise ValueError("num_qubits must be >= 1")
+        if order not in (1, 2):
+            raise ValueError("order must be 1 or 2")
+        self.num_qubits = num_qubits
+        self.chi = int(chi)
+        self.order = order
+        self._terms = _validated(num_qubits, list(hamiltonian_terms))
+        self._jumps = _normalize_jumps(jump_operators, num_qubits)
+        self._fns: dict = {}
+
+    # -- program construction ------------------------------------------
+
+    def _build(self, n_steps: int, record_every: int, obs_key,
+               dt: float, bits, dtype):
+        n = self.num_qubits
+        half = 0.5 * dt if self.order == 2 else dt
+
+        def term_gate(coeff, pstr, qubits, step_dt):
+            P = _pauli_term_matrix(pstr)
+            theta = float(coeff) * step_dt
+            g = (np.cos(theta) * np.eye(P.shape[0]) - 1j
+                 * np.sin(theta) * P)
+            return list(qubits), jnp.asarray(g, dtype)
+
+        if self.order == 2:
+            fwd = [term_gate(c, p, q, half) for c, p, q in self._terms]
+            gates = fwd + fwd[::-1]
+        else:
+            gates = [term_gate(c, p, q, dt) for c, p, q in self._terms]
+        kstacks = [(q, jnp.asarray(_kraus_pair(rate, L, dt), dtype))
+                   for rate, L, q in self._jumps]
+        obs = [{qb: jnp.asarray(_PAULI[ch], dtype)
+                for ch, qb in zip(pstr, qubits)}
+               for pstr, qubits in obs_key]
+        n_jump = len(kstacks)
+
+        def measure(tensors):
+            if not obs:
+                return jnp.zeros((0,), jnp.float32)
+            return jnp.stack([_expectation_pstr(tensors, o) for o in obs])
+
+        def run_step(mps, step_keys):
+            for positions, g in gates:
+                if len(positions) == 1:
+                    mps.apply_1q(positions[0], g)
+                else:
+                    mps.route_and_apply(positions, g)
+            for j, (q, kstack) in enumerate(kstacks):
+                mps.apply_kraus_1q(q, kstack, step_keys[j])
+
+        def one_trajectory(key):
+            """Unroll steps only until the bond-growth schedule hits its
+            shape fixed point (identical ragged shapes + center before
+            and after a step), then lax.scan the rest — compile cost is
+            O(warmup + 1 step), not O(n_steps), the same
+            schedule-as-data move as the Clifford/DMRG engines."""
+            mps = _TraceMPS(n, self.chi, bits, dtype)
+            if n_jump:
+                flat = jax.random.split(key, n_steps * n_jump)
+                all_keys = flat.reshape((n_steps, n_jump)
+                                        + flat.shape[1:])
+            else:
+                all_keys = jnp.zeros((n_steps, 1, 2), jnp.uint32)
+            recs = [measure(mps.tensors)]
+            shapes = None
+            s = 0
+            while s < n_steps:
+                run_step(mps, all_keys[s])
+                s += 1
+                recs.append(measure(mps.tensors))
+                now = (tuple(t.shape for t in mps.tensors), mps.center)
+                if now == shapes:
+                    break
+                shapes = now
+
+            if s < n_steps:
+                center = mps.center
+
+                def body(carry, step_keys):
+                    tensors, disc = carry
+                    m2 = object.__new__(_TraceMPS)
+                    m2.n, m2.chi, m2.dtype = n, self.chi, dtype
+                    m2.tensors = list(tensors)
+                    m2.center = center
+                    m2.discarded = disc
+                    run_step(m2, step_keys)
+                    if (tuple(t.shape for t in m2.tensors),
+                            m2.center) != shapes:
+                        raise AssertionError(
+                            "step map left its shape fixed point")
+                    return (tuple(m2.tensors), m2.discarded), \
+                        measure(m2.tensors)
+
+                (tensors, disc), scanned = jax.lax.scan(
+                    body, (tuple(mps.tensors), mps.discarded),
+                    all_keys[s:])
+                mps.tensors = list(tensors)
+                mps.discarded = disc
+                all_recs = jnp.concatenate(
+                    [jnp.stack(recs), scanned], axis=0)
+            else:
+                all_recs = jnp.stack(recs)
+            return all_recs[::record_every], mps.discarded
+
+        return jax.jit(jax.vmap(one_trajectory))
+
+    def evolve(self, t_final: float, n_steps: int,
+               n_trajectories: int = 64, initial=None,
+               observables=(), record_every: int = 1,
+               seed: int = 0, dtype=None) -> MPSLindbladResult:
+        """Unravel to ``t_final`` in ``n_steps`` steps, averaging
+        ``n_trajectories`` vmapped trajectories.
+
+        ``initial``: computational-basis bit list (product states only —
+        entangled starts belong to a preparatory circuit on
+        ``MPSSimulator``); ``observables``: ``[(pauli_string, qubits)]``
+        recorded at t=0 and every ``record_every``-th step.  Unlike the
+        dense solver, ``dt`` is trace-baked (the Trotter/Kraus matrices
+        embed it), so the compile cache keys on it.
+        """
+        if n_steps < 1:
+            raise ValueError("n_steps must be >= 1")
+        if record_every < 1 or n_steps % record_every:
+            raise ValueError("record_every must divide n_steps")
+        dtype = dtype or CONFIG.dtype
+        n = self.num_qubits
+        bits = list(initial) if initial is not None else [0] * n
+        if len(bits) != n or any(b not in (0, 1) for b in bits):
+            raise ValueError("initial must be n bits (product state)")
+        obs_key = tuple((str(pstr).upper(), tuple(int(q) for q in qs))
+                        for pstr, qs in observables)
+        for pstr, qs in obs_key:
+            _validated(n, [(1.0, pstr, list(qs))])
+        dt = float(t_final) / n_steps
+        cache_key = (n_steps, record_every, obs_key, dt, tuple(bits),
+                     str(dtype))
+        fn = self._fns.get(cache_key)
+        if fn is None:
+            fn = self._build(n_steps, record_every, obs_key, dt, bits,
+                             dtype)
+            self._fns[cache_key] = fn
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_trajectories)
+        recs, discarded = fn(keys)            # (T, n_records, n_obs)
+        recs = np.asarray(recs, np.float64)
+        mean = recs.mean(axis=0).T
+        err = (recs.std(axis=0, ddof=1).T / np.sqrt(n_trajectories)
+               if n_trajectories > 1 else np.zeros_like(mean))
+        n_windows = n_steps // record_every
+        return MPSLindbladResult(
+            times=np.linspace(0.0, float(t_final), n_windows + 1),
+            expectations=mean,
+            stderr=err,
+            observable_labels=[f"{p}@{list(q)}" for p, q in obs_key],
+            n_trajectories=n_trajectories,
+            truncation_weight=float(np.asarray(discarded).mean()))
