@@ -35,10 +35,11 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .circuit import GateInstance, QuantumCircuit
-from .clifford import _lower, _scan_evolve_fn
+from .clifford import _OP_MEASURE, _lower, _scan_evolve_fn
 from .noise import DepolarizingNoise, NoiseModel
 from .qec import _rotated_surface_geometry
 from .qec_matching import space_time_decode_fn
@@ -270,15 +271,187 @@ def decode_memory_record(lay: ExtractionLayout,
     return fail, raw, det
 
 
+# ---------------------------------------------------------------------------
+# Pauli-frame sampler (stim's trick: propagate only the error frame)
+# ---------------------------------------------------------------------------
+
+def _frame_branches():
+    """Frame twins of ``clifford._build_branches`` — same opcode order,
+    but the state is one (x, z) error-frame bit pair per qubit, O(1)
+    per gate instead of the tableau's O(n) column updates.  Deterministic
+    Paulis (the reference circuit's own X/Y/Z, incl. |1> preps) are
+    frame identities; measurement reports the qubit's x bit (the flip
+    of the recorded reference outcome) and clears its z bit (a phase on
+    a collapsed computational state is physically gone — and must NOT
+    survive into the next round's H, where it would become a phantom
+    bit flip)."""
+    import jax.numpy as jnp
+
+    def _i(s, a, b, u, p):
+        return s, jnp.int32(0)
+
+    def _h(s, a, b, u, p):
+        x, z = s
+        xa, za = x[a], z[a]
+        return (x.at[a].set(za), z.at[a].set(xa)), jnp.int32(0)
+
+    def _s_(s, a, b, u, p):
+        x, z = s
+        return (x, z.at[a].set(z[a] ^ x[a])), jnp.int32(0)
+
+    def _cnot(s, a, b, u, p):
+        x, z = s
+        return (x.at[b].set(x[b] ^ x[a]),
+                z.at[a].set(z[a] ^ z[b])), jnp.int32(0)
+
+    def _swap(s, a, b, u, p):
+        x, z = s
+        xa, xb = x[a], x[b]
+        za, zb = z[a], z[b]
+        return (x.at[a].set(xb).at[b].set(xa),
+                z.at[a].set(zb).at[b].set(za)), jnp.int32(0)
+
+    def _meas(s, a, b, u, p):
+        x, z = s
+        return (x, z.at[a].set(0)), x[a]
+
+    def _nbf(s, a, b, u, p):
+        x, z = s
+        return (x.at[a].set(x[a] ^ (u < p)), z), jnp.int32(0)
+
+    def _npf(s, a, b, u, p):
+        x, z = s
+        return (x, z.at[a].set(z[a] ^ (u < p))), jnp.int32(0)
+
+    def _ndepol(s, a, b, u, p):
+        # Same u mapping as clifford._ndepol: draws are bit-identical
+        # under the same per-step uniforms (test-locked).
+        x, z = s
+        return (x.at[a].set(x[a] ^ (u < 2 * p / 3)),
+                z.at[a].set(z[a] ^ ((u >= p / 3) & (u < p)))), jnp.int32(0)
+
+    # opcode order: i, h, s, sdag, px, py, pz, cnot, swap, meas, bf, pf,
+    # depol — S and Sdag share a frame rule; Paulis are identities.
+    return [_i, _h, _s_, _s_, _i, _i, _i, _cnot, _swap, _meas,
+            _nbf, _npf, _ndepol]
+
+
+def _frame_evolve_fn(n: int, codes, qa, qb, pp, ref_outcomes,
+                     with_injection: bool = False):
+    """jitted ``(key[, fault_step, fx, fz]) -> outcomes[M]`` — one noise
+    trajectory through the Pauli-frame sampler: the recorded reference
+    sample (one clean tableau run) XOR the frame's measurement flips.
+    Per-step uniforms index positionally exactly like
+    ``clifford._scan_evolve_fn``, so the same key draws the same noise
+    Paulis in both engines.  ``with_injection`` adds a unit-fault input
+    (XOR ``(fx, fz)`` onto step ``fault_step``'s target qubit after the
+    step) — the signature probe the linear sampler is built from."""
+    branches = _frame_branches()
+    L = len(codes)
+    measure_idx = np.nonzero(codes == _OP_MEASURE)[0]
+    ref = jnp.asarray(ref_outcomes, jnp.int32)
+
+    @jax.jit
+    def evolve(key, fault_step=-1, fx=0, fz=0):
+        u = jax.random.uniform(key, (L,))
+
+        def body(s, xs):
+            idx, code, a, b, uu, p = xs
+            s, out = jax.lax.switch(code, branches, s, a, b, uu, p)
+            if with_injection:
+                x, z = s
+                hit = (idx == fault_step).astype(jnp.int32)
+                s = (x.at[a].set(x[a] ^ (hit & fx)),
+                     z.at[a].set(z[a] ^ (hit & fz)))
+            return s, out
+
+        s0 = (jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32))
+        _, outs = jax.lax.scan(
+            body, s0,
+            (jnp.arange(L), jnp.asarray(codes), jnp.asarray(qa),
+             jnp.asarray(qb), u, jnp.asarray(pp)))
+        return ref ^ outs[jnp.asarray(measure_idx)]
+
+    return evolve
+
+
+_NOISE_CODES = (10, 11, 12)        # bf, pf, depol opcode indices
+
+
+def _linear_sampler_fn(codes, qa, qb, pp, ref_outcomes, n: int):
+    """The Pauli-frame sampler LINEARIZED: frame propagation is GF(2)-
+    linear, so every noise site's unit x-flip / z-flip has a fixed
+    measurement-flip signature, probed ONCE through the injected frame
+    scan (one vmapped launch over 2S unit faults).  Sampling then needs
+    no circuit walk at all — draw the per-site Pauli bits and apply ONE
+    (T, 2S) x (2S, M) matmul mod 2 (``Precision.HIGHEST``: counts stay
+    < 2^24, exact in f32) — the MXU-shaped formulation of stim's frame
+    simulator.  Draw-identical to the scan engines under the same keys:
+    per-trajectory uniforms are generated positionally over all L steps
+    and sliced to the noise sites."""
+    L = len(codes)
+    noise_idx = np.asarray([i for i, c in enumerate(codes)
+                            if int(c) in _NOISE_CODES], np.int32)
+    S = len(noise_idx)
+    kinds = np.asarray([int(codes[i]) for i in noise_idx])
+    probs = np.asarray([float(pp[i]) for i in noise_idx], np.float32)
+    ref = jnp.asarray(ref_outcomes, jnp.int32)
+    M = len(ref_outcomes)
+
+    # Unit-fault signatures: zero all noise probabilities, inject.
+    pp0 = np.zeros_like(np.asarray(pp))
+    probe = _frame_evolve_fn(n, codes, qa, qb, pp0, ref_outcomes,
+                             with_injection=True)
+    key0 = jax.random.PRNGKey(0)
+    steps = jnp.asarray(np.repeat(noise_idx, 2))
+    fxs = jnp.asarray(np.tile([1, 0], S))
+    fzs = jnp.asarray(np.tile([0, 1], S))
+    sigs = jax.vmap(lambda st, fx, fz: probe(key0, st, fx, fz) ^ ref)(
+        steps, fxs, fzs)                       # (2S, M) 0/1
+    sig_f = jnp.asarray(sigs, jnp.float32)
+
+    kinds_j = jnp.asarray(kinds)
+    probs_j = jnp.asarray(probs)
+    noise_j = jnp.asarray(noise_idx)
+
+    def one_bits(key):
+        u = jax.random.uniform(key, (L,))[noise_j]
+        xb = jnp.where(kinds_j == 10, u < probs_j,
+                       jnp.where(kinds_j == 12,
+                                 u < 2 * probs_j / 3, False))
+        zb = jnp.where(kinds_j == 11, u < probs_j,
+                       jnp.where(kinds_j == 12,
+                                 (u >= probs_j / 3) & (u < probs_j),
+                                 False))
+        return jnp.stack([xb, zb], axis=1).reshape(2 * S)
+
+    @jax.jit
+    def run(keys):
+        bits = jax.vmap(one_bits)(keys).astype(jnp.float32)   # (T, 2S)
+        flips = jnp.matmul(bits, sig_f,
+                           precision=jax.lax.Precision.HIGHEST)
+        return (ref[None, :] ^ (flips.astype(jnp.int32) & 1))
+
+    return run
+
+
 _traj_cache: dict[tuple, tuple] = {}
 
 
 def _trajectory_fn(distance: int, n_rounds: int, noise_prob: float,
-                   basis: str = "z"):
+                   basis: str = "z", engine: str = "linear"):
     """Compiled ``keys[T] -> outcomes[T, M]`` for one (d, R, p) point,
     cached per structure (the scan program is identical across p only
-    up to the embedded channel probability, so p is part of the key)."""
-    key = (distance, n_rounds, float(noise_prob), basis)
+    up to the embedded channel probability, so p is part of the key).
+
+    Three engines, all draw-identical in detection events and readout
+    parities under the same keys (test-locked): ``"clifford"`` runs the
+    full O(n^2)-per-gate tableau; ``"frame"`` propagates only the Pauli
+    error frame (O(1) per gate, a lax.scan circuit walk); ``"linear"``
+    (default) exploits that frame propagation is GF(2)-LINEAR — unit
+    fault signatures are probed once, then every trajectory batch is
+    ONE MXU matmul mod 2, no circuit walk at all."""
+    key = (distance, n_rounds, float(noise_prob), basis, engine)
     hit = _traj_cache.get(key)
     if hit is not None:
         return hit
@@ -289,8 +462,24 @@ def _trajectory_fn(distance: int, n_rounds: int, noise_prob: float,
     codes, qa, qb, pp, _ = _lower(
         circ, noise_model=nm if noise_prob > 0.0 else None,
         collapse_measures=True)
-    evolve = _scan_evolve_fn(circ.num_qubits, codes, qa, qb, pp)
-    run = jax.jit(jax.vmap(lambda k: evolve(k)[1]))
+    if engine == "clifford":
+        evolve = _scan_evolve_fn(circ.num_qubits, codes, qa, qb, pp)
+        run = jax.jit(jax.vmap(lambda k: evolve(k)[1]))
+    elif engine in ("frame", "linear"):
+        c_codes, c_qa, c_qb, c_pp, _ = _lower(circ,
+                                              collapse_measures=True)
+        clean = _scan_evolve_fn(circ.num_qubits, c_codes, c_qa, c_qb,
+                                c_pp)
+        ref = np.asarray(clean(jax.random.PRNGKey(0))[1], np.int32)
+        if engine == "frame":
+            evolve = _frame_evolve_fn(circ.num_qubits, codes, qa, qb,
+                                      pp, ref)
+            run = jax.jit(jax.vmap(evolve))
+        else:
+            run = _linear_sampler_fn(codes, qa, qb, pp, ref,
+                                     circ.num_qubits)
+    else:
+        raise ValueError(f"unknown engine: {engine!r}")
     _traj_cache[key] = (run, lay)
     return run, lay
 
@@ -298,7 +487,8 @@ def _trajectory_fn(distance: int, n_rounds: int, noise_prob: float,
 def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
                          n_trials: int = 1000, seed: int = 0,
                          basis: str = "z",
-                         decoder: str = "dem") -> dict:
+                         decoder: str = "dem",
+                         engine: str = "linear") -> dict:
     """Memory experiment under circuit-level depolarizing noise.
 
     ``basis="z"`` prepares ``|0...0>`` (a ``+Z_L`` eigenstate), runs
@@ -325,8 +515,14 @@ def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
     graph + schedule diagonals, zero precompute) at every sampled
     point — e.g. d=3 p=0.002: 0.0027 vs 0.0077, d=5 p=0.005: 0.0047
     vs 0.0120 (3k/1.5k trials, same draws).
+
+    ``engine`` picks the sampler (see ``_trajectory_fn``): ``"linear"``
+    (default, one MXU matmul per batch), ``"frame"``, or
+    ``"clifford"`` — all draw-identical in every decode-relevant
+    statistic under the same seed.
     """
-    run, lay = _trajectory_fn(distance, n_rounds, noise_prob, basis)
+    run, lay = _trajectory_fn(distance, n_rounds, noise_prob, basis,
+                              engine)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
     outcomes = np.asarray(run(keys), dtype=np.uint8)
     if decoder == "phenomenological":

@@ -155,3 +155,49 @@ def test_x_basis_noisy_behavior():
     assert res["detection_fraction"] > 0.0
     with pytest.raises(ValueError, match="basis"):
         surface_extraction_circuit(3, 2, basis="y")
+
+
+# ---------------------------------------------------------------------------
+# Sampler engines: tableau / frame / linear draw-exactness
+# ---------------------------------------------------------------------------
+
+def test_engines_draw_identical():
+    """Same keys -> identical detection events and readout parities on
+    the tableau, Pauli-frame, and linearized-frame engines (the frame
+    replays the tableau's per-step noise uniforms positionally; the
+    linear engine is the frame's exact GF(2) linearization)."""
+    import jax.random as jr
+    from quantum_simulator_tpu.qec_circuit import (_trajectory_fn,
+                                                   detection_events)
+    keys = jr.split(jr.PRNGKey(7), 120)
+    for basis in ("z", "x"):
+        outs = {}
+        lay = None
+        for eng in ("clifford", "frame", "linear"):
+            run, lay = _trajectory_fn(3, 2, 0.012, basis, engine=eng)
+            outs[eng] = np.asarray(run(keys), np.uint8)
+        # frame/linear outcomes are bit-identical (same linear map)
+        assert (outs["frame"] == outs["linear"]).all()
+        # tableau outcomes differ (its OWN projection randomness) but
+        # every decode-relevant statistic matches draw-for-draw
+        det = {e: detection_events(lay, o) for e, o in outs.items()}
+        raw = {e: (lay.data_outcomes(o) @ lay.sector_support) % 2
+               for e, o in outs.items()}
+        assert (det["clifford"] == det["frame"]).all()
+        assert (det["clifford"] == det["linear"]).all()
+        assert (raw["clifford"] == raw["linear"]).all()
+
+
+def test_linear_engine_noise_free_reference():
+    """p=0: the linear sampler returns the reference sample verbatim."""
+    import jax.random as jr
+    from quantum_simulator_tpu.qec_circuit import _trajectory_fn
+    run, lay = _trajectory_fn(3, 2, 0.0, "z", engine="linear")
+    outs = np.asarray(run(jr.split(jr.PRNGKey(0), 8)))
+    assert (outs == outs[0]).all()
+
+
+def test_unknown_engine_rejected():
+    from quantum_simulator_tpu.qec_circuit import _trajectory_fn
+    with pytest.raises(ValueError, match="unknown engine"):
+        _trajectory_fn(3, 2, 0.01, "z", engine="statevector")
