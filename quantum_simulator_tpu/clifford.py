@@ -199,6 +199,7 @@ def _sample_fn(n: int):
 _OP_I, _OP_H, _OP_S, _OP_SDAG, _OP_X, _OP_Y, _OP_Z = range(7)
 _OP_CNOT, _OP_SWAP, _OP_MEASURE = 7, 8, 9
 _OP_NOISE_BF, _OP_NOISE_PF, _OP_NOISE_DEPOL = 10, 11, 12
+_OP_NOISE_DEPOL2 = 13
 
 _GATE_OPCODES = {"I": _OP_I, "H": _OP_H, "S": _OP_S, "S_DAG": _OP_SDAG,
                  "X": _OP_X, "Y": _OP_Y, "Z": _OP_Z, "CNOT": _OP_CNOT,
@@ -285,8 +286,20 @@ def _build_branches():
         zb = ((u >= p / 3) & (u < p)).astype(jnp.int32)
         return _pauli(tab, a, xb, zb)
 
+    def _ndepol2(tab, a, b, u, p):
+        """Correlated two-qubit depolarizing: u < p picks one of the 15
+        non-identity Pauli pairs uniformly (pair id 1..15, qubit-a
+        Pauli = id >> 2, qubit-b Pauli = id & 3; 0=I 1=X 2=Y 3=Z)."""
+        fire = (u < p).astype(jnp.int32)
+        pid = (1 + jnp.clip((u * 15 / p).astype(jnp.int32), 0, 14)) * fire
+        ia, ja = pid >> 2, pid & 3
+        tab, _ = _pauli(tab, a, ((ia == 1) | (ia == 2)).astype(jnp.int32),
+                        ((ia == 2) | (ia == 3)).astype(jnp.int32))
+        return _pauli(tab, b, ((ja == 1) | (ja == 2)).astype(jnp.int32),
+                      ((ja == 2) | (ja == 3)).astype(jnp.int32))
+
     return [_i, _h, _s, _sdag, _px, _py, _pz, _cnot, _swap, _meas,
-            _nbf, _npf, _ndepol]
+            _nbf, _npf, _ndepol, _ndepol2]
 
 
 _BRANCH_CACHE: list = []
@@ -347,11 +360,21 @@ def _lower(circuit: QuantumCircuit, noise_model=None,
             if noise_model is not None:
                 for ch in noise_model.channels_for_gate(g.gate_name):
                     kind = type(ch).__name__
+                    if kind == "TwoQubitDepolarizingNoise":
+                        if len(g.target_qubits) != 2:
+                            raise ValueError(
+                                "TwoQubitDepolarizingNoise is registered "
+                                f"on {g.gate_name}, a "
+                                f"{len(g.target_qubits)}-qubit gate; "
+                                "register it per 2-qubit gate name")
+                        emit(_OP_NOISE_DEPOL2, g.target_qubits[0],
+                             g.target_qubits[1], ch.probability)
+                        continue
                     if kind not in _NOISE_OPCODES:
                         raise ValueError(
                             f"{kind} is not a Pauli channel; the Clifford "
                             "engine supports bit_flip/phase_flip/"
-                            "depolarizing")
+                            "depolarizing (1- and 2-qubit)")
                     for q in g.target_qubits:
                         emit(_NOISE_OPCODES[kind], q, 0, ch.probability)
 

@@ -105,6 +105,35 @@ class DepolarizingNoise(NoiseChannel):
         ]
 
 
+class TwoQubitDepolarizingNoise(NoiseChannel):
+    """Each of the 15 non-identity two-qubit Paulis with probability
+    p/15 — the correlated CNOT noise the fault-tolerance literature's
+    "standard depolarizing circuit noise" uses.  ``kraus_stack`` is
+    ``(16, 4, 4)``; engines whose Kraus machinery is one-qubit-only
+    (MPS per-site draws, the per-target statevector trajectory path)
+    reject it with their existing channel-arity guards — the Clifford
+    stack (``clifford.py`` opcode, frame/linear samplers, DEM
+    enumeration in ``qec_circuit``/``qec_dem``) applies it natively.
+    Register it per two-qubit gate name (``add_gate_noise("CNOT", ...)``);
+    the Clifford lowering rejects it on one-qubit gates.
+    """
+
+    def __init__(self, p: float):
+        self._p = _check_prob(p)
+
+    @property
+    def probability(self) -> float:
+        return self._p
+
+    def get_kraus_operators(self) -> list[np.ndarray]:
+        paulis = [I_MATRIX, X_MATRIX, Y_MATRIX, Z_MATRIX]
+        ops = [np.sqrt(1 - self._p) * np.kron(I_MATRIX, I_MATRIX)]
+        for m in range(1, 16):
+            ops.append(np.sqrt(self._p / 15)
+                       * np.kron(paulis[m >> 2], paulis[m & 3]))
+        return ops
+
+
 class AmplitudeDampingNoise(NoiseChannel):
     """Energy relaxation |1> -> |0> with rate gamma."""
 

@@ -23,6 +23,13 @@ cancels telescopically, acting as exactly one measurement-error
 (vertical) edge, which keeps the no-reset chain compatible with the
 decoder's graph.
 
+Noise models: per-target 1q depolarizing after every gate (default),
+or the literature's standard circuit noise (``two_qubit_depol=True``):
+correlated 15-Pauli depolarizing after every CNOT + 1q depolarizing
+after every 1q gate.  NOTE the conventions differ in total noise per
+CNOT (two independent p-draws vs one p-draw), so logical rates are not
+comparable across them at equal p.
+
 Reference anchor: the reference's QEC runs one noisy cycle of three
 small codes through a dense statevector with *implicit* (perfect,
 circuit-free) syndrome extraction
@@ -330,10 +337,23 @@ def _frame_branches():
         return (x.at[a].set(x[a] ^ (u < 2 * p / 3)),
                 z.at[a].set(z[a] ^ ((u >= p / 3) & (u < p)))), jnp.int32(0)
 
+    def _ndepol2(s, a, b, u, p):
+        # Same pair-id mapping as clifford._ndepol2 (bit-identical).
+        x, z = s
+        fire = (u < p).astype(jnp.int32)
+        pid = (1 + jnp.clip((u * 15 / p).astype(jnp.int32), 0, 14)) * fire
+        ia, ja = pid >> 2, pid & 3
+        x = x.at[a].set(x[a] ^ ((ia == 1) | (ia == 2)))
+        z = z.at[a].set(z[a] ^ ((ia == 2) | (ia == 3)))
+        x = x.at[b].set(x[b] ^ ((ja == 1) | (ja == 2)))
+        z = z.at[b].set(z[b] ^ ((ja == 2) | (ja == 3)))
+        return (x, z), jnp.int32(0)
+
     # opcode order: i, h, s, sdag, px, py, pz, cnot, swap, meas, bf, pf,
-    # depol — S and Sdag share a frame rule; Paulis are identities.
+    # depol, depol2 — S and Sdag share a frame rule; Paulis are
+    # identities.
     return [_i, _h, _s_, _s_, _i, _i, _i, _cnot, _swap, _meas,
-            _nbf, _npf, _ndepol]
+            _nbf, _npf, _ndepol, _ndepol2]
 
 
 def _frame_evolve_fn(n: int, codes, qa, qb, pp, ref_outcomes,
@@ -352,7 +372,7 @@ def _frame_evolve_fn(n: int, codes, qa, qb, pp, ref_outcomes,
     ref = jnp.asarray(ref_outcomes, jnp.int32)
 
     @jax.jit
-    def evolve(key, fault_step=-1, fx=0, fz=0):
+    def evolve(key, fault_step=-1, fxa=0, fza=0, fxb=0, fzb=0):
         u = jax.random.uniform(key, (L,))
 
         def body(s, xs):
@@ -361,8 +381,11 @@ def _frame_evolve_fn(n: int, codes, qa, qb, pp, ref_outcomes,
             if with_injection:
                 x, z = s
                 hit = (idx == fault_step).astype(jnp.int32)
-                s = (x.at[a].set(x[a] ^ (hit & fx)),
-                     z.at[a].set(z[a] ^ (hit & fz)))
+                x = x.at[a].set(x[a] ^ (hit & fxa))
+                z = z.at[a].set(z[a] ^ (hit & fza))
+                x = x.at[b].set(x[b] ^ (hit & fxb))
+                z = z.at[b].set(z[b] ^ (hit & fzb))
+                s = (x, z)
             return s, out
 
         s0 = (jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32))
@@ -375,7 +398,7 @@ def _frame_evolve_fn(n: int, codes, qa, qb, pp, ref_outcomes,
     return evolve
 
 
-_NOISE_CODES = (10, 11, 12)        # bf, pf, depol opcode indices
+_NOISE_CODES = (10, 11, 12, 13)    # bf, pf, depol, depol2 opcodes
 
 
 def _linear_sampler_fn(codes, qa, qb, pp, ref_outcomes, n: int):
@@ -398,16 +421,19 @@ def _linear_sampler_fn(codes, qa, qb, pp, ref_outcomes, n: int):
     ref = jnp.asarray(ref_outcomes, jnp.int32)
     M = len(ref_outcomes)
 
-    # Unit-fault signatures: zero all noise probabilities, inject.
+    # Unit-fault signatures: zero all noise probabilities, inject one
+    # frame bit per (site, component) — 4 components per site: (x, z)
+    # on each of the step's two schedule targets (the b components of
+    # 1-qubit sites never fire, their signatures are inert).
     pp0 = np.zeros_like(np.asarray(pp))
     probe = _frame_evolve_fn(n, codes, qa, qb, pp0, ref_outcomes,
                              with_injection=True)
     key0 = jax.random.PRNGKey(0)
-    steps = jnp.asarray(np.repeat(noise_idx, 2))
-    fxs = jnp.asarray(np.tile([1, 0], S))
-    fzs = jnp.asarray(np.tile([0, 1], S))
-    sigs = jax.vmap(lambda st, fx, fz: probe(key0, st, fx, fz) ^ ref)(
-        steps, fxs, fzs)                       # (2S, M) 0/1
+    steps = jnp.asarray(np.repeat(noise_idx, 4))
+    unit = np.tile(np.eye(4, dtype=np.int32), (S, 1))      # (4S, 4)
+    sigs = jax.vmap(
+        lambda st, v: probe(key0, st, v[0], v[1], v[2], v[3]) ^ ref)(
+        steps, jnp.asarray(unit))              # (4S, M) 0/1
     sig_f = jnp.asarray(sigs, jnp.float32)
 
     kinds_j = jnp.asarray(kinds)
@@ -416,18 +442,22 @@ def _linear_sampler_fn(codes, qa, qb, pp, ref_outcomes, n: int):
 
     def one_bits(key):
         u = jax.random.uniform(key, (L,))[noise_j]
-        xb = jnp.where(kinds_j == 10, u < probs_j,
-                       jnp.where(kinds_j == 12,
-                                 u < 2 * probs_j / 3, False))
-        zb = jnp.where(kinds_j == 11, u < probs_j,
-                       jnp.where(kinds_j == 12,
-                                 (u >= probs_j / 3) & (u < probs_j),
-                                 False))
-        return jnp.stack([xb, zb], axis=1).reshape(2 * S)
+        p = probs_j
+        fire2 = (kinds_j == 13) & (u < p)
+        pid = jnp.where(
+            fire2,
+            1 + jnp.clip((u * 15 / jnp.where(p > 0, p, 1.0)
+                          ).astype(jnp.int32), 0, 14), 0)
+        ia, ja = pid >> 2, pid & 3
+        xa = ((kinds_j == 10) & (u < p))             | ((kinds_j == 12) & (u < 2 * p / 3))             | (ia == 1) | (ia == 2)
+        za = ((kinds_j == 11) & (u < p))             | ((kinds_j == 12) & (u >= p / 3) & (u < p))             | (ia == 2) | (ia == 3)
+        xb = (ja == 1) | (ja == 2)
+        zb = (ja == 2) | (ja == 3)
+        return jnp.stack([xa, za, xb, zb], axis=1).reshape(4 * S)
 
     @jax.jit
     def run(keys):
-        bits = jax.vmap(one_bits)(keys).astype(jnp.float32)   # (T, 2S)
+        bits = jax.vmap(one_bits)(keys).astype(jnp.float32)   # (T, 4S)
         flips = jnp.matmul(bits, sig_f,
                            precision=jax.lax.Precision.HIGHEST)
         return (ref[None, :] ^ (flips.astype(jnp.int32) & 1))
@@ -439,7 +469,8 @@ _traj_cache: dict[tuple, tuple] = {}
 
 
 def _trajectory_fn(distance: int, n_rounds: int, noise_prob: float,
-                   basis: str = "z", engine: str = "linear"):
+                   basis: str = "z", engine: str = "linear",
+                   two_qubit_depol: bool = False):
     """Compiled ``keys[T] -> outcomes[T, M]`` for one (d, R, p) point,
     cached per structure (the scan program is identical across p only
     up to the embedded channel probability, so p is part of the key).
@@ -451,14 +482,24 @@ def _trajectory_fn(distance: int, n_rounds: int, noise_prob: float,
     (default) exploits that frame propagation is GF(2)-LINEAR — unit
     fault signatures are probed once, then every trajectory batch is
     ONE MXU matmul mod 2, no circuit walk at all."""
-    key = (distance, n_rounds, float(noise_prob), basis, engine)
+    key = (distance, n_rounds, float(noise_prob), basis, engine,
+           two_qubit_depol)
     hit = _traj_cache.get(key)
     if hit is not None:
         return hit
     circ, lay = surface_extraction_circuit(distance, n_rounds, basis)
     nm = NoiseModel()
     if noise_prob > 0.0:
-        nm.add_global_noise(DepolarizingNoise(noise_prob))
+        if two_qubit_depol:
+            # The literature's "standard depolarizing circuit noise":
+            # correlated 15-Pauli depolarizing after every CNOT,
+            # 1q depolarizing after every 1q gate.
+            from .noise import TwoQubitDepolarizingNoise
+            nm.add_gate_noise("CNOT",
+                              TwoQubitDepolarizingNoise(noise_prob))
+            nm.add_gate_noise("H", DepolarizingNoise(noise_prob))
+        else:
+            nm.add_global_noise(DepolarizingNoise(noise_prob))
     codes, qa, qb, pp, _ = _lower(
         circ, noise_model=nm if noise_prob > 0.0 else None,
         collapse_measures=True)
@@ -488,7 +529,8 @@ def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
                          n_trials: int = 1000, seed: int = 0,
                          basis: str = "z",
                          decoder: str = "dem",
-                         engine: str = "linear") -> dict:
+                         engine: str = "linear",
+                         two_qubit_depol: bool = False) -> dict:
     """Memory experiment under circuit-level depolarizing noise.
 
     ``basis="z"`` prepares ``|0...0>`` (a ``+Z_L`` eigenstate), runs
@@ -519,10 +561,13 @@ def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
     ``engine`` picks the sampler (see ``_trajectory_fn``): ``"linear"``
     (default, one MXU matmul per batch), ``"frame"``, or
     ``"clifford"`` — all draw-identical in every decode-relevant
-    statistic under the same seed.
+    statistic under the same seed.  ``two_qubit_depol`` switches to the
+    literature's standard circuit noise: correlated 15-Pauli
+    depolarizing(p) after every CNOT + 1q depolarizing(p) after every
+    1q gate, instead of per-target 1q depolarizing everywhere.
     """
     run, lay = _trajectory_fn(distance, n_rounds, noise_prob, basis,
-                              engine)
+                              engine, two_qubit_depol)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
     outcomes = np.asarray(run(keys), dtype=np.uint8)
     if decoder == "phenomenological":
@@ -532,7 +577,8 @@ def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
         # circuit's own fault signatures, logical prediction straight
         # from matched edges' flags (qec_dem).
         from .qec_dem import extract_dem
-        dem = extract_dem(distance, n_rounds, basis)
+        dem = extract_dem(distance, n_rounds, basis,
+                          two_qubit_depol=two_qubit_depol)
         det = detection_events(lay, outcomes)
         raw = ((lay.data_outcomes(outcomes) @ lay.sector_support) % 2
                ).astype(np.int32)

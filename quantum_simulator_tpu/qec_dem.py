@@ -47,12 +47,12 @@ _GATE_TARGET_OPS = {"H": 1, "CNOT": 2}
 
 
 def _fault_evolve_fn(n: int, codes, qa, qb, pp):
-    """jitted ``(key, fault_step, fault_qubit, fx, fz) -> outcomes`` —
-    the clean schedule with one Pauli ``X^fx Z^fz`` injected on
-    ``fault_qubit`` right AFTER schedule step ``fault_step`` (pass
-    ``fault_step=-1`` for the clean run).  The injection is runtime
-    data, so every fault shares one compile and the enumeration is one
-    vmapped launch."""
+    """jitted ``(key, fault_step, fxa, fza, fxb, fzb) -> outcomes`` —
+    the clean schedule with the Pauli pair ``X^fxa Z^fza (x) X^fxb
+    Z^fzb`` injected on step ``fault_step``'s two schedule targets
+    right AFTER the step (pass ``fault_step=-1`` for the clean run).
+    The injection is runtime data, so every fault shares one compile
+    and the enumeration is one vmapped launch."""
     branches = _branches()
     L = len(codes)
     measure_idx = np.nonzero(codes == _OP_MEASURE)[0]
@@ -63,7 +63,7 @@ def _fault_evolve_fn(n: int, codes, qa, qb, pp):
     idx_j = jnp.arange(L)
 
     @jax.jit
-    def evolve(key, fault_step, fault_qubit, fx, fz):
+    def evolve(key, fault_step, fxa, fza, fxb, fzb):
         u = jax.random.uniform(key, (L,))
 
         def body(tab, xs):
@@ -71,9 +71,11 @@ def _fault_evolve_fn(n: int, codes, qa, qb, pp):
             tab, out = jax.lax.switch(code, branches, tab, a, b, uu, p)
             x, z, r = tab
             hit = idx == fault_step
-            mx = (hit & (fx > 0)).astype(r.dtype)
-            mz = (hit & (fz > 0)).astype(r.dtype)
-            r = r ^ (mx * z[:, fault_qubit]) ^ (mz * x[:, fault_qubit])
+            r = (r
+                 ^ ((hit & (fxa > 0)).astype(r.dtype) * z[:, a])
+                 ^ ((hit & (fza > 0)).astype(r.dtype) * x[:, a])
+                 ^ ((hit & (fxb > 0)).astype(r.dtype) * z[:, b])
+                 ^ ((hit & (fzb > 0)).astype(r.dtype) * x[:, b]))
             return Tableau(x, z, r), out
 
         tab, outs = jax.lax.scan(
@@ -97,16 +99,17 @@ class DetectorErrorModel:
     ``edges[k]`` is a detection-event pair (site indices into the
     flattened ``(R+1) * nc`` grid; a single-event fault pairs with the
     boundary vertex), ``logicals[k]`` its logical flag, ``counts[k]``
-    how many elementary faults produce it (directly or via hook
-    decomposition).  ``dropped`` counts faults whose signature could
-    not be expressed (kept for honesty — silent truncation reads as
-    coverage)."""
+    the summed probability weight of the faults producing it in units
+    of the physical rate p (1/3 per 1q-depolarizing fault, 1/15 per
+    correlated CNOT fault; hook decomposition credits both parts).
+    ``dropped`` is the weight whose signature could not be expressed
+    (kept for honesty — silent truncation reads as coverage)."""
 
     lay: ExtractionLayout
     n_sites: int
     edges: np.ndarray           # (E, 2) int32; boundary = n_sites
     logicals: np.ndarray        # (E,) uint8
-    counts: np.ndarray          # (E,) int64
+    counts: np.ndarray          # (E,) float64 probability weights / p
     n_faults: int
     dropped: int
     ambiguous: int
@@ -130,7 +133,7 @@ class DetectorErrorModel:
         if scale <= 0.0:
             weights = None
         else:
-            p_edge = self.counts * (max(noise_prob, 1e-12) / 3.0)
+            p_edge = self.counts * max(noise_prob, 1e-12)
             cost = -np.log(np.clip(p_edge, 1e-30, 1.0 - 1e-9))
             w = np.round(scale * (cost - cost.min())).astype(np.int32) + 1
             weights = np.minimum(w, 31)
@@ -150,48 +153,58 @@ class DetectorErrorModel:
 _dem_cache: dict[tuple, DetectorErrorModel] = {}
 
 
-def extract_dem(distance: int, n_rounds: int,
-                basis: str = "z") -> DetectorErrorModel:
+def extract_dem(distance: int, n_rounds: int, basis: str = "z",
+                two_qubit_depol: bool = False) -> DetectorErrorModel:
     """Enumerate every single-fault location of the extraction circuit
-    and build its detector error model (cached per (d, R, basis)).
+    and build its detector error model (cached per (d, R, basis,
+    noise model)).
 
-    Fault support mirrors ``qec_circuit``'s noise model exactly: after
-    every gate, each target qubit suffers X, Y, or Z with probability
-    p/3 — so the enumeration is (gate step, target, Pauli) triples.
-    All runs share one fixed PRNG key: the random sector's projections
-    are identical across runs and cancel in the signature diff.
+    Fault support mirrors ``qec_circuit``'s noise model exactly.
+    Default: after every gate, each target suffers X, Y, or Z with
+    probability p/3 (weight 1/3 per fault).  ``two_qubit_depol``: every
+    CNOT suffers one of the 15 correlated Pauli pairs at p/15 each
+    (weight 1/15) and every 1q gate 1q depolarizing — the literature's
+    standard circuit noise.  All runs share one fixed PRNG key: the
+    random sector's projections are identical across runs and cancel
+    in the signature diff.
     """
-    key_t = (distance, n_rounds, basis)
+    key_t = (distance, n_rounds, basis, two_qubit_depol)
     hit = _dem_cache.get(key_t)
     if hit is not None:
         return hit
     circ, lay = surface_extraction_circuit(distance, n_rounds, basis)
     codes, qa, qb, pp, _ = _lower(circ, collapse_measures=True)
     evolve = _fault_evolve_fn(circ.num_qubits, codes, qa, qb, pp)
-    run = jax.jit(jax.vmap(evolve, in_axes=(None, 0, 0, 0, 0)))
+    run = jax.jit(jax.vmap(evolve, in_axes=(None, 0, 0, 0, 0, 0)))
 
-    # (step, qubit, fx, fz) per elementary fault, schedule order.
-    gate_names = {1: "?"}
-    faults: list[tuple[int, int, int, int]] = []
+    # (step, fxa, fza, fxb, fzb, weight) per elementary fault.
+    faults: list[tuple[int, int, int, int, int, float]] = []
     from .clifford import _GATE_OPCODES
     op_targets = {_GATE_OPCODES["H"]: 1, _GATE_OPCODES["CNOT"]: 2}
+    _P = ((0, 0), (1, 0), (1, 1), (0, 1))          # I, X, Y, Z
     for s, code in enumerate(codes):
         nt = op_targets.get(int(code))
         if nt is None:
             continue
-        targets = [int(qa[s])] + ([int(qb[s])] if nt == 2 else [])
-        for q in targets:
-            for fx, fz in ((1, 0), (1, 1), (0, 1)):    # X, Y, Z
-                faults.append((s, q, fx, fz))
+        if two_qubit_depol and nt == 2:
+            for m in range(1, 16):
+                (fxa, fza), (fxb, fzb) = _P[m >> 2], _P[m & 3]
+                faults.append((s, fxa, fza, fxb, fzb, 1.0 / 15.0))
+            continue
+        for slot in range(nt):
+            for fx, fz in _P[1:]:                  # X, Y, Z
+                pa = (fx, fz) if slot == 0 else (0, 0)
+                pb = (fx, fz) if slot == 1 else (0, 0)
+                faults.append((s, *pa, *pb, 1.0 / 3.0))
     F = len(faults)
-    fs = np.asarray([f[0] for f in faults], np.int32)
-    fq = np.asarray([f[1] for f in faults], np.int32)
-    fx = np.asarray([f[2] for f in faults], np.int32)
-    fz = np.asarray([f[3] for f in faults], np.int32)
+    cols = [np.asarray([f[i] for f in faults],
+                       np.int32 if i < 5 else np.float64)
+            for i in range(6)]
+    fs, fxa, fza, fxb, fzb, fw = cols
 
     key = jax.random.PRNGKey(0)
     clean = np.asarray(evolve(key, jnp.int32(-1), jnp.int32(0),
-                              jnp.int32(0), jnp.int32(0)),
+                              jnp.int32(0), jnp.int32(0), jnp.int32(0)),
                        np.uint8)[None]
     det0 = detection_events(lay, clean)[0].reshape(-1)
     raw0 = int((lay.data_outcomes(clean)[0] @ lay.sector_support) % 2)
@@ -202,9 +215,10 @@ def extract_dem(distance: int, n_rounds: int,
     for lo in range(0, F, chunk):
         hi = min(F, lo + chunk)
         outs = np.asarray(run(key, jnp.asarray(fs[lo:hi]),
-                              jnp.asarray(fq[lo:hi]),
-                              jnp.asarray(fx[lo:hi]),
-                              jnp.asarray(fz[lo:hi])), np.uint8)
+                              jnp.asarray(fxa[lo:hi]),
+                              jnp.asarray(fza[lo:hi]),
+                              jnp.asarray(fxb[lo:hi]),
+                              jnp.asarray(fzb[lo:hi])), np.uint8)
         det = detection_events(lay, outs).reshape(hi - lo, -1) ^ det0
         raw = ((lay.data_outcomes(outs) @ lay.sector_support) % 2
                ) ^ raw0
@@ -216,8 +230,8 @@ def extract_dem(distance: int, n_rounds: int,
                 if raw[i]:
                     ambiguous += 1
                 continue
-            rec = sigs.setdefault(sites, [0, int(raw[i])])
-            rec[0] += 1
+            rec = sigs.setdefault(sites, [0.0, int(raw[i])])
+            rec[0] += float(fw[lo + i])
             if rec[1] != int(raw[i]):
                 ambiguous += 1
 
@@ -226,7 +240,7 @@ def extract_dem(distance: int, n_rounds: int,
     edge_of: dict[tuple, int] = {}
     edges: list[tuple[int, int]] = []
     logicals: list[int] = []
-    counts: list[int] = []
+    counts: list[float] = []
     for sites, (cnt, flag) in sorted(sigs.items()):
         if len(sites) > 2:
             continue
@@ -237,8 +251,8 @@ def extract_dem(distance: int, n_rounds: int,
         counts.append(cnt)
 
     # Hook decomposition: a >2-event signature splits into two existing
-    # edges (try every bipartition); credit its count to both parts.
-    dropped = 0
+    # edges (try every bipartition); credit its weight to both parts.
+    dropped = 0.0
     for sites, (cnt, flag) in sorted(sigs.items()):
         if len(sites) <= 2:
             continue
@@ -267,7 +281,7 @@ def extract_dem(distance: int, n_rounds: int,
         lay=lay, n_sites=n_sites,
         edges=np.asarray(edges, np.int32).reshape(-1, 2),
         logicals=np.asarray(logicals, np.uint8),
-        counts=np.asarray(counts, np.int64),
+        counts=np.asarray(counts, np.float64),
         n_faults=F, dropped=dropped, ambiguous=ambiguous)
     _dem_cache[key_t] = dem
     return dem

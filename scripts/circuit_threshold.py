@@ -43,6 +43,10 @@ def main() -> None:
                     help="syndrome rounds (0 = use d rounds per code)")
     ap.add_argument("--trials", type=int, default=20000)
     ap.add_argument("--basis", choices=("z", "x"), default="z")
+    ap.add_argument("--two-qubit-depol", action="store_true",
+                    help="standard circuit noise: correlated 15-Pauli "
+                         "depolarizing per CNOT + 1q depolarizing per "
+                         "1q gate")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--output", type=str, default=None)
     args = ap.parse_args()
@@ -56,7 +60,8 @@ def main() -> None:
             t0 = time.perf_counter()
             res = circuit_level_memory(
                 distance=d, n_rounds=R, noise_prob=p,
-                n_trials=args.trials, seed=args.seed, basis=args.basis)
+                n_trials=args.trials, seed=args.seed, basis=args.basis,
+                two_qubit_depol=args.two_qubit_depol)
             dt = time.perf_counter() - t0
             rows.append(res | {"wall_s": round(dt, 2)})
             print(f"d={d} R={R} p={p:g}: logical "
