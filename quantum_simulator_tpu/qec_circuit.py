@@ -131,6 +131,55 @@ class ExtractionLayout:
         return outcomes[:, start:start + self.n_data]
 
 
+def repetition_extraction_circuit(
+        distance: int,
+        n_rounds: int) -> tuple[QuantumCircuit, ExtractionLayout]:
+    """R-round bit-flip repetition-chain extraction circuit.
+
+    ``d`` data qubits in a line, one ancilla per adjacent pair; each
+    round is two CNOT steps (check i reads data i then data i+1 —
+    all-Z-type, so there is no commutation constraint) and an ancilla
+    measurement column (no reset, same outcome-chain convention as the
+    surface circuit).  The logical readout is data bit 0, matching
+    ``qec_frame.build_ml_memory_fn``; only the z memory exists (the
+    code has no X checks).  With the linear sampler this makes
+    circuit-level bit-flip memories at d=25+ a single small matmul.
+    """
+    if n_rounds < 1:
+        raise ValueError("need n_rounds >= 1")
+    d = distance
+    if d < 3 or d % 2 == 0:
+        raise ValueError("distance must be odd and >= 3")
+    nd, nz = d, d - 1
+    anc = [nd + i for i in range(nz)]
+    circ = QuantumCircuit(nd + nz)
+    col = 0
+    for _ in range(n_rounds):
+        for step in range(2):
+            for i, a in enumerate(anc):
+                circ.add_gate(GateInstance("CNOT", [i + step, a], [],
+                                           col))
+            col += 1
+        for a in anc:
+            circ.add_gate(GateInstance("Measure", [a], [], col))
+        col += 1
+    for q in range(nd):
+        circ.add_gate(GateInstance("Measure", [q], [], col))
+
+    matrix = np.zeros((nz, nd), dtype=np.uint8)
+    for i in range(nz):
+        matrix[i, i] = matrix[i, i + 1] = 1
+    support = np.zeros(nd, dtype=np.uint8)
+    support[0] = 1
+    # Interior data qubit q: check q reads it at step 0 (early), check
+    # q-1 at step 1 (late) — the circuit-aware diagonal orientation.
+    diagonals = [None] + [(q, q - 1) for q in range(1, nd - 1)] + [None]
+    return circ, ExtractionLayout(
+        distance=d, n_rounds=n_rounds, n_data=nd, n_z=nz, n_x=0,
+        basis="z", sector_matrix=matrix, sector_support=support,
+        sector_diagonals=tuple(diagonals))
+
+
 def surface_extraction_circuit(
         distance: int, n_rounds: int,
         basis: str = "z") -> tuple[QuantumCircuit, ExtractionLayout]:
@@ -468,9 +517,22 @@ def _linear_sampler_fn(codes, qa, qb, pp, ref_outcomes, n: int):
 _traj_cache: dict[tuple, tuple] = {}
 
 
+def _extraction_circuit(code: str, distance: int, n_rounds: int,
+                        basis: str):
+    if code == "surface":
+        return surface_extraction_circuit(distance, n_rounds, basis)
+    if code == "repetition":
+        if basis != "z":
+            raise ValueError("repetition chains have no X checks; only "
+                             "the z memory exists")
+        return repetition_extraction_circuit(distance, n_rounds)
+    raise ValueError(f"unknown code: {code!r}")
+
+
 def _trajectory_fn(distance: int, n_rounds: int, noise_prob: float,
                    basis: str = "z", engine: str = "linear",
-                   two_qubit_depol: bool = False):
+                   two_qubit_depol: bool = False,
+                   code: str = "surface"):
     """Compiled ``keys[T] -> outcomes[T, M]`` for one (d, R, p) point,
     cached per structure (the scan program is identical across p only
     up to the embedded channel probability, so p is part of the key).
@@ -483,11 +545,11 @@ def _trajectory_fn(distance: int, n_rounds: int, noise_prob: float,
     fault signatures are probed once, then every trajectory batch is
     ONE MXU matmul mod 2, no circuit walk at all."""
     key = (distance, n_rounds, float(noise_prob), basis, engine,
-           two_qubit_depol)
+           two_qubit_depol, code)
     hit = _traj_cache.get(key)
     if hit is not None:
         return hit
-    circ, lay = surface_extraction_circuit(distance, n_rounds, basis)
+    circ, lay = _extraction_circuit(code, distance, n_rounds, basis)
     nm = NoiseModel()
     if noise_prob > 0.0:
         if two_qubit_depol:
@@ -530,7 +592,8 @@ def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
                          basis: str = "z",
                          decoder: str = "dem",
                          engine: str = "linear",
-                         two_qubit_depol: bool = False) -> dict:
+                         two_qubit_depol: bool = False,
+                         code: str = "surface") -> dict:
     """Memory experiment under circuit-level depolarizing noise.
 
     ``basis="z"`` prepares ``|0...0>`` (a ``+Z_L`` eigenstate), runs
@@ -567,7 +630,7 @@ def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
     1q gate, instead of per-target 1q depolarizing everywhere.
     """
     run, lay = _trajectory_fn(distance, n_rounds, noise_prob, basis,
-                              engine, two_qubit_depol)
+                              engine, two_qubit_depol, code)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
     outcomes = np.asarray(run(keys), dtype=np.uint8)
     if decoder == "phenomenological":
@@ -578,7 +641,7 @@ def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
         # from matched edges' flags (qec_dem).
         from .qec_dem import extract_dem
         dem = extract_dem(distance, n_rounds, basis,
-                          two_qubit_depol=two_qubit_depol)
+                          two_qubit_depol=two_qubit_depol, code=code)
         det = detection_events(lay, outcomes)
         raw = ((lay.data_outcomes(outcomes) @ lay.sector_support) % 2
                ).astype(np.int32)
@@ -598,6 +661,7 @@ def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
         "n_trials": n_trials,
         "distance": distance,
         "basis": basis,
+        "code": code,
         "decoder": decoder,
         "noise_prob": float(noise_prob),
         "n_qubits": lay.n_data + lay.n_z + lay.n_x,

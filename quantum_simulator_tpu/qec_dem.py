@@ -154,7 +154,8 @@ _dem_cache: dict[tuple, DetectorErrorModel] = {}
 
 
 def extract_dem(distance: int, n_rounds: int, basis: str = "z",
-                two_qubit_depol: bool = False) -> DetectorErrorModel:
+                two_qubit_depol: bool = False,
+                code: str = "surface") -> DetectorErrorModel:
     """Enumerate every single-fault location of the extraction circuit
     and build its detector error model (cached per (d, R, basis,
     noise model)).
@@ -168,11 +169,12 @@ def extract_dem(distance: int, n_rounds: int, basis: str = "z",
     random sector's projections are identical across runs and cancel
     in the signature diff.
     """
-    key_t = (distance, n_rounds, basis, two_qubit_depol)
+    key_t = (distance, n_rounds, basis, two_qubit_depol, code)
     hit = _dem_cache.get(key_t)
     if hit is not None:
         return hit
-    circ, lay = surface_extraction_circuit(distance, n_rounds, basis)
+    from .qec_circuit import _extraction_circuit
+    circ, lay = _extraction_circuit(code, distance, n_rounds, basis)
     codes, qa, qb, pp, _ = _lower(circ, collapse_measures=True)
     evolve = _fault_evolve_fn(circ.num_qubits, codes, qa, qb, pp)
     run = jax.jit(jax.vmap(evolve, in_axes=(None, 0, 0, 0, 0, 0)))

@@ -201,3 +201,39 @@ def test_unknown_engine_rejected():
     from quantum_simulator_tpu.qec_circuit import _trajectory_fn
     with pytest.raises(ValueError, match="unknown engine"):
         _trajectory_fn(3, 2, 0.01, "z", engine="statevector")
+
+
+# ---------------------------------------------------------------------------
+# Repetition-chain extraction circuits
+# ---------------------------------------------------------------------------
+
+def test_repetition_extraction_noise_free_silent():
+    from quantum_simulator_tpu.qec_circuit import (
+        repetition_extraction_circuit)
+    circ, lay = repetition_extraction_circuit(5, 3)
+    assert circ.num_qubits == 9 and lay.n_x == 0
+    outs = _run_noise_free(circ, lay, n_trials=8)
+    assert (outs == 0).all()          # fully deterministic: no X checks
+    fail, raw, det = decode_memory_record(lay, outs)
+    assert fail.sum() == 0 and det.sum() == 0
+
+
+def test_repetition_circuit_memory_and_dem():
+    from quantum_simulator_tpu.qec_dem import extract_dem
+    dem = extract_dem(5, 3, code="repetition")
+    # 2 CNOT steps x 4 checks x 2 targets x 3 Paulis x 3 rounds
+    assert dem.n_faults == 4 * 2 * 2 * 3 * 3
+    assert dem.ambiguous == 0
+    r = circuit_level_memory(5, 5, 0.01, n_trials=2000, seed=2,
+                             code="repetition")
+    assert r["code"] == "repetition"
+    assert r["logical_failure_probability"] < 0.05
+    r9 = circuit_level_memory(9, 5, 0.01, n_trials=1000, seed=2,
+                              code="repetition")
+    assert (r9["logical_failure_probability"]
+            <= r["logical_failure_probability"] + 0.01)
+    with pytest.raises(ValueError, match="no X checks"):
+        circuit_level_memory(5, 2, 0.01, n_trials=8, code="repetition",
+                             basis="x")
+    with pytest.raises(ValueError, match="unknown code"):
+        circuit_level_memory(5, 2, 0.01, n_trials=8, code="steane")
