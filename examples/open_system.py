@@ -65,10 +65,13 @@ def main() -> None:
     Jn = [(0.1, "sigma_minus", q) for q in range(n)]
     mid = n // 2
     t0 = time.perf_counter()
+    rec = max(1, args.steps // 4)
+    while args.steps % rec:          # largest divisor <= steps // 4
+        rec -= 1
     res = MPSLindbladSimulator(n, Hn, Jn, chi=args.chi).evolve(
         args.t, args.steps, n_trajectories=args.traj,
         observables=[("Z", [mid]), ("ZZ", [mid, mid + 1])],
-        record_every=args.steps // 4, seed=1)
+        record_every=rec, seed=1)
     dt = time.perf_counter() - t0
     for k, lbl in enumerate(res.observable_labels):
         print(f"   {lbl:14s} {np.round(res.expectations[k], 4)}")

@@ -111,11 +111,14 @@ def main() -> None:
                   f"{res['final_syndrome_failure_probability']:.4f}"
                   f"  (per-round {res['per_round_matching_rate']:.2e})")
         ds = sorted(sp_round)
-        lams = [sp_round[a] / sp_round[b]
-                for a, b in zip(ds, ds[1:]) if sp_round[b] > 0]
+        lams = []
+        for a, b in zip(ds, ds[1:]):
+            if sp_round[b] > 0:
+                lams.append(f"{sp_round[a] / sp_round[b]:.1f}x")
+            elif sp_round[a] > 0:
+                lams.append("inf (zero failures at the larger d)")
         if lams:
-            print("-- surface Lambda: "
-                  + ", ".join(f"{l:.1f}x" for l in lams))
+            print("-- surface Lambda: " + ", ".join(lams))
 
     if args.circuit:
         from quantum_simulator_tpu.qec_circuit import circuit_level_memory

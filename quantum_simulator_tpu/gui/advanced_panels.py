@@ -728,8 +728,10 @@ class QECPanel(_Canvas):
                 "Circuit-level memory runs the surface extraction "
                 "circuit — select the surface code entry")
             return
-        d = self._distance()
-        p = min(self.p_spin.value(), 0.05)
+        d = min(self._distance(), 7)      # DEM extraction is cached but
+        p = min(self.p_spin.value(), 0.05)  # enumerates O(d^2 R) faults
+                                            # through a (2d^2-1)-qubit
+                                            # tableau — d>7 is minutes+
 
         def work():
             from ..qec_circuit import circuit_level_memory

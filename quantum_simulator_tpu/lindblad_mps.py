@@ -158,9 +158,11 @@ class MPSLindbladSimulator:
         def one_trajectory(key):
             """Unroll steps only until the bond-growth schedule hits its
             shape fixed point (identical ragged shapes + center before
-            and after a step), then lax.scan the rest — compile cost is
-            O(warmup + 1 step), not O(n_steps), the same
-            schedule-as-data move as the Clifford/DMRG engines."""
+            and after a step) AND the step index aligns with the record
+            cadence, then lax.scan whole record windows — compile cost
+            is O(warmup + record_every steps), not O(n_steps), and
+            observables are contracted ONLY at record points (the same
+            schedule-as-data move as the Clifford/DMRG engines)."""
             mps = _TraceMPS(n, self.chi, bits, dtype)
             if n_jump:
                 flat = jax.random.split(key, n_steps * n_jump)
@@ -170,27 +172,34 @@ class MPSLindbladSimulator:
                 all_keys = jnp.zeros((n_steps, 1, 2), jnp.uint32)
             recs = [measure(mps.tensors)]
             shapes = None
+            fixed = False
             s = 0
             while s < n_steps:
+                if fixed and s % record_every == 0:
+                    break
                 run_step(mps, all_keys[s])
                 s += 1
-                recs.append(measure(mps.tensors))
+                if s % record_every == 0:
+                    recs.append(measure(mps.tensors))
                 now = (tuple(t.shape for t in mps.tensors), mps.center)
-                if now == shapes:
-                    break
+                fixed = fixed or now == shapes
                 shapes = now
 
-            if s < n_steps:
+            n_win = (n_steps - s) // record_every
+            if n_win > 0:
                 center = mps.center
+                win_keys = all_keys[s:].reshape(
+                    (n_win, record_every) + all_keys.shape[1:])
 
-                def body(carry, step_keys):
+                def body(carry, wkeys):
                     tensors, disc = carry
                     m2 = object.__new__(_TraceMPS)
                     m2.n, m2.chi, m2.dtype = n, self.chi, dtype
                     m2.tensors = list(tensors)
                     m2.center = center
                     m2.discarded = disc
-                    run_step(m2, step_keys)
+                    for j in range(record_every):
+                        run_step(m2, wkeys[j])
                     if (tuple(t.shape for t in m2.tensors),
                             m2.center) != shapes:
                         raise AssertionError(
@@ -199,15 +208,14 @@ class MPSLindbladSimulator:
                         measure(m2.tensors)
 
                 (tensors, disc), scanned = jax.lax.scan(
-                    body, (tuple(mps.tensors), mps.discarded),
-                    all_keys[s:])
+                    body, (tuple(mps.tensors), mps.discarded), win_keys)
                 mps.tensors = list(tensors)
                 mps.discarded = disc
                 all_recs = jnp.concatenate(
                     [jnp.stack(recs), scanned], axis=0)
             else:
                 all_recs = jnp.stack(recs)
-            return all_recs[::record_every], mps.discarded
+            return all_recs, mps.discarded
 
         return jax.jit(jax.vmap(one_trajectory))
 

@@ -450,7 +450,11 @@ def _frame_evolve_fn(n: int, codes, qa, qb, pp, ref_outcomes,
 _NOISE_CODES = (10, 11, 12, 13)    # bf, pf, depol, depol2 opcodes
 
 
-def _linear_sampler_fn(codes, qa, qb, pp, ref_outcomes, n: int):
+_sig_cache: dict[tuple, object] = {}
+
+
+def _linear_sampler_fn(codes, qa, qb, pp, ref_outcomes, n: int,
+                       sig_key: tuple | None = None):
     """The Pauli-frame sampler LINEARIZED: frame propagation is GF(2)-
     linear, so every noise site's unit x-flip / z-flip has a fixed
     measurement-flip signature, probed ONCE through the injected frame
@@ -460,7 +464,9 @@ def _linear_sampler_fn(codes, qa, qb, pp, ref_outcomes, n: int):
     < 2^24, exact in f32) — the MXU-shaped formulation of stim's frame
     simulator.  Draw-identical to the scan engines under the same keys:
     per-trajectory uniforms are generated positionally over all L steps
-    and sliced to the noise sites."""
+    and sliced to the noise sites.  Signatures depend only on circuit
+    STRUCTURE (the probe runs at zeroed probabilities), so ``sig_key``
+    caches them across noise rates — a p-sweep probes once."""
     L = len(codes)
     noise_idx = np.asarray([i for i, c in enumerate(codes)
                             if int(c) in _NOISE_CODES], np.int32)
@@ -474,16 +480,20 @@ def _linear_sampler_fn(codes, qa, qb, pp, ref_outcomes, n: int):
     # frame bit per (site, component) — 4 components per site: (x, z)
     # on each of the step's two schedule targets (the b components of
     # 1-qubit sites never fire, their signatures are inert).
-    pp0 = np.zeros_like(np.asarray(pp))
-    probe = _frame_evolve_fn(n, codes, qa, qb, pp0, ref_outcomes,
-                             with_injection=True)
-    key0 = jax.random.PRNGKey(0)
-    steps = jnp.asarray(np.repeat(noise_idx, 4))
-    unit = np.tile(np.eye(4, dtype=np.int32), (S, 1))      # (4S, 4)
-    sigs = jax.vmap(
-        lambda st, v: probe(key0, st, v[0], v[1], v[2], v[3]) ^ ref)(
-        steps, jnp.asarray(unit))              # (4S, M) 0/1
-    sig_f = jnp.asarray(sigs, jnp.float32)
+    sig_f = _sig_cache.get(sig_key) if sig_key is not None else None
+    if sig_f is None:
+        pp0 = np.zeros_like(np.asarray(pp))
+        probe = _frame_evolve_fn(n, codes, qa, qb, pp0, ref_outcomes,
+                                 with_injection=True)
+        key0 = jax.random.PRNGKey(0)
+        steps = jnp.asarray(np.repeat(noise_idx, 4))
+        unit = np.tile(np.eye(4, dtype=np.int32), (S, 1))  # (4S, 4)
+        sigs = jax.vmap(
+            lambda st, v: probe(key0, st, v[0], v[1], v[2], v[3]) ^ ref)(
+            steps, jnp.asarray(unit))          # (4S, M) 0/1
+        sig_f = jnp.asarray(sigs, jnp.float32)
+        if sig_key is not None:
+            _sig_cache[sig_key] = sig_f
 
     kinds_j = jnp.asarray(kinds)
     probs_j = jnp.asarray(probs)
@@ -579,8 +589,10 @@ def _trajectory_fn(distance: int, n_rounds: int, noise_prob: float,
                                       pp, ref)
             run = jax.jit(jax.vmap(evolve))
         else:
-            run = _linear_sampler_fn(codes, qa, qb, pp, ref,
-                                     circ.num_qubits)
+            run = _linear_sampler_fn(
+                codes, qa, qb, pp, ref, circ.num_qubits,
+                sig_key=(distance, n_rounds, basis, two_qubit_depol,
+                         code) if noise_prob > 0.0 else None)
     else:
         raise ValueError(f"unknown engine: {engine!r}")
     _traj_cache[key] = (run, lay)

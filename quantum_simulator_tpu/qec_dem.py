@@ -31,8 +31,8 @@ graph walk as the C union-find hot loop.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass
-from math import log
 
 import jax
 import jax.numpy as jnp
@@ -184,8 +184,8 @@ def extract_dem(distance: int, n_rounds: int, basis: str = "z",
     from .clifford import _GATE_OPCODES
     op_targets = {_GATE_OPCODES["H"]: 1, _GATE_OPCODES["CNOT"]: 2}
     _P = ((0, 0), (1, 0), (1, 1), (0, 1))          # I, X, Y, Z
-    for s, code in enumerate(codes):
-        nt = op_targets.get(int(code))
+    for s, opc in enumerate(codes):
+        nt = op_targets.get(int(opc))
         if nt is None:
             continue
         if two_qubit_depol and nt == 2:
@@ -260,7 +260,6 @@ def extract_dem(distance: int, n_rounds: int, basis: str = "z",
             continue
         placed = False
         ss = list(sites)
-        import itertools
         for k in (1, 2):
             for part in itertools.combinations(ss, k):
                 a = tuple(sorted(part))

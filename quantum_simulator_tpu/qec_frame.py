@@ -57,7 +57,8 @@ import jax.numpy as jnp
 
 from .qec import (QECCode, ThresholdPoint, _coset_leader_lut,
                   _rotated_surface_geometry)
-from .qec_matching import union_find_decode_fn
+from .qec_matching import (union_find_decode_fn,
+                           union_find_host_decode_fn)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -82,6 +83,15 @@ class FrameSpec:
     ``decode`` is a traceable batched decoder:
     ``(syn_comp[T, nc], syn_h[T, nh]) -> (x_corr[T, dq], z_corr[T, dq])``
     with int32 0/1 entries.
+
+    ``host_decode`` (optional) is the same contract as a plain numpy
+    function.  Set it when ``decode`` hides a ``jax.pure_callback`` (the
+    union-find specs): XLA compiles host callbacks maximal-on-device-0,
+    and under a mesh the CPU in-process communicator then deadlocks at
+    the next collective rendezvous (measured: 40 s watchdog abort) —
+    so the sweep surface routes mesh runs through the SPLIT kernel
+    (device draws -> host decode -> numpy parity algebra,
+    ``build_frame_sweep_host_fn``) whenever ``host_decode`` is set.
     """
 
     name: str
@@ -91,6 +101,7 @@ class FrameSpec:
     logical_support: np.ndarray      # (dq,) uint8
     logical_in_h_frame: bool
     decode: Callable = field(compare=False)
+    host_decode: Callable | None = field(default=None, compare=False)
 
     def __post_init__(self):
         dq = self.data_qubits
@@ -250,7 +261,9 @@ def surface_code_frame_spec(distance: int,
     h = _checks_matrix(x_checks, dq)
     if decoder == "union_find":
         decode = union_find_decode_fn(comp, h)
+        host_decode = union_find_host_decode_fn(comp, h)
     else:
+        host_decode = None
         lut_x = _coset_leader_lut(comp)
         lut_z = _coset_leader_lut(h)
         nc, nh = comp.shape[0], h.shape[0]
@@ -272,6 +285,7 @@ def surface_code_frame_spec(distance: int,
         logical_support=support,
         logical_in_h_frame=False,
         decode=decode,
+        host_decode=host_decode,
     )
 
 
@@ -352,6 +366,55 @@ def build_frame_sweep_fn(spec: FrameSpec, noise_type: str):
         return ok_before, ok_after, flip
 
     return jax.jit(sweep)
+
+
+def build_frame_sweep_host_fn(spec: FrameSpec, noise_type: str):
+    """``(p, keys) -> (ok_before, ok_after, flip)`` numpy — the SPLIT
+    twin of :func:`build_frame_sweep_fn` for specs whose decoder is a
+    host callback: the error draws run in one jitted (mesh-shardable,
+    callback-free) launch, decoding goes through ``spec.host_decode``,
+    and the parity algebra is exact numpy int matmuls.  Sweep methods
+    route mesh runs here automatically (see ``FrameSpec.host_decode``).
+    """
+    if spec.host_decode is None:
+        raise ValueError("spec has no host_decode")
+    dq = spec.data_qubits
+    comp = np.asarray(spec.comp_checks, np.int64)
+    h = np.asarray(spec.h_checks, np.int64)
+    support = np.asarray(spec.logical_support, np.int64)
+    in_h = spec.logical_in_h_frame
+
+    @jax.jit
+    def draw(p, keys):
+        r = jax.vmap(lambda k: jax.random.uniform(k, (dq,)))(keys)
+        return _draw_error_bits(r, p, noise_type)
+
+    def _syn(bits, checks):
+        if checks.shape[0] == 0:
+            return np.zeros((bits.shape[0], 0), np.int64)
+        return (bits @ checks.T) & 1
+
+    def _logical(bits):
+        return (bits @ support) & 1
+
+    def _ok(x_bits, z_bits):
+        syn_ok = ((_syn(x_bits, comp) == 0).all(axis=1)
+                  & (_syn(z_bits, h) == 0).all(axis=1))
+        readout = z_bits if in_h else x_bits
+        return (syn_ok & (_logical(readout) == 0)).astype(np.int32)
+
+    def sweep(p, keys):
+        ex, ez = map(lambda a: np.asarray(a, np.int64),
+                     draw(jnp.float32(p), keys))
+        ok_before = _ok(ex, ez)
+        cx, cz = spec.host_decode(_syn(ex, comp), _syn(ez, h))
+        rx = ex ^ np.asarray(cx, np.int64)
+        rz = ez ^ np.asarray(cz, np.int64)
+        ok_after = _ok(rx, rz)
+        flip = _logical(rz if in_h else rx).astype(np.int32)
+        return ok_before, ok_after, flip
+
+    return sweep
 
 
 def build_memory_fn(spec: FrameSpec, noise_type: str, n_rounds: int,
@@ -871,11 +934,18 @@ class FrameQECSimulator:
     def spec(self) -> FrameSpec:
         return self._spec
 
-    def _sweep_fn(self, noise_type: str):
-        fn = self._sweep_fns.get(noise_type)
+    def _sweep_fn(self, noise_type: str, mesh=None):
+        """Mesh runs of a host-callback decoder take the SPLIT kernel
+        (see ``FrameSpec.host_decode``) — a pure_callback inside a
+        sharded program deadlocks the CPU in-process communicator."""
+        split = mesh is not None and self._spec.host_decode is not None
+        key = (noise_type, split)
+        fn = self._sweep_fns.get(key)
         if fn is None:
-            fn = build_frame_sweep_fn(self._spec, noise_type)
-            self._sweep_fns[noise_type] = fn
+            fn = (build_frame_sweep_host_fn(self._spec, noise_type)
+                  if split else
+                  build_frame_sweep_fn(self._spec, noise_type))
+            self._sweep_fns[key] = fn
         return fn
 
     def sweep_raw(self, noise_prob: float, n_trials: int,
@@ -899,7 +969,7 @@ class FrameQECSimulator:
             sharding = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec(axis))
             keys = jax.device_put(keys, sharding)
-        fn = self._sweep_fn(noise_type)
+        fn = self._sweep_fn(noise_type, mesh)
         return fn(jnp.float32(noise_prob), keys)
 
     def threshold_sweep(self, noise_probs: list[float], n_trials: int = 100,
@@ -913,7 +983,7 @@ class FrameQECSimulator:
         ``default_rng(seed)`` stream, ``n_trials`` 63-bit seeds drawn per
         ``p`` in order, one PRNG key per trial."""
         rng = np.random.default_rng(seed)
-        fn = self._sweep_fn(noise_type)
+        fn = self._sweep_fn(noise_type, mesh)
         logicals = np.arange(n_trials) % 2
         expected_signs = np.where(logicals == 0, 1.0, -1.0)
 
@@ -978,6 +1048,12 @@ class FrameQECSimulator:
         Returns the end-to-end logical failure probability and the
         per-round rate ``1 - (1 - P)**(1/R)`` (the standard conversion
         for fitting logical-error-per-round / Lambda scaling)."""
+        if mesh is not None and self._spec.host_decode is not None:
+            raise ValueError(
+                "per-round memory with a host-callback decoder cannot "
+                "shard over a mesh (pure_callback deadlocks the CPU "
+                "in-process communicator); run without mesh, or use "
+                "matching_memory_experiment (host space-time decoding)")
         key = (n_rounds, noise_type, float(meas_error_prob))
         fn = self._memory_fns.get(key)
         if fn is None:
@@ -1145,7 +1221,7 @@ class FrameQECSimulator:
         trials via ``jax.random.split`` on device (host-side per-trial
         PRNGKey construction dominates at millions of trials).  Returns
         (logical_error_rate, success_count)."""
-        fn = self._sweep_fn(noise_type)
+        fn = self._sweep_fn(noise_type, mesh)
         keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
         if mesh is not None:
             axis = mesh.axis_names[0]

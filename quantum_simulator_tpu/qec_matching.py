@@ -241,8 +241,10 @@ def decode_batch(graph: MatchingGraph, syndromes: np.ndarray,
         out = np.zeros((T, graph.n_qubits), dtype=np.uint8)
         wts = (np.ones(graph.n_qubits, np.int32) if graph.weights is None
                else np.ascontiguousarray(graph.weights, dtype=np.int32))
+        # int32 coercion is load-bearing: an int64 edge buffer passes the
+        # C length check but each endpoint is read as two int32s.
         rc = native.uf_decode(
-            np.ascontiguousarray(graph.edges).data,
+            np.ascontiguousarray(graph.edges, dtype=np.int32).data,
             graph.n_qubits, graph.n_checks,
             graph.boundary, wts.data, syndromes.data, T, out.data)
         if rc == 0:
@@ -399,9 +401,11 @@ def union_find_decode_fn(comp_checks: np.ndarray, h_checks: np.ndarray):
     callbacks maximal-on-device-0 (full rematerialization) and the CPU
     in-process communicator then deadlocks at the next collective
     rendezvous (measured: 8-device sweep aborts after the 40 s
-    watchdog).  Sharded flows use ``FrameSpec.host_decode`` instead —
-    the frame kernels split into jitted draw generation and host
-    decoding (``qec_frame._build_host_sweep_fn``).
+    watchdog).  The sweep surface handles this automatically: specs
+    built with this decoder also carry ``FrameSpec.host_decode``, and
+    ``FrameQECSimulator`` routes mesh runs through the split kernel
+    (``qec_frame.build_frame_sweep_host_fn`` — jitted callback-free
+    draws, host decode, numpy parity algebra).
     """
     import jax
     import jax.numpy as jnp

@@ -71,29 +71,41 @@ def main() -> None:
                   flush=True)
 
     # Lambda per probability: suppression factor per +2 of distance.
+    # A larger distance with ZERO failures at this trial count is
+    # evidence FOR scaling, not a gap: report the ratio as inf (the
+    # lower bound per_round[a] * trials is still finite) rather than
+    # silently dropping the pair.
     lambdas = {}
     for p in probs:
         per_round = {r["distance"]: r["per_round_logical_rate"]
                      for r in rows if r["noise_prob"] == p}
         ds = sorted(per_round)
-        ratios = [per_round[a] / per_round[b]
-                  for a, b in zip(ds, ds[1:]) if per_round[b] > 0]
+        ratios = []
+        for a, b in zip(ds, ds[1:]):
+            if per_round[b] > 0:
+                ratios.append(per_round[a] / per_round[b])
+            elif per_round[a] > 0:
+                ratios.append(float("inf"))
+            # both zero: this p is below the sweep's resolution
         if ratios:
             lambdas[p] = ratios
             print(f"p={p:g}: Lambda = "
-                  + ", ".join(f"{x:.1f}x" for x in ratios))
+                  + ", ".join("inf" if x == float("inf") else f"{x:.1f}x"
+                              for x in ratios))
 
-    # Threshold estimate: the largest p where the largest distance still
-    # beats the smallest (coarse crossing bracket).
     below = [p for p in probs
              if lambdas.get(p) and all(x > 1.0 for x in lambdas[p])]
     est = max(below) if below else None
     print(f"threshold bracket: scaling still helps at p <= {est}"
           if est is not None else
-          "threshold bracket: no p in the sweep shows clean scaling")
+          "threshold bracket: no p in the sweep shows clean scaling "
+          "(all-zero failure counts mean the sweep needs more trials "
+          "or higher p)")
 
     report = {"basis": args.basis, "trials": args.trials, "rows": rows,
-              "lambda": {str(k): v for k, v in lambdas.items()},
+              "lambda": {str(k): ["inf" if x == float("inf") else x
+                                  for x in v]
+                         for k, v in lambdas.items()},
               "scaling_helps_up_to": est}
     if args.output:
         Path(args.output).write_text(json.dumps(report, indent=2))

@@ -362,3 +362,29 @@ def test_weighted_c_and_python_bit_identical():
     assert (c_py == c_c).all()
     # weighted corrections still reproduce every syndrome
     assert (((c_py @ H.T) % 2) == syn).all()
+
+
+def test_mesh_sweep_routes_through_split_kernel():
+    """A union-find spec's pure_callback decoder would deadlock the CPU
+    in-process communicator under a mesh; the sweep surface must route
+    mesh runs through the split kernel (device draws -> host decode ->
+    numpy algebra) and produce EXACTLY the single-device results (same
+    keys, same draws)."""
+    import jax
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()[:4]).reshape(4), ("t",))
+    spec = surface_code_frame_spec(7)
+    assert spec.host_decode is not None
+    a = FrameQECSimulator(spec).threshold_sweep(
+        [0.05], n_trials=512, noise_type="depolarizing", seed=3,
+        mesh=mesh)[0]
+    b = FrameQECSimulator(spec).threshold_sweep(
+        [0.05], n_trials=512, noise_type="depolarizing", seed=3)[0]
+    assert a.logical_rate == b.logical_rate
+    assert a.success_rate == b.success_rate
+    # the exact-table spec has no host_decode and keeps the jitted path
+    assert surface_code_frame_spec(3).host_decode is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cannot\\s+shard|deadlock"):
+        FrameQECSimulator(spec).memory_experiment(
+            0.01, n_rounds=2, n_trials=8, mesh=mesh)
