@@ -222,7 +222,8 @@ class MPSLindbladSimulator:
     def evolve(self, t_final: float, n_steps: int,
                n_trajectories: int = 64, initial=None,
                observables=(), record_every: int = 1,
-               seed: int = 0, dtype=None) -> MPSLindbladResult:
+               seed: int = 0, dtype=None,
+               mesh=None) -> MPSLindbladResult:
         """Unravel to ``t_final`` in ``n_steps`` steps, averaging
         ``n_trajectories`` vmapped trajectories.
 
@@ -255,6 +256,13 @@ class MPSLindbladSimulator:
                              dtype)
             self._fns[cache_key] = fn
         keys = jax.random.split(jax.random.PRNGKey(seed), n_trajectories)
+        if mesh is not None:
+            # Trajectories shard over the mesh's first axis (the vmapped
+            # program has no cross-trajectory ops — zero collectives).
+            axis = mesh.axis_names[0]
+            keys = jax.device_put(
+                keys, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(axis)))
         recs, discarded = fn(keys)            # (T, n_records, n_obs)
         recs = np.asarray(recs, np.float64)
         mean = recs.mean(axis=0).T

@@ -605,7 +605,8 @@ def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
                          decoder: str = "dem",
                          engine: str = "linear",
                          two_qubit_depol: bool = False,
-                         code: str = "surface") -> dict:
+                         code: str = "surface",
+                         mesh=None) -> dict:
     """Memory experiment under circuit-level depolarizing noise.
 
     ``basis="z"`` prepares ``|0...0>`` (a ``+Z_L`` eigenstate), runs
@@ -644,6 +645,16 @@ def circuit_level_memory(distance: int, n_rounds: int, noise_prob: float,
     run, lay = _trajectory_fn(distance, n_rounds, noise_prob, basis,
                               engine, two_qubit_depol, code)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
+    if mesh is not None:
+        # Trials are embarrassingly parallel: shard the keys over the
+        # mesh's first axis and the sampler (vmapped scans or the
+        # linear engine's bits+matmul) shards its whole batch with
+        # them — zero collectives in the program.  Decoding is host
+        # C-loop work either way.
+        axis = mesh.axis_names[0]
+        keys = jax.device_put(
+            keys, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(axis)))
     outcomes = np.asarray(run(keys), dtype=np.uint8)
     if decoder == "phenomenological":
         fail, raw, det = decode_memory_record(lay, outcomes)

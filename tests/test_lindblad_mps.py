@@ -104,3 +104,17 @@ def test_validation_errors():
         sim.evolve(1.0, 10, initial=[0, 1, 0])
     with pytest.raises(ValueError, match="order"):
         MPSLindbladSimulator(2, order=3)
+
+
+def test_mesh_sharded_trajectories_match_single_device():
+    import jax
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()[:4], dtype=object).reshape(4), ("t",))
+    sim = MPSLindbladSimulator(
+        3, [(1.0, "ZZ", [0, 1]), (0.5, "X", [2])],
+        [(0.2, "sigma_minus", 1)], chi=4)
+    kw = dict(n_trajectories=8, initial=[0, 0, 0],
+              observables=[("Z", [1])], record_every=3, seed=1)
+    a = sim.evolve(0.6, 6, mesh=mesh, **kw)
+    b = sim.evolve(0.6, 6, **kw)
+    assert np.allclose(a.expectations, b.expectations, atol=1e-6)

@@ -237,3 +237,17 @@ def test_repetition_circuit_memory_and_dem():
                              basis="x")
     with pytest.raises(ValueError, match="unknown code"):
         circuit_level_memory(5, 2, 0.01, n_trials=8, code="steane")
+
+
+def test_mesh_sharded_trials_draw_identical():
+    """Keys shard over the mesh's first axis; the linear sampler's
+    bits+matmul program shards with them (no collectives), so the mesh
+    run is bit-identical to single-device."""
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()[:4]).reshape(4), ("t",))
+    a = circuit_level_memory(3, 2, 0.008, n_trials=400, seed=5,
+                             mesh=mesh)
+    b = circuit_level_memory(3, 2, 0.008, n_trials=400, seed=5)
+    assert (a["logical_failure_probability"]
+            == b["logical_failure_probability"])
+    assert a["raw_failure_probability"] == b["raw_failure_probability"]
