@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from .config import CONFIG
 from .lindblad import _pauli_term_matrix
 from .models.trotter import _PAULI, _validated
-from .mps import _PREC, _TraceMPS
+from .mps import MPSState, _PREC, _TraceMPS
 
 __all__ = ["mps_two_point_correlator"]
 
@@ -63,10 +63,16 @@ def mps_two_point_correlator(num_qubits: int, hamiltonian_terms,
     complex128, ``t_k`` the record grid (t=0 first).
 
     ``hamiltonian_terms`` is the shared ``(coeff, pauli_string,
-    qubits)`` format; ``initial`` a product-state bit list (default
-    all-zeros).  Both evolutions and every record contraction compile
-    into one jitted program whose cost is O(warmup + record window),
-    independent of ``n_steps``.
+    qubits)`` format; ``initial`` is a product-state bit list (default
+    all-zeros) OR any ``MPSState`` — e.g. a DMRG ground state, which
+    turns the correlator into spectroscopy: for an eigenstate start the
+    signal's frequencies are exactly the excitation gaps (see
+    ``examples/quench_spectroscopy.py``).  MPS initial states are
+    re-canonicalized by two norm-preserving QR sweeps on entry, so the
+    truncation discipline never trusts the caller's canonical form.
+    Both evolutions and every record contraction compile into one
+    jitted program whose cost is O(warmup + record window), independent
+    of ``n_steps``.
     """
     n = num_qubits
     if not (0 <= site_i < n and 0 <= site_j < n):
@@ -79,9 +85,17 @@ def mps_two_point_correlator(num_qubits: int, hamiltonian_terms,
         raise ValueError("order must be 1 or 2")
     dtype = dtype or CONFIG.dtype
     terms = _validated(n, list(hamiltonian_terms))
-    bits = list(initial) if initial is not None else [0] * n
-    if len(bits) != n or any(b not in (0, 1) for b in bits):
-        raise ValueError("initial must be n bits (product state)")
+    init_state = None
+    if isinstance(initial, MPSState):
+        if initial.num_qubits != n:
+            raise ValueError("initial MPSState has wrong qubit count")
+        init_state = initial
+        bits = [0] * n
+    else:
+        bits = list(initial) if initial is not None else [0] * n
+        if len(bits) != n or any(b not in (0, 1) for b in bits):
+            raise ValueError("initial must be n bits (product state) "
+                             "or an MPSState")
     dt = float(t_final) / n_steps
     half = 0.5 * dt if order == 2 else dt
 
@@ -106,10 +120,25 @@ def mps_two_point_correlator(num_qubits: int, hamiltonian_terms,
             else:
                 mps.route_and_apply(positions, g)
 
+    def seed():
+        if init_state is None:
+            return _TraceMPS(n, chi, bits, dtype)
+        m = object.__new__(_TraceMPS)
+        m.n, m.chi, m.dtype = n, chi, dtype
+        m.tensors = [jnp.asarray(t, dtype) for t in init_state.tensors]
+        m.center = 0
+        m.discarded = jnp.zeros((), jnp.float32)
+        # Re-canonicalize with two QR sweeps (norm-preserving, no
+        # truncation): the state contract says center-at-0 but the
+        # SVD-truncation discipline must not depend on it being exact.
+        m.move_center_to(n - 1)
+        m.move_center_to(0)
+        return m
+
     @jax.jit
     def evolve():
-        psi = _TraceMPS(n, chi, bits, dtype)
-        phi = _TraceMPS(n, chi, bits, dtype)
+        psi = seed()
+        phi = seed()
         phi.apply_1q(site_j, op_j)      # P_j |psi(0)>; 1q op keeps the
                                         # canonical form (may be non-
                                         # unitary for projectors later;

@@ -76,3 +76,28 @@ def test_validation():
         mps_two_point_correlator(3, [], 1.0, 10, 0, 5)
     with pytest.raises(ValueError, match="must be X, Y, or Z"):
         mps_two_point_correlator(3, [], 1.0, 10, 0, 1, pauli_i="W")
+
+
+def test_dmrg_seeded_correlator_matches_dense():
+    """Seeding from a DMRG MPSState (re-canonicalized on entry) must
+    reproduce the dense eigenstate correlator — locks the MPS-initial
+    path end to end."""
+    from quantum_simulator_tpu.dmrg import dmrg_ground_state
+    n = 4
+    terms = [(1.0, "ZZ", [i, i + 1]) for i in range(n - 1)] \
+        + [(0.7, "X", [i]) for i in range(n)]
+    gs = dmrg_ground_state(terms, n, chi=8, sweeps=6)
+    H, embed = _dense(n, terms)
+    w, v = np.linalg.eigh(H)
+    psi0 = v[:, 0]
+    Pi, Pj = embed("Z", [1]), embed("Z", [2])
+    times, C = mps_two_point_correlator(
+        n, terms, 1.0, 100, 1, 2, chi=8, initial=gs.state,
+        record_every=25)
+    for k, t in enumerate(times):
+        U = (v * np.exp(-1j * w * t)) @ v.conj().T
+        exact = (U @ psi0).conj() @ Pi @ (U @ (Pj @ psi0))
+        assert abs(C[k] - exact) < 1e-3
+    with pytest.raises(ValueError, match="wrong qubit count"):
+        mps_two_point_correlator(5, terms, 1.0, 10, 0, 1,
+                                 initial=gs.state)
