@@ -6,4 +6,6 @@ from quantum_simulator_tpu.noise import (  # noqa: F401
     NoiseModel,
     PhaseFlipNoise,
     ReadoutError,
+    ThermalRelaxationNoise,
+    TwoQubitDepolarizingNoise,
 )

@@ -20,6 +20,8 @@ from .noise import (
     NoiseModel,
     PhaseFlipNoise,
     ReadoutError,
+    ThermalRelaxationNoise,
+    TwoQubitDepolarizingNoise,
 )
 from .registry import GateRegistry
 from .clifford import CliffordSimulator
@@ -58,6 +60,8 @@ __all__ = [
     "PhaseFlipNoise",
     "DepolarizingNoise",
     "AmplitudeDampingNoise",
+    "ThermalRelaxationNoise",
+    "TwoQubitDepolarizingNoise",
     "ReadoutError",
     "QuantumCircuit",
     "ShadowData",

@@ -29,6 +29,7 @@ from ..algorithms import AlgorithmTemplate
 from ..gates import GateDefinition, GateType, _const
 from ..noise import (
     AmplitudeDampingNoise,
+    ThermalRelaxationNoise,
     BitFlipNoise,
     DepolarizingNoise,
     NoiseModel,
@@ -101,6 +102,23 @@ class NoiseConfigDialog(QDialog):
             spin.setValue(0.05)
             form.addRow(check, spin)
             self._rows.append((check, spin, cls))
+        # ✚ thermal relaxation row (T1 / T2 / gate time; T2 <= 2*T1)
+        self.thermal_check = QCheckBox("Thermal Relaxation (T1/T2)")
+        self.t1_spin = QDoubleSpinBox()
+        self.t1_spin.setRange(1e-6, 1e6)
+        self.t1_spin.setValue(50.0)
+        self.t2_spin = QDoubleSpinBox()
+        self.t2_spin.setRange(1e-6, 1e6)
+        self.t2_spin.setValue(70.0)
+        self.time_spin = QDoubleSpinBox()
+        self.time_spin.setRange(0.0, 1e6)
+        self.time_spin.setValue(1.0)
+        form.addRow(self.thermal_check, QLabel("T1 / T2 / gate time:"))
+        thermal_row = QGridLayout()
+        thermal_row.addWidget(self.t1_spin, 0, 0)
+        thermal_row.addWidget(self.t2_spin, 0, 1)
+        thermal_row.addWidget(self.time_spin, 0, 2)
+        form.addRow(QLabel(""), thermal_row)
         self.readout_check = QCheckBox("Readout error")
         self.p01_spin = QDoubleSpinBox()
         self.p01_spin.setRange(0.0, 1.0)
@@ -133,6 +151,12 @@ class NoiseConfigDialog(QDialog):
             if cls in by_type:
                 check.setChecked(True)
                 spin.setValue(by_type[cls].probability)
+        if ThermalRelaxationNoise in by_type:
+            ch = by_type[ThermalRelaxationNoise]
+            self.thermal_check.setChecked(True)
+            self.t1_spin.setValue(ch.t1)
+            self.t2_spin.setValue(ch.t2)
+            self.time_spin.setValue(ch.time)
         if model.readout_error is not None:
             self.readout_check.setChecked(True)
             self.p01_spin.setValue(model.readout_error.p01)
@@ -150,6 +174,12 @@ class NoiseConfigDialog(QDialog):
             if check.isChecked():
                 model.add_global_noise(cls(spin.value()))
                 any_channel = True
+        if self.thermal_check.isChecked():
+            t1 = self.t1_spin.value()
+            model.add_global_noise(ThermalRelaxationNoise(
+                t1, min(self.t2_spin.value(), 2 * t1),
+                self.time_spin.value()))
+            any_channel = True
         if self.readout_check.isChecked():
             model.set_readout_error(ReadoutError(self.p01_spin.value(),
                                                  self.p10_spin.value()))

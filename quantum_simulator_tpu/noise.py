@@ -152,6 +152,62 @@ class AmplitudeDampingNoise(NoiseChannel):
         return [k0, k1]
 
 
+class ThermalRelaxationNoise(NoiseChannel):
+    """Hardware-calibrated T1/T2 relaxation over one gate duration ✚.
+
+    The channel real devices are calibrated by: amplitude damping with
+    ``gamma = 1 - exp(-time/t1)`` composed with pure dephasing chosen so
+    the off-diagonal element decays by exactly ``exp(-time/t2)``.  The
+    amplitude-damping branch already contributes ``exp(-time/(2 t1))`` of
+    that decay, so the residual phase-damping weight is
+    ``lam = 1 - exp(-time * (2/t2 - 1/t1))``, which requires the physical
+    constraint ``t2 <= 2*t1`` (enforced).  Three Kraus operators:
+
+        K0 = diag(1, sqrt((1-gamma)(1-lam)))   survive, coherent
+        K1 = [[0, sqrt(gamma)], [0, 0]]        relax |1> -> |0>
+        K2 = diag(0, sqrt((1-gamma) lam))      survive, dephased
+
+    CPTP by construction (sum K^dag K = I exactly).  The reference has no
+    calibrated-relaxation channel at all (its four channels are
+    ``/root/reference/quantum_sim/engine/noise.py:27-104``); this is a ✚
+    capability.  The (3, 2, 2) ``kraus_stack`` rides every existing
+    trajectory path unchanged (statevector, grouped, huge-state, MPS);
+    the Clifford engine rejects it (not a Pauli channel), matching its
+    AmplitudeDamping guard.
+    """
+
+    def __init__(self, t1: float, t2: float, time: float):
+        if t1 <= 0 or t2 <= 0:
+            raise ValueError(f"T1 and T2 must be positive, got {t1}, {t2}")
+        if t2 > 2 * t1 + 1e-12:
+            raise ValueError(
+                f"T2 must satisfy T2 <= 2*T1 (got T2={t2}, T1={t1})")
+        if time < 0:
+            raise ValueError(f"Gate time must be >= 0, got {time}")
+        self.t1 = float(t1)
+        self.t2 = float(t2)
+        self.time = float(time)
+
+    @property
+    def probability(self) -> float:
+        """Dominant error probability (the relaxation branch weight)."""
+        return 1.0 - float(np.exp(-self.time / self.t1))
+
+    def get_kraus_operators(self) -> list[np.ndarray]:
+        gamma = 1.0 - np.exp(-self.time / self.t1)
+        lam = 1.0 - np.exp(-self.time * max(2.0 / self.t2 - 1.0 / self.t1,
+                                            0.0))
+        k0 = np.array([[1, 0], [0, np.sqrt((1 - gamma) * (1 - lam))]],
+                      dtype=np.complex128)
+        k1 = np.array([[0, np.sqrt(gamma)], [0, 0]], dtype=np.complex128)
+        k2 = np.array([[0, 0], [0, np.sqrt((1 - gamma) * lam)]],
+                      dtype=np.complex128)
+        return [k0, k1, k2]
+
+    def spec_key(self) -> tuple:
+        return ("ThermalRelaxationNoise", self.t1, self.t2, self.time)
+
+
 class ReadoutError:
     """Classical per-bit readout confusion model.
 
@@ -251,7 +307,27 @@ _CHANNEL_TYPES = {
     "PhaseFlipNoise": PhaseFlipNoise,
     "DepolarizingNoise": DepolarizingNoise,
     "AmplitudeDampingNoise": AmplitudeDampingNoise,
+    "TwoQubitDepolarizingNoise": TwoQubitDepolarizingNoise,
 }
+
+
+def _channel_to_dict(ch: NoiseChannel) -> dict:
+    """Serde entry for one channel. The four reference types keep the
+    reference's exact ``{"type", "probability"}`` shape
+    (``/root/reference/quantum_sim/engine/noise.py:262-283``); the ✚
+    ThermalRelaxationNoise adds its calibration fields (a superset the
+    reference never has to read back)."""
+    if isinstance(ch, ThermalRelaxationNoise):
+        return {"type": "ThermalRelaxationNoise", "t1": ch.t1,
+                "t2": ch.t2, "time": ch.time}
+    return {"type": type(ch).__name__, "probability": ch.probability}
+
+
+def _channel_from_dict(data: dict) -> NoiseChannel:
+    kind = data["type"]
+    if kind == "ThermalRelaxationNoise":
+        return ThermalRelaxationNoise(data["t1"], data["t2"], data["time"])
+    return _CHANNEL_TYPES[kind](data["probability"])
 
 
 class NoiseModel:
@@ -358,14 +434,10 @@ class NoiseModel:
     def to_dict(self) -> dict:
         result: dict = {"global": [], "gate_specific": {}}
         for ch in self._global_noise:
-            result["global"].append({
-                "type": type(ch).__name__,
-                "probability": ch.probability,
-            })
+            result["global"].append(_channel_to_dict(ch))
         for gate_name, channels in self._gate_noise.items():
             result["gate_specific"][gate_name] = [
-                {"type": type(ch).__name__, "probability": ch.probability}
-                for ch in channels
+                _channel_to_dict(ch) for ch in channels
             ]
         if self._readout_error is not None:
             result["readout_error"] = self._readout_error.to_dict()
@@ -375,13 +447,10 @@ class NoiseModel:
     def from_dict(cls, data: dict) -> "NoiseModel":
         model = cls()
         for ch_data in data.get("global", []):
-            model.add_global_noise(
-                _CHANNEL_TYPES[ch_data["type"]](ch_data["probability"]))
+            model.add_global_noise(_channel_from_dict(ch_data))
         for gate_name, channels in data.get("gate_specific", {}).items():
             for ch_data in channels:
-                model.add_gate_noise(
-                    gate_name,
-                    _CHANNEL_TYPES[ch_data["type"]](ch_data["probability"]))
+                model.add_gate_noise(gate_name, _channel_from_dict(ch_data))
         if "readout_error" in data:
             model.set_readout_error(
                 ReadoutError.from_dict(data["readout_error"]))
