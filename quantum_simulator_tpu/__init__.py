@@ -30,6 +30,7 @@ from .mps import MPSSimulator, MPSState
 from .density import DensityMatrixResult, DensityMatrixSimulator
 from .lindblad import LindbladResult, LindbladSimulator
 from .shadows import ShadowData, collect_shadows
+from .interop import from_qasm, to_qasm
 from .simulator import SimulationResult, Simulator
 from .state import StateVector
 
@@ -66,6 +67,8 @@ __all__ = [
     "QuantumCircuit",
     "ShadowData",
     "collect_shadows",
+    "from_qasm",
+    "to_qasm",
     "SimulationResult",
     "Simulator",
     "StateVector",
