@@ -31,6 +31,8 @@ from .density import DensityMatrixResult, DensityMatrixSimulator
 from .lindblad import LindbladResult, LindbladSimulator
 from .shadows import ShadowData, collect_shadows
 from .interop import from_qasm, to_qasm
+from .mitigation import (ReadoutMitigator, ZNEResult, fold_circuit,
+                         richardson_extrapolate, zne_expectation)
 from .simulator import SimulationResult, Simulator
 from .state import StateVector
 
@@ -69,6 +71,11 @@ __all__ = [
     "collect_shadows",
     "from_qasm",
     "to_qasm",
+    "ReadoutMitigator",
+    "ZNEResult",
+    "fold_circuit",
+    "richardson_extrapolate",
+    "zne_expectation",
     "SimulationResult",
     "Simulator",
     "StateVector",

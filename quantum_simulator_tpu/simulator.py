@@ -571,6 +571,12 @@ class Simulator:
                 counts_array += np.bincount(np.asarray(draws),
                                             minlength=dim)
         all_counts = counts_from_array(counts_array, circuit.num_qubits)
+        # Readout corruption applies to noisy shots exactly as on the
+        # huge path (_run_with_noise_huge) and the ideal run() path —
+        # this dense path previously dropped it.
+        readout_err = getattr(self._noise_model, "readout_error", None)
+        if all_counts and readout_err is not None:
+            all_counts = readout_err.corrupt_counts(all_counts, rng)
 
         final_state = StateVector.from_initial_states(circuit.initial_states)
         return SimulationResult(
