@@ -31,8 +31,10 @@ from .density import DensityMatrixResult, DensityMatrixSimulator
 from .lindblad import LindbladResult, LindbladSimulator
 from .shadows import ShadowData, collect_shadows
 from .interop import from_qasm, to_qasm
-from .mitigation import (ReadoutMitigator, ZNEResult, fold_circuit,
-                         richardson_extrapolate, zne_expectation)
+from .mitigation import (PECResult, ReadoutMitigator, ZNEResult,
+                         fold_circuit, pec_expectation,
+                         quasi_inverse_pauli, richardson_extrapolate,
+                         zne_expectation)
 from .simulator import SimulationResult, Simulator
 from .state import StateVector
 
@@ -71,9 +73,12 @@ __all__ = [
     "collect_shadows",
     "from_qasm",
     "to_qasm",
+    "PECResult",
     "ReadoutMitigator",
     "ZNEResult",
     "fold_circuit",
+    "pec_expectation",
+    "quasi_inverse_pauli",
     "richardson_extrapolate",
     "zne_expectation",
     "SimulationResult",

@@ -58,10 +58,12 @@ def _apply_unitary(rho, u, targets, n):
     return _apply_right_dag(_apply_left(rho, u, targets, n), u, targets, n)
 
 
-def _apply_channel(rho, kraus, qubit, n):
-    """rho -> sum_m K_m rho K_m^dag on one qubit (kraus: (M, 2, 2))."""
+def _apply_channel(rho, kraus, targets, n):
+    """rho -> sum_m K_m rho K_m^dag on ``targets`` (kraus: (M, 2^k, 2^k)
+    for a k-qubit channel — one-qubit (M,2,2) or correlated two-qubit
+    (M,4,4) stacks both route here)."""
     def one(k):
-        return _apply_unitary(rho, k, (qubit,), n)
+        return _apply_unitary(rho, k, tuple(targets), n)
 
     return jnp.sum(jax.vmap(one)(kraus), axis=0)
 
@@ -90,8 +92,16 @@ def _dm_body(program: prog.CircuitProgram, channels_for, params, dtype):
             rho = _apply_unitary(rho, u, op.targets, n)
         for kraus_np in channels_for(op.gate_name):
             kraus = jnp.asarray(kraus_np, dtype=dtype)
-            for q in op.targets:
-                rho = _apply_channel(rho, kraus, q, n)
+            if kraus.shape[-1] == 4:
+                # correlated two-qubit stack: fires once on the pair
+                if len(op.targets) != 2:
+                    raise ValueError(
+                        "two-qubit Kraus channel configured for "
+                        f"{len(op.targets)}-qubit gate {op.gate_name!r}")
+                rho = _apply_channel(rho, kraus, op.targets, n)
+            else:
+                for q in op.targets:
+                    rho = _apply_channel(rho, kraus, (q,), n)
     return rho
 
 
@@ -164,10 +174,24 @@ def superop_program(program: prog.CircuitProgram,
                     S = sum(np.kron(K, np.conj(K))
                             for K in np.asarray(st, np.complex128))
                     super_cache[ck] = S
-                for q in op.targets:
+                if S.shape[0] == 16:
+                    # correlated two-qubit channel: one 16x16 superop on
+                    # (q1, q2, q1+n, q2+n) — kron order matches the
+                    # row-major target significance convention
+                    if len(op.targets) != 2:
+                        raise ValueError(
+                            "two-qubit Kraus channel configured for "
+                            f"{len(op.targets)}-qubit gate "
+                            f"{op.gate_name!r}")
+                    q1, q2 = op.targets
                     ops2.append(prog.ProgramOp(
-                        "__superop__", (q, q + n), 0, 0, op.column_index,
-                        S, None, -1))
+                        "__superop__", (q1, q2, q1 + n, q2 + n), 0, 0,
+                        op.column_index, S, None, -1))
+                else:
+                    for q in op.targets:
+                        ops2.append(prog.ProgramOp(
+                            "__superop__", (q, q + n), 0, 0,
+                            op.column_index, S, None, -1))
     noise_key = noise_model.spec_key() if noise_model is not None else ()
     return prog.CircuitProgram(
         num_qubits=2 * n,

@@ -35,6 +35,7 @@ __all__ = [
     "inverse_gate", "inverse_circuit", "fold_circuit",
     "richardson_extrapolate", "zne_expectation", "ZNEResult",
     "ReadoutMitigator",
+    "quasi_inverse_pauli", "pec_expectation", "PECResult",
 ]
 
 
@@ -278,3 +279,201 @@ class ReadoutMitigator:
         idx = np.arange(2 ** n)
         bit = (idx >> (n - 1 - qubit)) & 1
         return float(np.sum(probs * (1.0 - 2.0 * bit)))
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic error cancellation (PEC)
+# ---------------------------------------------------------------------------
+
+# Pauli commutation character table, basis order (I, X, Y, Z):
+# _CHAR[Q][P] = +1 if P and Q commute, -1 otherwise. Symmetric, and
+# _CHAR @ _CHAR = 4 I, so it diagonalizes every Pauli channel:
+# eigenvalues lam = _CHAR @ q, inverse quasi-probs eta = _CHAR @ (1/lam) / 4.
+_CHAR = np.array([
+    [1, 1, 1, 1],
+    [1, 1, -1, -1],
+    [1, -1, 1, -1],
+    [1, -1, -1, 1],
+], dtype=np.float64)
+
+_PAULI_NAMES = ("I", "X", "Y", "Z")
+
+
+def _pauli_probs(channel) -> np.ndarray | None:
+    """(q_I, q_X, q_Y, q_Z) for single-qubit Pauli channels, else None."""
+    kind = type(channel).__name__
+    if kind == "BitFlipNoise":
+        p = channel.probability
+        return np.array([1 - p, p, 0.0, 0.0])
+    if kind == "PhaseFlipNoise":
+        p = channel.probability
+        return np.array([1 - p, 0.0, 0.0, p])
+    if kind == "DepolarizingNoise":
+        p = channel.probability
+        return np.array([1 - p, p / 3, p / 3, p / 3])
+    return None
+
+
+def quasi_inverse_pauli(channel):
+    """Quasi-probability representation of a Pauli channel's inverse.
+
+    Returns ``(paulis, etas)``: for 1-qubit channels ``paulis`` is
+    ``("I","X","Y","Z")``; for :class:`~.noise.TwoQubitDepolarizingNoise`
+    it is the 16 two-letter labels ``("II","IX",...,"ZZ")``. ``etas``
+    sum to 1 but carry negative entries — applying Pauli ``P`` with
+    probability ``|eta_P|/gamma`` and weighting by ``gamma*sign(eta_P)``
+    implements the exact channel inverse (Temme-Bravyi-Gambetta PEC).
+    Raises for non-Pauli channels (amplitude damping has no Pauli
+    quasi-inverse).
+    """
+    q = _pauli_probs(channel)
+    if q is not None:
+        lam = _CHAR @ q
+        if np.any(np.abs(lam) < 1e-12):
+            raise ValueError("channel is singular (eigenvalue 0); "
+                             "no quasi-inverse exists")
+        etas = _CHAR @ (1.0 / lam) / 4.0
+        return _PAULI_NAMES, etas
+    if type(channel).__name__ == "TwoQubitDepolarizingNoise":
+        # lam = 1 - 16 p / 15 on every non-identity two-qubit Pauli.
+        lam = 1.0 - 16.0 * channel.probability / 15.0
+        if abs(lam) < 1e-12:
+            raise ValueError("channel is singular (eigenvalue 0); "
+                             "no quasi-inverse exists")
+        p_inv = (15.0 / 16.0) * (1.0 - 1.0 / lam)
+        labels = tuple(a + b for a in _PAULI_NAMES for b in _PAULI_NAMES)
+        etas = np.full(16, p_inv / 15.0)
+        etas[0] = 1.0 - p_inv
+        return labels, etas
+    raise ValueError(
+        f"{type(channel).__name__} is not a Pauli channel; PEC needs a "
+        "Pauli quasi-inverse (use ZNE for general channels)")
+
+
+@dataclass
+class PECResult:
+    """PEC estimate with its sampling-cost factor."""
+
+    value: float
+    gamma: float                 # total quasi-probability 1-norm
+    n_locations: int
+    samples: int | None = None   # None = exact enumeration
+
+    def to_dict(self) -> dict:
+        return {"value": self.value, "gamma": self.gamma,
+                "n_locations": self.n_locations, "samples": self.samples}
+
+
+def _noise_locations(circuit: QuantumCircuit, noise_model):
+    """Every (insert_after_index, qubits, paulis, etas) the model's
+    channels create, in execution order. 1-qubit channels fire once per
+    target qubit (matching ``NoiseModel.apply``); 2-qubit depolarizing
+    fires once per 2-qubit gate."""
+    order = [g for col in circuit.get_ordered_gates() for g in col]
+    locations = []
+    for idx, g in enumerate(order):
+        for ch in noise_model.channels_for_gate(g.gate_name):
+            if type(ch).__name__ == "TwoQubitDepolarizingNoise":
+                if len(g.target_qubits) == 2:
+                    paulis, etas = quasi_inverse_pauli(ch)
+                    locations.append((idx, tuple(g.target_qubits),
+                                      paulis, etas))
+                continue
+            paulis, etas = quasi_inverse_pauli(ch)
+            for q in g.target_qubits:
+                locations.append((idx, (q,), paulis, etas))
+    return order, locations
+
+
+def _insert_recoveries(order, num_qubits: int, choices) -> QuantumCircuit:
+    """Rebuild the circuit one gate per column, splicing chosen recovery
+    Paulis right after their location's gate."""
+    out = QuantumCircuit(num_qubits=num_qubits)
+    col = 0
+    by_gate: dict[int, list[tuple[tuple[int, ...], str]]] = {}
+    for (idx, qubits, _p, _e), label in choices:
+        by_gate.setdefault(idx, []).append((qubits, label))
+    for idx, g in enumerate(order):
+        out.add_gate(GateInstance(g.gate_name, list(g.target_qubits),
+                                  list(g.params), col))
+        col += 1
+        for qubits, label in by_gate.get(idx, ()):
+            for q, letter in zip(qubits, label):
+                if letter != "I":
+                    out.add_gate(GateInstance(letter, [q], [], col))
+            col += 1
+    return out
+
+
+def pec_expectation(evaluate, circuit: QuantumCircuit, noise_model,
+                    samples: int | None = None,
+                    seed: int | None = None,
+                    max_enumeration: int = 4096) -> PECResult:
+    """Probabilistic error cancellation of ``evaluate``'s observable.
+
+    ``evaluate(circuit) -> float`` must run the circuit on the SAME
+    noisy engine the quasi-inverse was built for (per-gate Pauli
+    channels via ``noise_model.add_gate_noise``). Recovery Paulis are
+    spliced in as ordinary X/Y/Z gates, so the noise model must not
+    attach channels to them (global channels would re-corrupt the
+    recovery operations — rejected with a pointer to ZNE).
+
+    ``samples=None`` exactly enumerates all recovery combinations
+    (product of per-location supports; capped at ``max_enumeration``) —
+    the estimator's zero-variance limit, exact up to the engine's own
+    accuracy. With ``samples=N`` it Monte-Carlo samples the standard
+    gamma-weighted sign estimator.
+    """
+    if noise_model.global_channels:
+        raise ValueError(
+            "PEC requires gate-specific noise (add_gate_noise); global "
+            "channels would also corrupt the recovery Paulis — use "
+            "zne_expectation for global noise")
+    order, locations = _noise_locations(circuit, noise_model)
+    if not locations:
+        return PECResult(value=float(evaluate(circuit.copy())), gamma=1.0,
+                         n_locations=0, samples=samples)
+    gamma = float(np.prod([np.abs(e).sum() for *_x, e in locations]))
+    n = circuit.num_qubits
+
+    if samples is None:
+        supports = []
+        total = 1
+        for idx, qubits, paulis, etas in locations:
+            nz = [(paulis[k], etas[k]) for k in range(len(etas))
+                  if abs(etas[k]) > 1e-15]
+            supports.append((idx, qubits, paulis, etas, nz))
+            total *= len(nz)
+        if total > max_enumeration:
+            raise ValueError(
+                f"exact PEC would enumerate {total} circuits "
+                f"(> {max_enumeration}); pass samples=N")
+
+        def _recurse(k: int, weight: float, choices) -> float:
+            if k == len(supports):
+                circ = _insert_recoveries(order, n, choices)
+                return weight * float(evaluate(circ))
+            idx, qubits, paulis, etas, nz = supports[k]
+            return sum(
+                _recurse(k + 1, weight * eta,
+                         choices + [((idx, qubits, paulis, etas), label)])
+                for label, eta in nz)
+
+        return PECResult(value=_recurse(0, 1.0, []), gamma=gamma,
+                         n_locations=len(locations), samples=None)
+
+    rng = np.random.default_rng(seed)
+    acc = 0.0
+    for _ in range(samples):
+        sign = 1.0
+        choices = []
+        for loc in locations:
+            etas = loc[3]
+            probs = np.abs(etas) / np.abs(etas).sum()
+            k = int(rng.choice(len(etas), p=probs))
+            sign *= np.sign(etas[k]) or 1.0
+            choices.append((loc, loc[2][k]))
+        circ = _insert_recoveries(order, n, choices)
+        acc += sign * float(evaluate(circ))
+    return PECResult(value=gamma * acc / samples, gamma=gamma,
+                     n_locations=len(locations), samples=samples)

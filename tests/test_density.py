@@ -273,3 +273,49 @@ class TestSuperopRoute:
         z = sup.expectation_z(2)
         dense = sim.run(c, method="dense")
         assert z == pytest.approx(dense.expectation_z(2), abs=1e-4)
+
+
+class TestTwoQubitChannel:
+    """Correlated (M,4,4) Kraus stacks through both DM routes."""
+
+    def _bell_with_2q_depol(self, p):
+        from quantum_simulator_tpu.noise import TwoQubitDepolarizingNoise
+        c = QuantumCircuit(num_qubits=2)
+        c.add("H", [0])
+        c.add("CNOT", [0, 1])
+        nm = NoiseModel()
+        nm.add_gate_noise("CNOT", TwoQubitDepolarizingNoise(p))
+        return c, nm
+
+    def test_dense_matches_analytic_bell(self):
+        # Bell then 2q depol: rho = (1 - 16p/15)|B><B| + (16p/15) I/4
+        p = 0.09
+        c, nm = self._bell_with_2q_depol(p)
+        rho = np.asarray(
+            DensityMatrixSimulator(noise_model=nm).run(
+                c, method="dense").device_rho)
+        bell = np.zeros(4, dtype=complex)
+        bell[0] = bell[3] = 1 / np.sqrt(2)
+        lam = 1 - 16 * p / 15
+        expected = lam * np.outer(bell, bell.conj()) + (1 - lam) * np.eye(4) / 4
+        np.testing.assert_allclose(rho, expected, atol=1e-6)
+
+    def test_superop_route_matches_dense(self):
+        p = 0.07
+        c, nm = self._bell_with_2q_depol(p)
+        sim = DensityMatrixSimulator(noise_model=nm)
+        rho_d = np.asarray(sim.run(c, method="dense").device_rho)
+        rho_s = np.asarray(sim.run(c, method="superop").device_rho)
+        np.testing.assert_allclose(rho_s, rho_d, atol=1e-6)
+
+    def test_rejects_on_one_qubit_gate(self):
+        from quantum_simulator_tpu.noise import TwoQubitDepolarizingNoise
+        c = QuantumCircuit(num_qubits=1)
+        c.add("H", [0])
+        nm = NoiseModel()
+        nm.add_gate_noise("H", TwoQubitDepolarizingNoise(0.05))
+        sim = DensityMatrixSimulator(noise_model=nm)
+        with pytest.raises(ValueError, match="two-qubit Kraus"):
+            sim.run(c, method="dense")
+        with pytest.raises(ValueError, match="two-qubit Kraus"):
+            sim.run(c, method="superop")

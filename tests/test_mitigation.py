@@ -231,3 +231,117 @@ class TestEndToEndNoisyPipeline:
         tvd = lambda p: 0.5 * np.abs(p - ideal).sum()
         assert tvd(raw) > 0.03            # corruption is visible
         assert tvd(recovered) < tvd(raw) / 3
+
+
+class TestPEC:
+    def _noisy_gate_model(self, p=0.05, gate="CNOT", channel=None):
+        from quantum_simulator_tpu.mitigation import pec_expectation  # noqa
+        nm = NoiseModel()
+        nm.add_gate_noise(gate, channel or DepolarizingNoise(p))
+        return nm
+
+    def test_quasi_inverse_closed_forms(self):
+        from quantum_simulator_tpu.mitigation import quasi_inverse_pauli
+        from quantum_simulator_tpu.noise import (PhaseFlipNoise,
+                                                 TwoQubitDepolarizingNoise)
+        p = 0.1
+        paulis, etas = quasi_inverse_pauli(BitFlipNoise(p))
+        assert paulis == ("I", "X", "Y", "Z")
+        # inverse bit-flip: p' = -p/(1-2p)
+        pp = -p / (1 - 2 * p)
+        np.testing.assert_allclose(etas, [1 - pp, pp, 0, 0], atol=1e-12)
+        assert etas.sum() == pytest.approx(1.0)
+
+        _, etas_z = quasi_inverse_pauli(PhaseFlipNoise(p))
+        np.testing.assert_allclose(etas_z, [1 - pp, 0, 0, pp], atol=1e-12)
+
+        _, etas_d = quasi_inverse_pauli(DepolarizingNoise(p))
+        lam = 1 - 4 * p / 3
+        pd = 0.75 * (1 - 1 / lam)
+        np.testing.assert_allclose(
+            etas_d, [1 - pd, pd / 3, pd / 3, pd / 3], atol=1e-12)
+
+        labels, etas2 = quasi_inverse_pauli(TwoQubitDepolarizingNoise(p))
+        assert len(labels) == 16 and labels[0] == "II" and labels[5] == "XX"
+        assert etas2.sum() == pytest.approx(1.0)
+        assert etas2[1] < 0  # negative quasi-weights present
+
+    def test_quasi_inverse_rejects_non_pauli(self):
+        from quantum_simulator_tpu.mitigation import quasi_inverse_pauli
+        from quantum_simulator_tpu.noise import AmplitudeDampingNoise
+        with pytest.raises(ValueError, match="not a Pauli channel"):
+            quasi_inverse_pauli(AmplitudeDampingNoise(0.1))
+
+    def test_exact_enumeration_cancels_depolarizing(self):
+        """Per-CNOT depolarizing: exact PEC enumeration recovers the
+        ideal <Z0> to engine precision on the exact DM engine."""
+        from quantum_simulator_tpu.mitigation import pec_expectation
+        c = QuantumCircuit(num_qubits=2)
+        c.add("Ry", [0], [0.7])
+        c.add("CNOT", [0, 1])
+        c.add("Rx", [1], [0.3])
+        ideal = float(DensityMatrixSimulator().run(c).expectation_z(0))
+        nm = self._noisy_gate_model(p=0.06)
+        sim = DensityMatrixSimulator(noise_model=nm)
+        evaluate = lambda circ: float(sim.run(circ).expectation_z(0))
+        noisy = evaluate(c)
+        res = pec_expectation(evaluate, c, nm, samples=None)
+        assert abs(noisy - ideal) > 1e-3
+        assert res.value == pytest.approx(ideal, abs=1e-6)
+        assert res.gamma > 1.0
+        assert res.n_locations == 2  # one 1q channel per CNOT target
+
+    def test_exact_enumeration_two_qubit_channel(self):
+        from quantum_simulator_tpu.mitigation import pec_expectation
+        from quantum_simulator_tpu.noise import TwoQubitDepolarizingNoise
+        c = QuantumCircuit(num_qubits=2)
+        c.add("H", [0])
+        c.add("CNOT", [0, 1])
+        ideal = float(DensityMatrixSimulator().run(c).expectation_z(1))
+        nm = NoiseModel()
+        nm.add_gate_noise("CNOT", TwoQubitDepolarizingNoise(0.08))
+        sim = DensityMatrixSimulator(noise_model=nm)
+        evaluate = lambda circ: float(sim.run(circ).expectation_z(1))
+        res = pec_expectation(evaluate, c, nm, samples=None)
+        assert res.n_locations == 1
+        assert res.value == pytest.approx(ideal, abs=1e-6)
+
+    def test_monte_carlo_converges(self):
+        from quantum_simulator_tpu.mitigation import pec_expectation
+        c = QuantumCircuit(num_qubits=2)
+        c.add("Ry", [0], [0.7])
+        c.add("CNOT", [0, 1])
+        ideal = float(DensityMatrixSimulator().run(c).expectation_z(0))
+        nm = self._noisy_gate_model(p=0.04)
+        sim = DensityMatrixSimulator(noise_model=nm)
+        evaluate = lambda circ: float(sim.run(circ).expectation_z(0))
+        res = pec_expectation(evaluate, c, nm, samples=600, seed=9)
+        # gamma ~ 1.25: 600 signed samples land well inside 0.15
+        assert abs(res.value - ideal) < 0.15
+        assert res.samples == 600
+
+    def test_rejects_global_noise_and_caps_enumeration(self):
+        from quantum_simulator_tpu.mitigation import pec_expectation
+        c = QuantumCircuit(num_qubits=1)
+        c.add("X", [0])
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.01))
+        with pytest.raises(ValueError, match="gate-specific"):
+            pec_expectation(lambda _c: 0.0, c, nm)
+        nm2 = NoiseModel()
+        nm2.add_gate_noise("X", DepolarizingNoise(0.01))
+        big = QuantumCircuit(num_qubits=1)
+        for _ in range(8):
+            big.add("X", [0])
+        with pytest.raises(ValueError, match="samples=N"):
+            pec_expectation(lambda _c: 0.0, big, nm2, max_enumeration=100)
+
+    def test_no_noise_locations_passthrough(self):
+        from quantum_simulator_tpu.mitigation import pec_expectation
+        c = QuantumCircuit(num_qubits=1)
+        c.add("H", [0])
+        nm = NoiseModel()
+        nm.add_gate_noise("CNOT", DepolarizingNoise(0.1))  # never fires
+        res = pec_expectation(lambda _c: 0.42, c, nm)
+        assert res.value == pytest.approx(0.42)
+        assert res.gamma == 1.0 and res.n_locations == 0
