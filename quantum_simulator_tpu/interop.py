@@ -138,25 +138,117 @@ _EXPR_ENV = {
     "pi": math.pi, "sin": math.sin, "cos": math.cos, "tan": math.tan,
     "exp": math.exp, "ln": math.log, "sqrt": math.sqrt,
 }
+_EXPR_FUNCS = ("sin", "cos", "tan", "exp", "ln", "sqrt")
+# Numbers first so '1e-05' tokenizes as one literal, never as ident 'e'.
+_EXPR_TOKEN = re.compile(
+    r"\s*(?:(?P<num>(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
+    r"|(?P<name>[A-Za-z_]\w*)"
+    r"|(?P<op>[-+*/^()]))")
 
 
 def _eval_expr(text: str, env: dict[str, float]) -> float:
-    """Evaluate a qasm2 parameter expression (numbers, pi, + - * / ^,
-    parentheses, the qasm2 function set, and bound gate parameters)."""
+    """Evaluate a qasm2 parameter expression (numbers incl. scientific
+    notation, pi, + - * / ^, parentheses, the qasm2 function set, and
+    bound gate parameters).
+
+    Recursive-descent over a token stream — no ``eval``, and all
+    arithmetic is float (so hostile integer power towers like
+    ``9^9^9^9`` overflow to an error instead of building bignums).
+    """
     text = text.strip()
     if not _EXPR_OK.match(text):
         raise QasmError(f"unsupported characters in expression: {text!r}")
-    names = set(re.findall(r"[A-Za-z_]\w*", text))
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _EXPR_TOKEN.match(text, pos)
+        if m is None or m.end() == pos:
+            if text[pos:].strip():
+                raise QasmError(f"bad expression {text!r} at offset {pos}")
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        tokens.append((kind, m.group(kind)))
+    tokens.append(("end", ""))
+    names = {v for k, v in tokens if k == "name"}
     allowed = set(_EXPR_ENV) | set(env)
     unknown = names - allowed
     if unknown:
         raise QasmError(f"unknown identifier(s) {sorted(unknown)} "
                         f"in expression {text!r}")
+    scope = {**_EXPR_ENV, **env}
+    idx = 0
+
+    def peek():
+        return tokens[idx]
+
+    def take():
+        nonlocal idx
+        tok = tokens[idx]
+        idx += 1
+        return tok
+
+    def expr() -> float:          # term (('+'|'-') term)*
+        val = term()
+        while peek() == ("op", "+") or peek() == ("op", "-"):
+            _, op = take()
+            rhs = term()
+            val = val + rhs if op == "+" else val - rhs
+        return val
+
+    def term() -> float:          # unary (('*'|'/') unary)*
+        val = unary()
+        while peek() == ("op", "*") or peek() == ("op", "/"):
+            _, op = take()
+            rhs = unary()
+            val = val * rhs if op == "*" else val / rhs
+        return val
+
+    def unary() -> float:         # ('+'|'-')* power
+        sign = 1.0
+        while peek() == ("op", "+") or peek() == ("op", "-"):
+            if take()[1] == "-":
+                sign = -sign
+        return sign * power()
+
+    def power() -> float:         # atom ('^' unary)?  — right-assoc
+        base = atom()
+        if peek() == ("op", "^"):
+            take()
+            return base ** unary()
+        return base
+
+    def atom() -> float:
+        kind, val = take()
+        if kind == "num":
+            return float(val)
+        if kind == "name":
+            obj = scope[val]
+            if callable(obj):
+                if take() != ("op", "("):
+                    raise QasmError(f"function {val!r} needs parentheses "
+                                    f"in {text!r}")
+                arg = expr()
+                if take() != ("op", ")"):
+                    raise QasmError(f"unbalanced parentheses in {text!r}")
+                return float(obj(arg))
+            return float(obj)
+        if (kind, val) == ("op", "("):
+            inner = expr()
+            if take() != ("op", ")"):
+                raise QasmError(f"unbalanced parentheses in {text!r}")
+            return inner
+        raise QasmError(f"unexpected token {val!r} in expression {text!r}")
+
     try:
-        return float(eval(  # noqa: S307 - charset+identifier whitelisted
-            text.replace("^", "**"), {"__builtins__": {}},
-            {**_EXPR_ENV, **env}))
-    except Exception as exc:
+        result = expr()
+        if peek() != ("end", ""):
+            raise QasmError(
+                f"trailing tokens in expression {text!r}")
+        return float(result)
+    except QasmError:
+        raise
+    except Exception as exc:  # overflow, div-by-zero, math-domain
         raise QasmError(f"bad expression {text!r}: {exc}") from exc
 
 

@@ -88,6 +88,12 @@ def fold_circuit(circuit: QuantumCircuit, scale: int) -> QuantumCircuit:
     application) repeated ``scale`` times. Measurement gates are not
     foldable — strip them first (they sit at circuit end in this IR, so
     engines ignore them for forward evolution anyway).
+
+    Inverse passes emit S↔S_DAG / T↔T_DAG: per-gate noise added with
+    ``add_gate_noise("S", ...)`` does NOT fire on the emitted
+    ``S_DAG`` unless also registered there, breaking the
+    noise∝scale assumption ZNE rests on — register channels on both a
+    gate and its dagger (``zne_expectation(noise_model=...)`` warns).
     """
     if scale < 1 or scale % 2 == 0:
         raise ValueError(f"fold scale must be odd and >= 1, got {scale}")
@@ -159,7 +165,7 @@ class ZNEResult:
 
 
 def zne_expectation(evaluate, circuit: QuantumCircuit,
-                    scales=(1, 3, 5)) -> ZNEResult:
+                    scales=(1, 3, 5), noise_model=None) -> ZNEResult:
     """Zero-noise extrapolation of ``evaluate(folded_circuit) -> float``.
 
     ``evaluate`` runs the circuit on whatever noisy engine the caller
@@ -167,8 +173,30 @@ def zne_expectation(evaluate, circuit: QuantumCircuit,
     averages for sampled ones) and returns the observable; this
     function folds to each scale, collects the noise curve, and
     Richardson-extrapolates to scale 0.
+
+    Folding assumes noise strength scales linearly with the fold
+    factor, which requires every gate's channels to also fire on its
+    inverse (folding emits S↔S_DAG, T↔T_DAG swaps). Global channels
+    always satisfy this; per-gate noise added via ``add_gate_noise``
+    may not. Pass ``noise_model`` to get a ``UserWarning`` when a gate
+    in the circuit has channels its dagger lacks (the under-amplified
+    case that silently breaks the extrapolation).
     """
     scales = list(scales)
+    if noise_model is not None:
+        asymmetric = sorted({
+            g.gate_name for g in circuit.gates
+            if g.gate_name in _DAG_SWAP
+            and len(noise_model.channels_for_gate(g.gate_name))
+            != len(noise_model.channels_for_gate(_DAG_SWAP[g.gate_name]))})
+        if asymmetric:
+            import warnings
+            warnings.warn(
+                f"ZNE folding emits the daggers of {asymmetric} but the "
+                "noise model registers different channels on the dagger "
+                "names — noise will not scale with the fold factor. "
+                "Register the same channels on both names.",
+                UserWarning, stacklevel=2)
     raw = [float(evaluate(fold_circuit(circuit, s))) for s in scales]
     return ZNEResult(value=richardson_extrapolate(scales, raw),
                      scales=scales, raw_values=raw)
@@ -385,10 +413,14 @@ def _noise_locations(circuit: QuantumCircuit, noise_model):
     return order, locations
 
 
-def _insert_recoveries(order, num_qubits: int, choices) -> QuantumCircuit:
+def _insert_recoveries(order, circuit: QuantumCircuit,
+                       choices) -> QuantumCircuit:
     """Rebuild the circuit one gate per column, splicing chosen recovery
-    Paulis right after their location's gate."""
-    out = QuantumCircuit(num_qubits=num_qubits)
+    Paulis right after their location's gate. ``initial_states`` carry
+    over from the source circuit (a |1⟩-prepared qubit must stay
+    prepared in every recovery variant)."""
+    out = QuantumCircuit(num_qubits=circuit.num_qubits,
+                         initial_states=list(circuit.initial_states))
     col = 0
     by_gate: dict[int, list[tuple[tuple[int, ...], str]]] = {}
     for (idx, qubits, _p, _e), label in choices:
@@ -433,8 +465,15 @@ def pec_expectation(evaluate, circuit: QuantumCircuit, noise_model,
     if not locations:
         return PECResult(value=float(evaluate(circuit.copy())), gamma=1.0,
                          n_locations=0, samples=samples)
+    noisy_recovery = [p for p in ("X", "Y", "Z")
+                      if noise_model.channels_for_gate(p)]
+    if noisy_recovery:
+        raise ValueError(
+            f"noise model attaches channels to {noisy_recovery}, which PEC "
+            "splices in as noiseless recovery operations — those channels "
+            "would fire on the recoveries and bias the estimate. Register "
+            "noise on other gate names, or use zne_expectation")
     gamma = float(np.prod([np.abs(e).sum() for *_x, e in locations]))
-    n = circuit.num_qubits
 
     if samples is None:
         supports = []
@@ -451,7 +490,7 @@ def pec_expectation(evaluate, circuit: QuantumCircuit, noise_model,
 
         def _recurse(k: int, weight: float, choices) -> float:
             if k == len(supports):
-                circ = _insert_recoveries(order, n, choices)
+                circ = _insert_recoveries(order, circuit, choices)
                 return weight * float(evaluate(circ))
             idx, qubits, paulis, etas, nz = supports[k]
             return sum(
@@ -473,7 +512,7 @@ def pec_expectation(evaluate, circuit: QuantumCircuit, noise_model,
             k = int(rng.choice(len(etas), p=probs))
             sign *= np.sign(etas[k]) or 1.0
             choices.append((loc, loc[2][k]))
-        circ = _insert_recoveries(order, n, choices)
+        circ = _insert_recoveries(order, circuit, choices)
         acc += sign * float(evaluate(circ))
     return PECResult(value=gamma * acc / samples, gamma=gamma,
                      n_locations=len(locations), samples=samples)

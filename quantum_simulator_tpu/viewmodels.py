@@ -13,6 +13,7 @@ in ``gui/`` are thin views over these models.
 from __future__ import annotations
 
 import math
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -554,12 +555,19 @@ class SimulationTiming:
 
 class ResourceMonitorModel:
     """Process CPU/RSS sampling + simulation timing records + the
-    simulator-comparison memory table (resource monitor panel)."""
+    simulator-comparison memory table (resource monitor panel).
+
+    Prefers psutil; without it, falls back to /proc readers (the
+    portable analog of the reference's Windows-ctypes fallback,
+    /root/reference/quantum_sim/gui/panels/resource_monitor.py:42-141)
+    so ``sample()`` still returns real numbers on Linux.
+    """
 
     def __init__(self, history_seconds: float = 120.0):
         self._history_seconds = history_seconds
         self.samples: list[ResourceSample] = []
         self.timings: list[SimulationTiming] = []
+        self._last_cpu: tuple[float, float] | None = None  # (wall, cpu_s)
         try:
             import psutil
 
@@ -569,15 +577,64 @@ class ResourceMonitorModel:
             self._proc = None
             self._psutil = None
 
+    # --- /proc fallback readers ------------------------------------------
+
+    @staticmethod
+    def _proc_rss_bytes() -> int:
+        """Resident set size from /proc/self/statm (field 2, pages)."""
+        try:
+            with open("/proc/self/statm") as f:
+                pages = int(f.read().split()[1])
+            return pages * os.sysconf("SC_PAGE_SIZE")
+        except (OSError, ValueError, IndexError):
+            return 0
+
+    @staticmethod
+    def _proc_meminfo_percent() -> float:
+        """System memory use from /proc/meminfo (1 - Available/Total)."""
+        try:
+            fields = {}
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    key, _, rest = line.partition(":")
+                    fields[key] = int(rest.split()[0])  # kB
+            total = fields["MemTotal"]
+            avail = fields.get(
+                "MemAvailable", fields.get("MemFree", 0))
+            return 100.0 * (1.0 - avail / total) if total else 0.0
+        except (OSError, ValueError, KeyError, IndexError):
+            return 0.0
+
+    def _proc_cpu_percent(self) -> float:
+        """Process CPU%% between consecutive calls, from os.times()
+        (utime+stime deltas over wall time, like psutil's estimator).
+        First call primes the baseline and reports 0.0."""
+        t = os.times()
+        now = time.monotonic()
+        cpu_s = t.user + t.system
+        if self._last_cpu is None:
+            self._last_cpu = (now, cpu_s)
+            return 0.0
+        wall0, cpu0 = self._last_cpu
+        self._last_cpu = (now, cpu_s)
+        dt = now - wall0
+        return 100.0 * (cpu_s - cpu0) / dt if dt > 0 else 0.0
+
     def sample(self) -> ResourceSample | None:
-        if self._proc is None:
-            return None
-        s = ResourceSample(
-            timestamp=time.time(),
-            cpu_percent=self._proc.cpu_percent(interval=None),
-            rss_bytes=self._proc.memory_info().rss,
-            system_memory_percent=self._psutil.virtual_memory().percent,
-        )
+        if self._proc is not None:
+            s = ResourceSample(
+                timestamp=time.time(),
+                cpu_percent=self._proc.cpu_percent(interval=None),
+                rss_bytes=self._proc.memory_info().rss,
+                system_memory_percent=self._psutil.virtual_memory().percent,
+            )
+        else:
+            s = ResourceSample(
+                timestamp=time.time(),
+                cpu_percent=self._proc_cpu_percent(),
+                rss_bytes=self._proc_rss_bytes(),
+                system_memory_percent=self._proc_meminfo_percent(),
+            )
         self.samples.append(s)
         cutoff = s.timestamp - self._history_seconds
         self.samples = [x for x in self.samples if x.timestamp >= cutoff]

@@ -239,3 +239,52 @@ class TestImport:
             return merged
 
         _assert_same_state(_with_prep(ref), _with_prep(imported))
+
+
+class TestExpressionParser:
+    """_eval_expr is a recursive-descent parser (no eval) — ADVICE r3:
+    scientific-notation literals must not scan as identifier 'e', and
+    hostile power towers must fail fast instead of building bignums."""
+
+    def test_scientific_notation_roundtrip(self):
+        c = QuantumCircuit(num_qubits=1)
+        c.add("Rz", [0], [1e-5])
+        c2 = from_qasm(to_qasm(c))
+        assert c2.gates[0].params[0] == pytest.approx(1e-5)
+
+    def test_sci_notation_forms(self):
+        from quantum_simulator_tpu.interop import _eval_expr
+        assert _eval_expr("1e-05", {}) == pytest.approx(1e-5)
+        assert _eval_expr("2.5E+3", {}) == pytest.approx(2500.0)
+        assert _eval_expr("1e2", {}) == pytest.approx(100.0)
+        assert _eval_expr(".5e1", {}) == pytest.approx(5.0)
+
+    def test_grammar(self):
+        from quantum_simulator_tpu.interop import _eval_expr
+        assert _eval_expr("2+3*4", {}) == pytest.approx(14.0)
+        assert _eval_expr("(2+3)*4", {}) == pytest.approx(20.0)
+        assert _eval_expr("-pi/2", {}) == pytest.approx(-math.pi / 2)
+        assert _eval_expr("2^3^2", {}) == pytest.approx(512.0)  # right-assoc
+        assert _eval_expr("-2^2", {}) == pytest.approx(-4.0)
+        assert _eval_expr("sin(pi/6)", {}) == pytest.approx(0.5)
+        assert _eval_expr("sqrt(2)*cos(0)", {}) == pytest.approx(math.sqrt(2))
+        assert _eval_expr("theta/2", {"theta": 0.8}) == pytest.approx(0.4)
+
+    def test_hostile_power_tower_rejected(self):
+        from quantum_simulator_tpu.interop import _eval_expr
+        # float arithmetic: overflows to QasmError instead of bignum DoS
+        with pytest.raises(QasmError):
+            _eval_expr("9^9^9^9", {})
+
+    def test_parse_errors(self):
+        from quantum_simulator_tpu.interop import _eval_expr
+        with pytest.raises(QasmError, match="unknown identifier"):
+            _eval_expr("2*tau", {})
+        with pytest.raises(QasmError):
+            _eval_expr("1/0", {})
+        with pytest.raises(QasmError):
+            _eval_expr("(1+2", {})
+        with pytest.raises(QasmError):
+            _eval_expr("1 2", {})
+        with pytest.raises(QasmError):
+            _eval_expr("sin 3", {})

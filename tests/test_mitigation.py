@@ -329,12 +329,43 @@ class TestPEC:
         with pytest.raises(ValueError, match="gate-specific"):
             pec_expectation(lambda _c: 0.0, c, nm)
         nm2 = NoiseModel()
-        nm2.add_gate_noise("X", DepolarizingNoise(0.01))
+        nm2.add_gate_noise("H", DepolarizingNoise(0.01))
         big = QuantumCircuit(num_qubits=1)
         for _ in range(8):
-            big.add("X", [0])
+            big.add("H", [0])
         with pytest.raises(ValueError, match="samples=N"):
             pec_expectation(lambda _c: 0.0, big, nm2, max_enumeration=100)
+
+    def test_rejects_noise_on_recovery_paulis(self):
+        """Channels on X/Y/Z would fire on spliced recovery gates and
+        silently bias the estimate (ADVICE r3) — reject loudly."""
+        from quantum_simulator_tpu.mitigation import pec_expectation
+        c = QuantumCircuit(num_qubits=1)
+        c.add("X", [0])
+        nm = NoiseModel()
+        nm.add_gate_noise("X", DepolarizingNoise(0.01))
+        with pytest.raises(ValueError, match="recovery"):
+            pec_expectation(lambda _c: 0.0, c, nm)
+        # ...but only when recoveries are actually spliced: noise on X
+        # with no X in the circuit is a harmless passthrough.
+        h_only = QuantumCircuit(num_qubits=1)
+        h_only.add("H", [0])
+        res = pec_expectation(lambda _c: 0.5, h_only, nm)
+        assert res.n_locations == 0
+
+    def test_pec_preserves_initial_states(self):
+        """Recovery circuits must keep |1>-prepared qubits prepared
+        (ADVICE r3: _insert_recoveries dropped initial_states)."""
+        from quantum_simulator_tpu.mitigation import pec_expectation
+        c = QuantumCircuit(num_qubits=2, initial_states=[1, 0])
+        c.add("CNOT", [0, 1])
+        ideal = float(DensityMatrixSimulator().run(c).expectation_z(1))
+        assert ideal == pytest.approx(-1.0)  # |11>: Z1 = -1
+        nm = self._noisy_gate_model(p=0.05)
+        sim = DensityMatrixSimulator(noise_model=nm)
+        evaluate = lambda circ: float(sim.run(circ).expectation_z(1))
+        res = pec_expectation(evaluate, c, nm, samples=None)
+        assert res.value == pytest.approx(ideal, abs=1e-6)
 
     def test_no_noise_locations_passthrough(self):
         from quantum_simulator_tpu.mitigation import pec_expectation
