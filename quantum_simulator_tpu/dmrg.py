@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 from .config import CONFIG
 from .mps import MPSState, _PAULI_2X2, _parse_terms, _PREC
+from .utils.xfer import to_device_complex
 
 
 class DMRGResult(NamedTuple):
@@ -108,7 +109,10 @@ def terms_to_mpo(num_qubits: int, terms, dtype=None):
         for i in range(a + 1, c):
             w[i, lanes[i][ti], lanes[i + 1][ti]] = p.get(i, eye)
         w[c, lanes[c][ti], done] = p[c]
-    return jnp.asarray(w, dtype)
+    # Complex-safe transfer: the axon runtime has no complex DMA, so a
+    # plain jnp.asarray here poisons the whole DMRG run (the error only
+    # surfaces at the first result fetch).
+    return to_device_complex(w, dtype)
 
 
 # --------------------------------------------------------------------------
@@ -374,7 +378,7 @@ def _product_stack(n: int, chi: int, bits, dtype):
     a0 = np.zeros((n, chi, 2, chi), dtype=np.complex64)
     for i, b in enumerate(bits):
         a0[i, 0, b, 0] = 1.0
-    return jnp.asarray(a0, dtype)
+    return to_device_complex(a0, dtype)
 
 
 def _wrap_result(a_final, energies, disc, n, chi, terms, shift):
@@ -459,7 +463,8 @@ def dmrg_ground_state(terms, num_qubits: int, chi: int = 32,
     a_final, energies, disc = _run_program(
         n, d, chi, int(sweeps), int(lanczos_k), dtype, w_stack,
         _product_stack(n, chi, init_bits, dtype),
-        jnp.zeros((0, n, chi, 2, chi), dtype), jnp.float32(0.0))
+        to_device_complex(np.zeros((0, n, chi, 2, chi), np.float32),
+                          dtype), jnp.float32(0.0))
     return _wrap_result(a_final, energies, disc, n, chi, terms, shift)
 
 
