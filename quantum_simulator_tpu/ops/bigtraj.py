@@ -312,6 +312,21 @@ def _classify(layout: GroupLayout, op) -> str:
         "sharded engine)")
 
 
+def _matrix_kind(layout: GroupLayout, targets) -> str:
+    """'axis' | 'cross' | 'bits' by target structure alone — the applier
+    classification for ops forced onto the dense-matrix route (folded
+    controlled-phase diagonals, which ``_classify`` calls 'prod')."""
+    axes_bits: dict[int, int] = {}
+    for q in targets:
+        axes_bits[layout.axis_of(q)] = axes_bits.get(layout.axis_of(q),
+                                                     0) + 1
+    if len(axes_bits) == 1:
+        return 'axis'
+    if len(axes_bits) == 2 and min(axes_bits.values()) == 1:
+        return 'cross'
+    return 'bits'
+
+
 def _make_applier(layout: GroupLayout, op, kind: str, planar: bool):
     """Applier factory for matrix ops by kind (see _classify)."""
     if kind == 'axis':
@@ -569,9 +584,16 @@ def huge_trajectory_evolve(program, noise_model, params, key,
                     phase_real_stack(st) for st in raw]
         stacks = stacks_cache[op.gate_name]
         kind = _classify(layout, op)
-        kind_by_op[oi] = kind
         k = len(op.targets)
-        if kind != 'prod' and k <= _FOLD_MAX_TARGETS:
+        # Small controlled-phase diagonals with channels fold too on the
+        # UNCHUNKED path: the dense 2^k apply beats apply + per-qubit
+        # rho/kraus passes. Chunked (n >= 30) keeps the prod applier —
+        # a dense apply there could lose its only chunkable axis.
+        fold_prod = (kind == 'prod' and n_chunks <= 1 and stacks
+                     and k <= _FOLD_MAX_TARGETS)
+        kind_by_op[oi] = _matrix_kind(layout, op.targets) \
+            if fold_prod else kind
+        if (kind != 'prod' or fold_prod) and k <= _FOLD_MAX_TARGETS:
             units.append(('fold', oi, draw, stacks))
             draw += len(stacks) * k
         else:
@@ -597,7 +619,15 @@ def huge_trajectory_evolve(program, noise_model, params, key,
         return None
 
     def op_matrix(op):
-        u = program.op_matrix(op, params, jnp.complex64)
+        if op.cphase_value is not None:
+            # Controlled-phase op being folded densely (no op_matrix
+            # form): identity with the all-ones entry = v
+            # (target-order symmetric).
+            m = np.eye(1 << len(op.targets), dtype=np.complex64)
+            m[-1, -1] = complex(op.cphase_value)
+            u = jnp.asarray(m)
+        else:
+            u = program.op_matrix(op, params, jnp.complex64)
         return jnp.real(u).astype(_F32) if not planar else u
 
     rho = None
@@ -686,6 +716,47 @@ def huge_trajectory_state_body(program, noise_model, params, key,
     x = huge_trajectory_evolve(program, noise_model, params, key, x,
                                dtype, n_chunks, from_basis=True)
     return x, planar
+
+
+def fold_supported(program) -> bool:
+    """True when every op has a fold-path applier (host-side check for
+    routing): ``_classify`` raises only for > 3-target gates with no
+    controlled-phase form — those fall back to the per-gate
+    ``plan.group_trajectory_body`` (flat-apply fallback)."""
+    layout = GroupLayout.for_qubits(program.num_qubits)
+    try:
+        for op in program.ops:
+            _classify(layout, op)
+    except ValueError:
+        return False
+    return True
+
+
+def fold_trajectory_body(program, noise_model, params, key, dtype=None):
+    """Whole-state (unchunked) folded stochastic trajectory — the vmapped
+    mid-n (n <= 29) counterpart of ``plan.group_trajectory_body`` with
+    the same draw schedule but the gate + ALL its Kraus draws collapsed
+    into ONE combined-operator state pass (plus a fused rho reduction
+    riding the output), instead of the per-draw rho/apply/renormalize
+    whole-state passes that made one n=24 noisy trajectory ~250x the
+    cost of the ideal run. Circuits that stay real (all-real ops +
+    phase-real Kraus stacks) additionally drop the imaginary plane —
+    half the HBM traffic. Returns the flat complex state; same keys →
+    same stochastic branches as the per-gate path.
+
+    Reference hot loop being replaced (per-shot Python):
+    ``/root/reference/quantum_sim/engine/simulator.py:134-145`` +
+    ``noise.py:224-260``."""
+    dtype = dtype or jnp.complex64
+    layout = GroupLayout.for_qubits(program.num_qubits)
+    planar = not trajectory_is_real(program, noise_model)
+    x = (_planar_basis_state(layout, program.initial_index) if planar
+         else _real_basis_state(layout, program.initial_index))
+    x = huge_trajectory_evolve(program, noise_model, params, key, x,
+                               dtype, n_chunks=1, from_basis=True)
+    if planar:
+        return (x[0] + 1j * x[1]).reshape(-1).astype(dtype)
+    return x.reshape(-1).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -896,17 +967,24 @@ def _traj_apply_fn(program, noise_model, dtype):
 def _traj_stats_fn(program, noise_model, shots: int, dtype,
                    keep_state: bool, want_grams: bool, basis: str = 'Z'):
     """Cached jitted stats dispatch consuming the trajectory state
-    (donated). Variants:
+    (donated). Returns ``(fn, threads_state)``. Variants:
 
     * ``keep_state=True``: ``f(x[, key]) -> (x, marginals[, idx])`` — the
       single-trajectory ``Simulator.run`` result (state threaded back).
-    * ``keep_state=False, shots>0``: ``f(x, key) -> idx`` — per-shot
-      sampling for ``run_with_noise``; the state is consumed and freed.
-      ``basis`` rotates (in place, fused per-axis kron passes) before
-      sampling — only valid with ``keep_state=False``, since rotation
-      mutates the donated state.
+    * ``keep_state=False, shots>0``: ``f(x, key) -> (x', idx)`` — per-shot
+      sampling for ``run_with_noise``. ``basis`` rotates (in place, fused
+      per-axis kron passes) before sampling — only valid with
+      ``keep_state=False``, since rotation mutates the donated state.
     * ``want_grams=True``: additionally returns per-axis Gram pairs (the
       per-qubit-rho ingredient for ensemble reductions).
+
+    ``threads_state``: even when the caller discards the state it is
+    threaded back as output[0] so the donated input can ALIAS an output
+    (bigstate's donation discipline) — without this XLA warns "donated
+    buffers were not usable" and inserts whole-state copies. Callers
+    must ``.delete()`` output[0] when ``threads_state`` and
+    ``keep_state`` is False. The only non-threaded shape: a Y rotation
+    of a REAL state planarizes (shape change — no alias possible).
     """
     from .bigstate import sample_state_indices, state_axis_marginals
 
@@ -915,11 +993,15 @@ def _traj_stats_fn(program, noise_model, shots: int, dtype,
                          "keep_state=False (run a second chain for the "
                          "unrotated state)")
     planar = not trajectory_is_real(program, noise_model)
+    # Post-rotation state aliases the donated input unless the rotation
+    # changed its shape (Y planarizes a real state).
+    threads_state = (not keep_state
+                     and not (shots > 0 and basis == 'Y' and not planar))
     key_t = ("traj-stats", program.compile_key, noise_model.spec_key(),
              str(dtype), shots, keep_state, want_grams, basis)
     cached = _TRAJ_CACHE.get(key_t)
     if cached is not None:
-        return cached
+        return cached, threads_state
     amps = 1 << program.num_qubits
     sample_planar = planar or basis == 'Y'
     state_bytes = 4 * (2 if sample_planar else 1) * amps
@@ -930,6 +1012,7 @@ def _traj_stats_fn(program, noise_model, shots: int, dtype,
 
     def body(x, key=None):
         outs = []
+        thread = x if threads_state else None
         if keep_state:
             outs.append(x)
             outs.append(state_axis_marginals(x, planar))
@@ -946,8 +1029,14 @@ def _traj_stats_fn(program, noise_model, shots: int, dtype,
                 x, basis, layout,
                 auto_chunks(program.num_qubits, planar=sample_planar),
                 planar)
+            if threads_state:
+                # Thread the POST-rotation value: returning pre-rotation
+                # x would force XLA to preserve it (a whole-state copy).
+                thread = xs
             outs.append(sample_state_indices(xs, key, shots, planar=pl,
                                              probs_dtype=probs_dtype))
+        if thread is not None:
+            outs.insert(0, thread)
         return tuple(outs)
 
     fmt_in, fmt_out = _traj_formats(program, noise_model, dtype)
@@ -958,6 +1047,8 @@ def _traj_stats_fn(program, noise_model, shots: int, dtype,
         layout = GroupLayout.for_qubits(program.num_qubits)
         n_ax = len(layout.axis_sizes)
         out_f = []
+        if threads_state:
+            out_f.append(fmt_out)
         if keep_state:
             out_f.append(fmt_out)
             out_f.append(tuple(Format() for _ in range(n_ax)))
@@ -971,7 +1062,7 @@ def _traj_stats_fn(program, noise_model, shots: int, dtype,
         fn = jax.jit(lambda x, key: body(x, key), donate_argnums=(0,), **kw)
     else:
         fn = jax.jit(lambda x: body(x), donate_argnums=(0,), **kw)
-    return _traj_cache_put(key_t, fn)
+    return _traj_cache_put(key_t, fn), threads_state
 
 
 def huge_trajectory_sample_fn(program, noise_model, shots: int,
@@ -995,12 +1086,18 @@ def huge_trajectory_sample_fn(program, noise_model, shots: int,
         x = _traj_init_fn(program, noise_model, dtype)()
         x = _traj_apply_fn(program, noise_model, dtype)(params, traj_key, x)
         if shots > 0:
-            out = _traj_stats_fn(program, noise_model, shots, dtype,
-                                 keep_state, False, basis)(x, sample_key)
+            fn, threads = _traj_stats_fn(program, noise_model, shots, dtype,
+                                         keep_state, False, basis)
+            out = fn(x, sample_key)
         else:
-            out = _traj_stats_fn(program, noise_model, 0, dtype,
-                                 keep_state, False, basis)(x)
-        return out if keep_state else out[-1]
+            fn, threads = _traj_stats_fn(program, noise_model, 0, dtype,
+                                         keep_state, False, basis)
+            out = fn(x)
+        if keep_state:
+            return out
+        if threads:
+            out[0].delete()  # aliased donation thread-through; free now
+        return out[-1]
 
     return run, planar
 
@@ -1016,7 +1113,11 @@ def huge_trajectory_gram_fn(program, noise_model, dtype=None
     def run(params, traj_key):
         x = _traj_init_fn(program, noise_model, dtype)()
         x = _traj_apply_fn(program, noise_model, dtype)(params, traj_key, x)
-        return _traj_stats_fn(program, noise_model, 0, dtype,
-                              False, True)(x)[0]
+        fn, threads = _traj_stats_fn(program, noise_model, 0, dtype,
+                                     False, True)
+        out = fn(x)
+        if threads:
+            out[0].delete()  # aliased donation thread-through; free now
+        return out[-1]
 
     return run, planar

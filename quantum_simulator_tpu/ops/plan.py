@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import string
 from dataclasses import dataclass
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -537,6 +537,19 @@ def _permute_matrix_bits(m: jnp.ndarray, bit_order: list[int]) -> jnp.ndarray:
     return g.reshape(1 << B, 1 << B)
 
 
+class OperandOverrides(NamedTuple):
+    """Per-op matrix injection for trajectory executors whose operator
+    values are traced draws rather than functions of ``params`` (the
+    mixed-unitary noise-insertion path, ``ops/unitary_traj.py``).
+    Override ops must carry a classification-only dummy
+    ``static_matrix`` whose realness/diagonality matches the injected
+    values (the plan reads the dummy; operands read the override)."""
+
+    pool_rows: object                  # (D, 2, 2) traced 1q matrices
+    pool_map: dict                     # op index -> row in pool_rows
+    per_op: dict                       # op index -> dense traced matrix
+
+
 class _GateMatrixPool:
     """Vectorized per-trace gate-matrix construction.
 
@@ -548,11 +561,15 @@ class _GateMatrixPool:
     whole sub-columns can be gathered and kron-chained in batch.
     """
 
-    def __init__(self, program: prog.CircuitProgram, params, dtype):
+    def __init__(self, program: prog.CircuitProgram, params, dtype,
+                 overrides: OperandOverrides | None = None):
         self.program = program
         self.dtype = dtype
         self._per_op: dict[int, jnp.ndarray] = {}
         self._lazy: dict[int, tuple] = {}
+        self._overrides = overrides
+        skip = (set(overrides.pool_map) | set(overrides.per_op)
+                if overrides else set())
 
         # Grouping key includes the builder: ops sharing a name can carry
         # DIFFERENT builders (density.superop_program emits conjugated
@@ -563,6 +580,8 @@ class _GateMatrixPool:
         static_cache: dict[bytes, jnp.ndarray] = {}
         static_1q: dict[bytes, tuple[np.ndarray, int]] = {}
         for oi, op in enumerate(program.ops):
+            if oi in skip:
+                continue  # injected matrix: see OperandOverrides
             if op.cphase_value is not None:
                 continue  # matrix-less wide diagonal: DiagProductStep only
             if op.static_matrix is None and op.num_params > 0:
@@ -589,6 +608,8 @@ class _GateMatrixPool:
         pool_parts = [jnp.asarray(np.concatenate(pool_parts), dtype=dtype)]
         base = 1 + len(static_1q)
         for oi, op in enumerate(program.ops):
+            if oi in skip:
+                continue
             if len(op.targets) == 1 and op.static_matrix is not None:
                 self._pool_index[oi] = \
                     static_rows + static_1q[op.static_matrix.tobytes()][1]
@@ -619,10 +640,25 @@ class _GateMatrixPool:
                 pool_parts.append(stack)
                 base += len(indices)
 
+        if overrides is not None and overrides.pool_map:
+            rows = jnp.asarray(overrides.pool_rows).astype(dtype)
+            for oi, row in overrides.pool_map.items():
+                self._pool_index[oi] = base + row
+            pool_parts.append(rows)
+            base += rows.shape[0]
+
         self.pool_1q = (jnp.concatenate(pool_parts)
                         if len(self._pool_index) else None)
 
     def matrix(self, oi: int) -> jnp.ndarray:
+        if self._overrides is not None:
+            m = self._overrides.per_op.get(oi)
+            if m is not None:
+                return jnp.asarray(m).astype(self.dtype)
+            r = self._overrides.pool_map.get(oi)
+            if r is not None:
+                return jnp.asarray(
+                    self._overrides.pool_rows)[r].astype(self.dtype)
         cached = self._per_op.get(oi)
         if cached is None:
             stack, row = self._lazy[oi]
@@ -742,11 +778,14 @@ def make_prodslice_fn(facs, cre, cim, rank, axes, planar, ax, fpos, lead):
 
 
 def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
-                         params, dtype):
+                         params, dtype,
+                         overrides: OperandOverrides | None = None):
     """Trace-time operator construction: per-axis blocked stacks
-    (m, 2, 2, S, S) f32, blocked cross ops, blocked pair diagonals."""
+    (m, 2, 2, S, S) f32, blocked cross ops, blocked pair diagonals.
+    ``overrides`` injects traced matrices for designated ops (the
+    mixed-unitary trajectory path)."""
     layout = plan.layout
-    pool = _GateMatrixPool(program, params, dtype)
+    pool = _GateMatrixPool(program, params, dtype, overrides)
 
     # Batch every all-1q sub-column of each axis-width class into one
     # gather + kron chain (the dominant sub-column shape in layered
@@ -1499,15 +1538,139 @@ def group_evolve_body(program: prog.CircuitProgram, state, params,
 def group_forward_fn(program: prog.CircuitProgram, dtype=None) -> Callable:
     """jitted ``f(params) -> complex state (2^n,)`` via the group-matmul
     plan. Handles EVERY circuit (generic per-gate fallback for the rare
-    3-group gates)."""
+    3-group gates).
+
+    With ``CONFIG.interactive`` set, a structure with no fused compiled
+    program yet is served by the skeleton-keyed executor instead (see
+    ``interactive_forward_fn``) — the editor's 1-gate-edit rerun skips
+    the per-structure remote compile."""
     dtype = dtype or CONFIG.dtype
     key = ("group-plan", program.compile_key, str(dtype))
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
 
+    if CONFIG.interactive:
+        fn = interactive_forward_fn(program, dtype)
+        if fn is not None:
+            # Deliberately NOT cached under the structure key: flipping
+            # CONFIG.interactive off must restore the fused path.
+            return fn
+
     fn = jax.jit(lambda params: group_forward_body(program, params, dtype))
     if len(_PLAN_CACHE) > 64:
         _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
     _PLAN_CACHE[key] = fn
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Interactive (edit-hot) forward path: skeleton-keyed executor reuse
+# ---------------------------------------------------------------------------
+
+_SKEL_CACHE: dict[tuple, Callable] = {}
+
+
+def plan_skeleton(plan: GroupPlan):
+    """Hashable structural class of a plan: the step sequence, swap
+    flags, and axis sizes — exactly what the DEREALIFIED trace reads
+    (see ``_derealify``). Two circuits with equal skeletons compile to
+    the SAME XLA program once operands are runtime inputs — so a 1-gate
+    edit that preserves the step sequence (the common editor case: the
+    new gate joins an existing composition window) reuses the compiled
+    executable instead of paying a fresh 20-60 s remote compile
+    (SURVEY §7 recompilation management; the reference recompiles
+    nothing because it interprets per-gate,
+    ``/root/reference/quantum_sim/engine/state_vector.py:41-74``).
+
+    Realness analysis is deliberately EXCLUDED: the interactive
+    executor always runs planar with full blocked operators, so that
+    adding the first complex gate to an all-real window (Ry circuit +
+    one Rz — the archetypal edit) reuses the executable instead of
+    recompiling. The 2x FLOP cost is milliseconds at editor scale; the
+    avoided compile is tens of seconds.
+
+    Returns None when the plan contains a GenericStep — its trace reads
+    the program op itself, so it stays structure-keyed."""
+    if any(isinstance(s, GenericStep) for s in plan.steps):
+        return None
+    return (tuple(plan.layout.axis_sizes), plan.steps,
+            tuple(s.is_swap for s in plan.bitpair_specs))
+
+
+def _derealify(plan: GroupPlan) -> GroupPlan:
+    """Plan copy with every realness flag cleared: the executor trace
+    then reads only skeleton fields. Operands are built realness-
+    independent (full blocked stacks), so this is purely a trace-side
+    canonicalization."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        plan,
+        dense_real=tuple(tuple(False for _ in ax) for ax in plan.dense_real),
+        cross_real=tuple(False for _ in plan.cross_real),
+        diag_real=tuple(False for _ in plan.diag_real),
+        prod_real=tuple(False for _ in plan.prod_real),
+        bitpair_real=tuple(False for _ in plan.bitpair_real),
+        all_real=False,
+    )
+
+
+def _skeleton_executor(skel, plan: GroupPlan, dtype) -> Callable:
+    """Jitted ``f(operands, x0) -> flat complex state`` for the plan's
+    skeleton class. The (derealified) trace reads ONLY skeleton fields
+    of ``plan``, so caching by skeleton is sound even though the
+    closure captures one particular plan instance."""
+    key = (skel, str(dtype))
+    fn = _SKEL_CACHE.get(key)
+    if fn is not None:
+        return fn
+    plan = _derealify(plan)
+
+    def body(operands, x0):
+        x = execute_group_plan(plan, operands, None, None, dtype, x0,
+                               planar=True)
+        return (x[0] + 1j * x[1]).reshape(-1).astype(dtype)
+
+    fn = jax.jit(body)
+    if len(_SKEL_CACHE) > 64:
+        _SKEL_CACHE.pop(next(iter(_SKEL_CACHE)))
+    _SKEL_CACHE[key] = fn
+    return fn
+
+
+def _host_cpu_device():
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
+def interactive_forward_fn(program: prog.CircuitProgram, dtype=None):
+    """``f(params) -> state`` through a skeleton-compiled executor:
+    operands build EAGERLY on the host CPU backend (small K<=128
+    matrices — milliseconds) and stream to the device as runtime f32
+    inputs (complex never crosses the wire — axon DMA rule). Falls back
+    to None when the plan needs a GenericStep or no CPU backend exists.
+
+    Not differentiable in ``params`` (they leave the trace); gradient
+    users stay on ``group_forward_body``."""
+    dtype = dtype or CONFIG.dtype
+    plan = get_group_plan(program)
+    skel = plan_skeleton(plan)
+    cpu = _host_cpu_device()
+    if skel is None or cpu is None:
+        return None
+    fn = _skeleton_executor(skel, plan, dtype)
+    dev = jax.devices()[0]
+
+    def run(params):
+        with jax.default_device(cpu):
+            params_h = jnp.asarray(np.asarray(params))
+            operands = build_group_operands(program, plan, params_h,
+                                            dtype)
+            x0 = _planar_basis_state(plan.layout, program.initial_index)
+        operands, x0 = jax.device_put((operands, x0), dev)
+        return fn(operands, x0)
+
+    return run

@@ -432,11 +432,8 @@ def trajectory_fn(program: CircuitProgram, noise_model, dtype=None,
     key = ("traj", program.compile_key, noise_model.spec_key(),
            str(dtype), record_columns, _use_group_path(program))
     if _use_group_path(program):
-        from .plan import group_trajectory_body
-
-        return _cache_get(key, lambda: jax.jit(
-            lambda params, k: group_trajectory_body(
-                program, noise_model, params, k, dtype, record_columns)))
+        body = _group_traj_body(program, noise_model, dtype, record_columns)
+        return _cache_get(key, lambda: jax.jit(body))
     return _cache_get(key, lambda: jax.jit(
         lambda params, k: _trajectory_body(
             program, channels_for, params, k, dtype, record_columns)))
@@ -477,13 +474,41 @@ def batched_trajectories_fn(program: CircuitProgram, noise_model,
 
     def build():
         if _use_group_path(program):
-            from .plan import group_trajectory_body
-
-            body = lambda params, k: group_trajectory_body(
-                program, noise_model, params, k, dtype, record_columns)
+            body = _group_traj_body(program, noise_model, dtype,
+                                    record_columns)
         else:
             body = lambda params, k: _trajectory_body(
                 program, channels_for, params, k, dtype, record_columns)
         return jax.jit(jax.vmap(body, in_axes=(None, 0)))
 
     return _cache_get(key, build)
+
+
+def _group_traj_body(program: CircuitProgram, noise_model, dtype,
+                     record_columns: bool) -> Callable:
+    """Group-path trajectory body selector, fastest applicable first:
+
+    1. mixed-unitary channels -> ``ops/unitary_traj`` (draws splice as
+       unitaries into the plan's composition windows: ~per-column state
+       passes instead of per-gate);
+    2. otherwise the folded single-pass-per-gate executor
+       (``ops/bigtraj.fold_trajectory_body``) when every op has a fold
+       applier;
+    3. otherwise the per-gate ``plan.group_trajectory_body`` (which
+       also serves snapshot recording and >3-target dense gates)."""
+    from .bigtraj import fold_supported, fold_trajectory_body
+    from .plan import group_trajectory_body
+    from .unitary_traj import (
+        unitary_insert_supported,
+        unitary_insert_trajectory_body,
+    )
+
+    if not record_columns and unitary_insert_supported(program,
+                                                       noise_model):
+        return lambda params, k: unitary_insert_trajectory_body(
+            program, noise_model, params, k, dtype)
+    if not record_columns and fold_supported(program):
+        return lambda params, k: fold_trajectory_body(
+            program, noise_model, params, k, dtype)
+    return lambda params, k: group_trajectory_body(
+        program, noise_model, params, k, dtype, record_columns)

@@ -1,0 +1,270 @@
+"""Mixed-unitary noise trajectories as random unitary insertions.
+
+For channels whose Kraus operators are each proportional to a unitary
+(depolarizing, bit-flip, phase-flip, 2q depolarizing — every channel
+the fault-tolerance "circuit noise" family uses), the branch
+probabilities ``p_m = ||K_m psi||^2 = c_m`` are STATE-INDEPENDENT and
+the normalized post-branch operator ``K_m / sqrt(c_m)`` is exactly
+unitary. Consequently a stochastic trajectory is just the ideal circuit
+with independently drawn unitaries spliced in after each gate — no
+per-draw density-matrix algebra, no renormalization, and crucially **no
+per-gate whole-state pass**: the spliced ops feed the group-matmul plan
+(``ops/plan.py``), which composes them into the SAME per-axis operator
+stacks the ideal forward uses (one einsum pass per composition window
+instead of one per gate+draw).
+
+Measured motivation (BENCH_r03 → r04): the per-gate fold executor
+(``ops/bigtraj.huge_trajectory_evolve``) is bandwidth-bound at one
+whole-state pass per gate — 82 traj/s at n=20 depth-8 batch-256; this
+path runs the plan's ~per-column passes instead.
+
+This replaces the reference's per-shot Python resampling loop
+(``/root/reference/quantum_sim/engine/simulator.py:134-145`` +
+``noise.py:224-260``) for the mixed-unitary channel family; channels
+that genuinely need state-dependent draws (amplitude damping, thermal
+relaxation) stay on the fold path (``ops/bigtraj.py``).
+
+Also extends trajectory support to CORRELATED 2-qubit mixed-unitary
+channels (``TwoQubitDepolarizingNoise``): a (16, 4, 4) Pauli stack on a
+2-target gate splices one drawn 2q unitary — the per-target trajectory
+paths reject these by arity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import program as prog
+from .bigtraj import phase_real_stack, trajectory_is_real
+from .plan import (
+    OperandOverrides,
+    _planar_basis_state,
+    _real_basis_state,
+    build_group_operands,
+    execute_group_plan,
+    get_group_plan,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+
+# Classification-only dummies for spliced ops: the plan reads
+# static_matrix for realness/diagonality (plan._op_is_real /
+# _op_is_diagonal); operand values come from OperandOverrides. Must be
+# non-diagonal and non-SWAP so spliced ops land on the dense-matrix
+# routes, with realness matching the injected draws.
+_DUMMY_R1 = np.array([[1.0, 1.0], [1.0, -1.0]]) / np.sqrt(2)
+_DUMMY_C1 = np.array([[1.0, 1.0], [1.0j, -1.0j]]) / np.sqrt(2)
+
+
+def mixed_unitary_stack(stack: np.ndarray):
+    """``(m, D, D)`` Kraus stack -> ``(probs, units)`` when every
+    operator is proportional to a unitary (``K^H K = c I``) and the
+    channel is trace-preserving, else None. ``units[m]`` is exactly
+    unitary; ``probs[m] = c_m``."""
+    st = np.asarray(stack, np.complex128)
+    if st.ndim != 3 or st.shape[1] != st.shape[2]:
+        return None
+    d = st.shape[1]
+    probs, units = [], []
+    for K in st:
+        M = K.conj().T @ K
+        c = float(np.real(np.trace(M))) / d
+        if c < 1e-12 or not np.allclose(M, c * np.eye(d), atol=1e-9):
+            return None
+        probs.append(c)
+        units.append(K / np.sqrt(c))
+    probs = np.asarray(probs)
+    if not np.isclose(probs.sum(), 1.0, atol=1e-6):
+        return None
+    return probs, np.stack(units)
+
+
+class _StackSpec(NamedTuple):
+    probs: np.ndarray        # (m,) static branch probabilities
+    units: np.ndarray        # (m, D, D) complex unitaries
+    units_real: object       # (m, D, D) real (phase-real form) or None
+
+
+class _Draw(NamedTuple):
+    aug_index: int           # spliced op's index in aug.ops
+    stack_id: int
+    draw_index: int          # key index (fold-path-compatible schedule)
+
+
+class UnitaryInsertSpec(NamedTuple):
+    aug: prog.CircuitProgram
+    draws: tuple
+    stacks: tuple            # tuple[_StackSpec]
+    total_draws: int
+    real: bool               # whole trajectory stays real (phase-real)
+
+
+_SPEC_CACHE: dict[tuple, UnitaryInsertSpec | None] = {}
+
+
+def _dummy_op(targets, mat, column_index) -> prog.ProgramOp:
+    return prog.ProgramOp("__MU_KRAUS__", tuple(targets), 0, 0,
+                          column_index, mat, None, -1)
+
+
+def unitary_insert_spec(program: prog.CircuitProgram, noise_model
+                        ) -> UnitaryInsertSpec | None:
+    """Host-side splice plan, or None when any channel on any gate is
+    not mixed-unitary (those circuits stay on the fold path). Draw-key
+    indices follow the fold path's schedule (per op: one draw per
+    (stack, target) for 1q stacks) so the two paths share PRNG
+    plumbing."""
+    key = (program.compile_key, noise_model.spec_key())
+    if key in _SPEC_CACHE:
+        return _SPEC_CACHE[key]
+    spec = _build_spec(program, noise_model)
+    if len(_SPEC_CACHE) > 128:
+        _SPEC_CACHE.pop(next(iter(_SPEC_CACHE)))
+    _SPEC_CACHE[key] = spec
+    return spec
+
+
+def _build_spec(program, noise_model):
+    real = trajectory_is_real(program, noise_model)
+    stacks: list[_StackSpec] = []
+    stack_ids: dict[tuple, int] = {}
+    by_gate: dict[str, list[int] | None] = {}
+
+    def stack_id_for(raw) -> int | None:
+        skey = raw.tobytes()
+        sid = stack_ids.get(skey)
+        if sid is not None:
+            return sid
+        mu = mixed_unitary_stack(raw)
+        if mu is None:
+            return None
+        probs, units = mu
+        ur = phase_real_stack(units) if real else None
+        sid = len(stacks)
+        stacks.append(_StackSpec(probs, units.astype(np.complex64), ur))
+        stack_ids[skey] = sid
+        return sid
+
+    aug_ops: list[prog.ProgramOp] = []
+    draws: list[_Draw] = []
+    draw = 0
+    for op in program.ops:
+        if op.gate_name not in by_gate:
+            sids = []
+            for raw in noise_model.kraus_stacks_for_gate(op.gate_name):
+                sid = stack_id_for(np.asarray(raw))
+                if sid is None:
+                    sids = None
+                    break
+                sids.append(sid)
+            by_gate[op.gate_name] = sids
+        sids = by_gate[op.gate_name]
+        if sids is None:
+            return None
+        aug_ops.append(op)
+        k = len(op.targets)
+        for sid in sids:
+            d = stacks[sid].units.shape[1]
+            if d == 2:
+                for q in op.targets:
+                    dummy = _DUMMY_R1 if real else _DUMMY_C1
+                    draws.append(_Draw(len(aug_ops), sid, draw))
+                    aug_ops.append(_dummy_op((q,), dummy,
+                                             op.column_index))
+                    draw += 1
+            elif d == 1 << k:
+                dummy = np.kron(_DUMMY_R1, _DUMMY_R1) if real \
+                    else np.kron(_DUMMY_C1, _DUMMY_C1)
+                if k != 2:
+                    return None  # wide correlated stacks: unsupported
+                draws.append(_Draw(len(aug_ops), sid, draw))
+                aug_ops.append(_dummy_op(op.targets, dummy,
+                                         op.column_index))
+                draw += 1
+            else:
+                return None  # arity mismatch (2q stack on a 1q gate)
+
+    aug = prog.CircuitProgram(
+        num_qubits=program.num_qubits,
+        initial_index=program.initial_index,
+        ops=tuple(aug_ops),
+        num_columns=program.num_columns,
+        num_params=program.num_params,
+        initial_params=program.initial_params,
+        compile_key=program.compile_key + (
+            ("mu-traj", noise_model.spec_key(), real),),
+    )
+    return UnitaryInsertSpec(aug, tuple(draws), tuple(stacks), draw, real)
+
+
+def unitary_insert_supported(program, noise_model) -> bool:
+    return unitary_insert_spec(program, noise_model) is not None
+
+
+def unitary_insert_trajectory_body(program, noise_model, params, key,
+                                   dtype=None) -> jnp.ndarray:
+    """Traceable ``(params, key) -> flat complex state``: ONE stochastic
+    trajectory with every noise draw spliced as a unitary into the group
+    plan. Vmappable over keys (``program.batched_trajectories_fn``
+    routes here for mixed-unitary noise)."""
+    from ..config import CONFIG
+
+    dtype = dtype or CONFIG.dtype
+    spec = unitary_insert_spec(program, noise_model)
+    if spec is None:
+        raise ValueError("noise model has non-mixed-unitary channels; "
+                         "use the fold path (ops/bigtraj.py)")
+    aug = spec.aug
+    plan = get_group_plan(aug)
+    keys = jax.random.split(key, max(1, spec.total_draws))
+
+    # One vectorized categorical per distinct stack; selections gather
+    # the (exactly unitary) branch operators.
+    pool_rows: list = []
+    pool_map: dict[int, int] = {}
+    per_op: dict[int, jnp.ndarray] = {}
+    for sid, st in enumerate(spec.stacks):
+        dlist = [d for d in spec.draws if d.stack_id == sid]
+        if not dlist:
+            continue
+        kb = jnp.stack([keys[d.draw_index] for d in dlist])
+        logits = jnp.asarray(np.log(st.probs), jnp.float32)
+        sel = jax.vmap(
+            lambda k_, lg=logits: jax.random.categorical(k_, lg))(kb)
+        units = st.units_real if spec.real else st.units
+        chosen = jnp.take(jnp.asarray(units), sel, axis=0)
+        if st.units.shape[1] == 2:
+            base_row = sum(r.shape[0] for r in pool_rows) \
+                if pool_rows else 0
+            pool_rows.append(chosen)
+            for r, d in enumerate(dlist):
+                pool_map[d.aug_index] = base_row + r
+        else:
+            for r, d in enumerate(dlist):
+                per_op[d.aug_index] = chosen[r]
+
+    overrides = OperandOverrides(
+        pool_rows=(jnp.concatenate(pool_rows).astype(jnp.complex64)
+                   if pool_rows else None),
+        pool_map=pool_map, per_op=per_op)
+
+    operands = build_group_operands(aug, plan, params, jnp.complex64,
+                                    overrides=overrides)
+    planar = not plan.all_real
+    x = (_planar_basis_state(plan.layout, aug.initial_index) if planar
+         else _real_basis_state(plan.layout, aug.initial_index))
+    x = execute_group_plan(plan, operands, aug, params, jnp.complex64, x,
+                           planar=planar)
+    if planar:
+        flat = (x[0] + 1j * x[1]).reshape(-1)
+    else:
+        flat = x.reshape(-1).astype(jnp.complex64)
+    # All spliced operators are exactly unitary, but f32 products drift
+    # ~1e-6/op; one exact normalization matches the other paths'
+    # ||psi|| = 1 contract.
+    nsq = jnp.sum(jnp.real(flat) ** 2 + jnp.imag(flat) ** 2)
+    return (flat / jnp.sqrt(jnp.maximum(nsq, 1e-30))).astype(dtype)

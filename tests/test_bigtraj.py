@@ -140,6 +140,94 @@ class TestTrajectoryExecutor:
         assert not trajectory_is_real(prog.compile_circuit(c2), nm)
 
 
+def _fold_vs_group(circuit, nm, seed):
+    """Draw-exactness lock (VERDICT r3 #1): the folded mid-n body must
+    take the SAME stochastic branches as plan.group_trajectory_body for
+    the same key — final states match up to f32 rounding (and a global
+    phase on the phase-real real-state path)."""
+    from quantum_simulator_tpu.ops.bigtraj import fold_trajectory_body
+
+    p = prog.compile_circuit(circuit)
+    params = jnp.asarray(p.initial_params)
+    key = jax.random.PRNGKey(seed)
+    ref = np.asarray(group_trajectory_body(p, nm, params, key,
+                                           jnp.complex64))
+    got = np.asarray(fold_trajectory_body(p, nm, params, key,
+                                          jnp.complex64))
+    fid = abs(np.vdot(ref, got)) ** 2 / (
+        np.vdot(ref, ref).real * np.vdot(got, got).real)
+    assert fid > 1 - 1e-5, fid
+    np.testing.assert_allclose(np.vdot(got, got).real, 1.0, atol=1e-4)
+
+
+class TestFoldTrajectoryBody:
+    """The unchunked folded executor behind the vmapped mid-n
+    (19 <= n <= 26) batched-trajectory path."""
+
+    def test_real_brickwork(self):
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.1))
+        _fold_vs_group(brickwork_circuit(12, 4, seed=3), nm, seed=7)
+
+    def test_complex_planar_exact(self):
+        c = brickwork_circuit(9, 2, seed=3)
+        col = max(g.column for g in c.gates) + 1
+        for q in range(9):
+            c.add_gate(GateInstance("Rz", [q], [0.3 + 0.1 * q], column=col))
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.1))
+        from quantum_simulator_tpu.ops.bigtraj import fold_trajectory_body
+        p = prog.compile_circuit(c)
+        params = jnp.asarray(p.initial_params)
+        key = jax.random.PRNGKey(11)
+        ref = np.asarray(group_trajectory_body(p, nm, params, key,
+                                               jnp.complex64))
+        got = np.asarray(fold_trajectory_body(p, nm, params, key,
+                                              jnp.complex64))
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_cphase_ops_fold_densely(self):
+        # CZ / MCZ3 with channels ride the dense prod-fold (one pass)
+        # on the unchunked path — same draws as the per-gate body.
+        c = QuantumCircuit(13)
+        for q in range(13):
+            c.add_gate(GateInstance("H", [q], [], column=0))
+        c.add_gate(GateInstance("CZ", [0, 12], [], column=1))
+        c.add_gate(GateInstance("CZ", [3, 4], [], column=1))
+        c.add_gate(GateInstance("MCZ3", [1, 6, 11], [], column=2))
+        for q in range(13):
+            c.add_gate(GateInstance("Ry", [q], [0.05 * q + 0.1], column=3))
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.12))
+        _fold_vs_group(c, nm, seed=5)
+
+    def test_mixed_and_gate_specific_channels(self):
+        nm = NoiseModel()
+        nm.add_global_noise(BitFlipNoise(0.08))
+        nm.add_gate_noise("CNOT", AmplitudeDampingNoise(0.2))
+        _fold_vs_group(brickwork_circuit(10, 3, seed=5), nm, seed=13)
+
+    def test_fold_supported_routing(self):
+        from quantum_simulator_tpu.ops.bigtraj import fold_supported
+        assert fold_supported(prog.compile_circuit(
+            brickwork_circuit(10, 2, seed=1)))
+        # MCZ5 is controlled-phase-form: supported (prod applier)
+        c = QuantumCircuit(12)
+        c.add_gate(GateInstance("MCZ5", [0, 2, 4, 6, 8], [], column=0))
+        assert fold_supported(prog.compile_circuit(c))
+
+    def test_wide_mcz_with_noise_unchunked(self):
+        # MCZ4 exceeds _FOLD_MAX_TARGETS: apply + per-qubit kraus route
+        # on the unchunked path too — still draw-exact vs the group body.
+        c = QuantumCircuit(12)
+        for q in range(12):
+            c.add_gate(GateInstance("H", [q], [], column=0))
+        c.add_gate(GateInstance("MCZ4", [0, 3, 6, 9], [], column=1))
+        nm = NoiseModel()
+        nm.add_global_noise(PhaseFlipNoise(0.15))
+        _fold_vs_group(c, nm, seed=21)
+
+
 class TestDonationChain:
     def test_sample_fn_counts_match_state(self):
         c = brickwork_circuit(10, 3, seed=9)
