@@ -30,6 +30,13 @@ def main() -> int:
     from quantum_simulator_tpu.gui.themes.theme_manager import ThemeManager
     from quantum_simulator_tpu.utils.appconfig import AppConfig
 
+    from quantum_simulator_tpu.config import CONFIG
+
+    # Editor sessions churn circuit structure: route fresh structures
+    # through the skeleton-keyed executor (ops/plan.py) so a 1-gate
+    # edit reruns in milliseconds instead of paying a remote recompile.
+    CONFIG.interactive = True
+
     app = QApplication(sys.argv)
     config = AppConfig.load()
     ThemeManager(config.theme).apply(app)

@@ -48,6 +48,14 @@ class EngineConfig:
     # in context, and each pallas_call boundary breaks that scheduling.
     # Kept as an evaluated option; flip for experimentation.
     pallas_steps: bool = False
+    # Interactive (edit-hot) forward routing: when True, a circuit
+    # structure with no fused compiled program yet runs through the
+    # skeleton-keyed executor (ops/plan.interactive_forward_fn) — a
+    # 1-gate edit that preserves the plan's step skeleton reuses the
+    # compiled executable instead of paying a fresh 20-60 s remote
+    # compile. The GUI bootstrap flips this on; batch/bench paths keep
+    # the fused (operands-in-trace) program.
+    interactive: bool = False
 
     @property
     def real_dtype(self):

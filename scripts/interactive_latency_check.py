@@ -1,0 +1,109 @@
+"""Interactive edit->run latency check (VERDICT r3 #6).
+
+Measures, on the current default backend (run on the real TPU chip):
+
+1. cold first run of an n=16 depth-8 circuit through the skeleton
+   executor (one compile per skeleton CLASS, not per structure);
+2. warm 1-gate-edit rerun: add one gate, recompile the program IR,
+   rerun — must reuse the compiled executor (target < 2 s);
+3. a second, different 1-gate edit (complex gate into a real window —
+   the realness-flip case that used to force a recompile);
+4. for contrast, the fused per-structure path's compile cost for the
+   same edit (what the editor used to pay).
+
+Writes INTERACTIVE_r04.json at the repo root.
+
+Usage: python scripts/interactive_latency_check.py [--skip-fused]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build(n, depth, seed, edit=0):
+    from quantum_simulator_tpu.circuit import GateInstance, QuantumCircuit
+
+    rng = np.random.default_rng(seed)
+    c = QuantumCircuit(n)
+    col = 0
+    for layer in range(depth):
+        for q in range(n):
+            c.add_gate(GateInstance("Ry", [q], [float(rng.uniform(0, 3))],
+                                    column=col))
+        col += 1
+        for q in range(layer % 2, n - 1, 2):
+            c.add_gate(GateInstance("CNOT", [q, q + 1], [], column=col))
+        col += 1
+    if edit >= 1:  # 1-gate edit: extra Ry joins the last rotation column
+        c.add_gate(GateInstance("Ry", [n // 2], [0.77], column=col))
+    if edit >= 2:  # realness-flip edit: first complex gate in the circuit
+        c.add_gate(GateInstance("Rz", [n // 3], [0.33], column=col))
+    return c
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-fused", action="store_true",
+                    help="skip the fused-path recompile contrast run")
+    ap.add_argument("-n", type=int, default=16)
+    ap.add_argument("--depth", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    from quantum_simulator_tpu.config import CONFIG
+    from quantum_simulator_tpu.simulator import Simulator
+
+    platform = jax.devices()[0].platform
+    CONFIG.interactive = True
+    sim = Simulator()
+    out = {"platform": platform, "n": args.n, "depth": args.depth}
+
+    def timed_run(circuit):
+        t0 = time.perf_counter()
+        res = sim.run(circuit, shots=64, seed=0)
+        assert sum(res.measurement_counts.values()) == 64
+        return time.perf_counter() - t0
+
+    out["cold_first_run_s"] = round(timed_run(build(args.n, args.depth, 3)), 3)
+    out["warm_same_structure_s"] = round(
+        timed_run(build(args.n, args.depth, 3)), 3)
+    out["warm_1gate_edit_s"] = round(
+        timed_run(build(args.n, args.depth, 3, edit=1)), 3)
+    out["warm_realness_flip_edit_s"] = round(
+        timed_run(build(args.n, args.depth, 3, edit=2)), 3)
+    out["edit_under_2s"] = (out["warm_1gate_edit_s"] < 2.0
+                            and out["warm_realness_flip_edit_s"] < 2.0)
+
+    if not args.skip_fused:
+        # What the editor used to pay: fused per-structure compile of
+        # the SAME edited circuit.
+        CONFIG.interactive = False
+        out["fused_recompile_s"] = round(
+            timed_run(build(args.n, args.depth, 3, edit=1)), 3)
+        CONFIG.interactive = True
+
+    print(json.dumps(out))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "INTERACTIVE_r04.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}", file=sys.stderr)
+    if not out["edit_under_2s"]:
+        print("WARNING: edit->run latency target (<2 s) missed",
+              file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
