@@ -702,6 +702,26 @@ def huge_trajectory_evolve(program, noise_model, params, key,
     return x
 
 
+def _evolve_body(program, noise_model):
+    """Huge-path trajectory evolution selector: ``(params, key, x,
+    n_chunks) -> x``. Mixed-unitary noise takes the splice path
+    (``ops/unitary_traj.unitary_insert_evolve`` — plan composition
+    windows, ~per-column passes); anything else takes the per-gate fold
+    executor with trace-side rho algebra."""
+    from .unitary_traj import (
+        unitary_insert_evolve,
+        unitary_insert_supported,
+    )
+
+    if unitary_insert_supported(program, noise_model):
+        return lambda params, key, x, n_chunks=None: \
+            unitary_insert_evolve(program, noise_model, params, key, x,
+                                  n_chunks=n_chunks)
+    return lambda params, key, x, n_chunks=None: \
+        huge_trajectory_evolve(program, noise_model, params, key, x,
+                               None, n_chunks, from_basis=True)
+
+
 def huge_trajectory_state_body(program, noise_model, params, key,
                                dtype=None, n_chunks: int | None = None
                                ) -> tuple[jnp.ndarray, bool]:
@@ -713,8 +733,7 @@ def huge_trajectory_state_body(program, noise_model, params, key,
     planar = not trajectory_is_real(program, noise_model)
     x = (_planar_basis_state(layout, program.initial_index) if planar
          else _real_basis_state(layout, program.initial_index))
-    x = huge_trajectory_evolve(program, noise_model, params, key, x,
-                               dtype, n_chunks, from_basis=True)
+    x = _evolve_body(program, noise_model)(params, key, x, n_chunks)
     return x, planar
 
 
@@ -899,10 +918,9 @@ def _traj_apply_raw(program, noise_model, dtype):
     if cached is None:
         shape = _traj_state_shape(program, planar)
         auto = Format(Layout.AUTO)
+        body = _evolve_body(program, noise_model)
         jitted = jax.jit(
-            lambda params, key, x: huge_trajectory_evolve(
-                program, noise_model, params, key, x, dtype,
-                from_basis=True),
+            lambda params, key, x: body(params, key, x),
             in_shardings=(Format(), Format(), auto), out_shardings=auto,
             donate_argnums=(2,))
         cached = jitted.lower(
@@ -956,10 +974,9 @@ def _traj_apply_fn(program, noise_model, dtype):
              str(dtype))
     cached = _TRAJ_CACHE.get(key_t)
     if cached is None:
+        body = _evolve_body(program, noise_model)
         cached = _traj_cache_put(key_t, jax.jit(
-            lambda params, key, x: huge_trajectory_evolve(
-                program, noise_model, params, key, x, dtype,
-                from_basis=True),
+            lambda params, key, x: body(params, key, x),
             donate_argnums=(2,)))
     return cached
 

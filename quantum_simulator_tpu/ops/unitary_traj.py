@@ -205,25 +205,10 @@ def unitary_insert_supported(program, noise_model) -> bool:
     return unitary_insert_spec(program, noise_model) is not None
 
 
-def unitary_insert_trajectory_body(program, noise_model, params, key,
-                                   dtype=None) -> jnp.ndarray:
-    """Traceable ``(params, key) -> flat complex state``: ONE stochastic
-    trajectory with every noise draw spliced as a unitary into the group
-    plan. Vmappable over keys (``program.batched_trajectories_fn``
-    routes here for mixed-unitary noise)."""
-    from ..config import CONFIG
-
-    dtype = dtype or CONFIG.dtype
-    spec = unitary_insert_spec(program, noise_model)
-    if spec is None:
-        raise ValueError("noise model has non-mixed-unitary channels; "
-                         "use the fold path (ops/bigtraj.py)")
-    aug = spec.aug
-    plan = get_group_plan(aug)
+def _draw_overrides(spec: UnitaryInsertSpec, key) -> OperandOverrides:
+    """One vectorized categorical per distinct stack; selections gather
+    the (exactly unitary) branch operators into operand overrides."""
     keys = jax.random.split(key, max(1, spec.total_draws))
-
-    # One vectorized categorical per distinct stack; selections gather
-    # the (exactly unitary) branch operators.
     pool_rows: list = []
     pool_map: dict[int, int] = {}
     per_op: dict[int, jnp.ndarray] = {}
@@ -246,14 +231,29 @@ def unitary_insert_trajectory_body(program, noise_model, params, key,
         else:
             for r, d in enumerate(dlist):
                 per_op[d.aug_index] = chosen[r]
-
-    overrides = OperandOverrides(
+    return OperandOverrides(
         pool_rows=(jnp.concatenate(pool_rows).astype(jnp.complex64)
                    if pool_rows else None),
         pool_map=pool_map, per_op=per_op)
 
+
+def unitary_insert_trajectory_body(program, noise_model, params, key,
+                                   dtype=None) -> jnp.ndarray:
+    """Traceable ``(params, key) -> flat complex state``: ONE stochastic
+    trajectory with every noise draw spliced as a unitary into the group
+    plan. Vmappable over keys (``program.batched_trajectories_fn``
+    routes here for mixed-unitary noise)."""
+    from ..config import CONFIG
+
+    dtype = dtype or CONFIG.dtype
+    spec = unitary_insert_spec(program, noise_model)
+    if spec is None:
+        raise ValueError("noise model has non-mixed-unitary channels; "
+                         "use the fold path (ops/bigtraj.py)")
+    aug = spec.aug
+    plan = get_group_plan(aug)
     operands = build_group_operands(aug, plan, params, jnp.complex64,
-                                    overrides=overrides)
+                                    overrides=_draw_overrides(spec, key))
     planar = not plan.all_real
     x = (_planar_basis_state(plan.layout, aug.initial_index) if planar
          else _real_basis_state(plan.layout, aug.initial_index))
@@ -268,3 +268,39 @@ def unitary_insert_trajectory_body(program, noise_model, params, key,
     # ||psi|| = 1 contract.
     nsq = jnp.sum(jnp.real(flat) ** 2 + jnp.imag(flat) ** 2)
     return (flat / jnp.sqrt(jnp.maximum(nsq, 1e-30))).astype(dtype)
+
+
+def unitary_insert_evolve(program, noise_model, params, key,
+                          x: jnp.ndarray, dtype=None,
+                          n_chunks: int | None = None) -> jnp.ndarray:
+    """Chunked splice evolution of a PROVIDED grouped state — the huge
+    (n >= 30) counterpart of ``unitary_insert_trajectory_body``, with
+    the same signature as ``bigtraj.huge_trajectory_evolve`` so the
+    huge-path donation/layout chain (``bigtraj._traj_apply_raw``) can
+    swap it in for mixed-unitary noise. The chunked memory schedule is
+    ``bigstate``'s; the plan composes gate+draw windows, so depth-2
+    n=30 runs plan passes instead of one pass per gate+draw.
+
+    No renormalization pass: every spliced operator is exactly unitary,
+    so ||psi|| drifts only by f32 rounding (~1e-6 over typical depths),
+    inside the sampling tolerance — and at n >= 30 one avoided pass is
+    ~20-30 ms."""
+    from .bigstate import auto_chunks, execute_group_plan_chunked
+
+    spec = unitary_insert_spec(program, noise_model)
+    if spec is None:
+        raise ValueError("noise model has non-mixed-unitary channels; "
+                         "use bigtraj.huge_trajectory_evolve")
+    aug = spec.aug
+    plan = get_group_plan(aug)
+    planar = not plan.all_real
+    if n_chunks is None:
+        n_chunks = auto_chunks(program.num_qubits, planar=planar)
+    operands = build_group_operands(aug, plan, params, jnp.complex64,
+                                    overrides=_draw_overrides(spec, key))
+    if n_chunks > 1:
+        return execute_group_plan_chunked(plan, operands, aug, params,
+                                          jnp.complex64, x, n_chunks,
+                                          planar=planar)
+    return execute_group_plan(plan, operands, aug, params, jnp.complex64,
+                              x, planar=planar)
