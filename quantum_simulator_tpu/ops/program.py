@@ -431,6 +431,17 @@ def trajectory_fn(program: CircuitProgram, noise_model, dtype=None,
     channels_for = noise_model.kraus_stacks_for_gate
     key = ("traj", program.compile_key, noise_model.spec_key(),
            str(dtype), record_columns, _use_group_path(program))
+    if CONFIG.interactive and not record_columns and key not in _CACHE:
+        # Edit-hot noisy rerun: the skeleton executor serves EVERY n
+        # (the per-gate einsum program below recompiles per structure
+        # and takes minutes at n >= 14 on remote-compile runtimes).
+        from .unitary_traj import interactive_trajectory_fn
+
+        fn = interactive_trajectory_fn(program, noise_model, dtype)
+        if fn is not None:
+            # NOT cached under the structure key — flipping
+            # CONFIG.interactive off must restore the fused path.
+            return fn
     if _use_group_path(program):
         body = _group_traj_body(program, noise_model, dtype, record_columns)
         return _cache_get(key, lambda: jax.jit(body))
@@ -471,6 +482,20 @@ def batched_trajectories_fn(program: CircuitProgram, noise_model,
     channels_for = noise_model.kraus_stacks_for_gate
     key = ("vtraj", program.compile_key, noise_model.spec_key(),
            str(dtype), record_columns, _use_group_path(program))
+
+    if CONFIG.interactive and not record_columns and key not in _CACHE:
+        from .unitary_traj import interactive_trajectory_fn
+
+        sfn = interactive_trajectory_fn(program, noise_model, dtype)
+        if sfn is not None:
+            # Edit-hot batches loop the skeleton executor per key
+            # (~0.4 s each at n=16) instead of compiling a fused batch
+            # program for a structure the user is about to edit again.
+            # NOT cached under the structure key (see trajectory_fn).
+            import jax.numpy as _jnp
+
+            return lambda params, keys: _jnp.stack(
+                [sfn(params, keys[i]) for i in range(keys.shape[0])])
 
     def build():
         if _use_group_path(program):

@@ -270,6 +270,44 @@ def unitary_insert_trajectory_body(program, noise_model, params, key,
     return (flat / jnp.sqrt(jnp.maximum(nsq, 1e-30))).astype(dtype)
 
 
+def interactive_trajectory_fn(program, noise_model, dtype=None):
+    """``f(params, key) -> state`` for edit-hot NOISY runs: the splice
+    draws happen eagerly on the host CPU backend and the state evolves
+    through the skeleton-keyed executor (``plan._skeleton_executor``) —
+    so a 1-gate edit reruns a noisy trajectory without a per-structure
+    recompile, same as the ideal interactive path. None when the noise
+    is not mixed-unitary, the aug plan needs a GenericStep, or no CPU
+    backend exists. Norm drifts only by f32 rounding (all splices are
+    exactly unitary); downstream sampling normalizes."""
+    from ..config import CONFIG
+    from .plan import _host_cpu_device, _skeleton_executor, plan_skeleton
+
+    dtype = dtype or CONFIG.dtype
+    spec = unitary_insert_spec(program, noise_model)
+    cpu = _host_cpu_device()
+    if spec is None or cpu is None:
+        return None
+    aug = spec.aug
+    plan = get_group_plan(aug)
+    skel = plan_skeleton(plan)
+    if skel is None:
+        return None
+    fn = _skeleton_executor(skel, plan, dtype)
+    dev = jax.devices()[0]
+
+    def run(params, key):
+        with jax.default_device(cpu):
+            params_h = jnp.asarray(np.asarray(params))
+            overrides = _draw_overrides(spec, jax.device_put(key, cpu))
+            operands = build_group_operands(aug, plan, params_h, dtype,
+                                            overrides=overrides)
+            x0 = _planar_basis_state(plan.layout, aug.initial_index)
+        operands, x0 = jax.device_put((operands, x0), dev)
+        return fn(operands, x0)
+
+    return run
+
+
 def unitary_insert_evolve(program, noise_model, params, key,
                           x: jnp.ndarray, dtype=None,
                           n_chunks: int | None = None) -> jnp.ndarray:

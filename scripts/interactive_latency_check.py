@@ -84,6 +84,26 @@ def main():
     out["edit_under_2s"] = (out["warm_1gate_edit_s"] < 2.0
                             and out["warm_realness_flip_edit_s"] < 2.0)
 
+    # Noisy single-trajectory reruns (the GUI's run-with-noise panel):
+    # the splice path draws eagerly on the host and reuses the same
+    # skeleton-compiled executor.
+    from quantum_simulator_tpu.noise import DepolarizingNoise, NoiseModel
+
+    nm = NoiseModel()
+    nm.add_global_noise(DepolarizingNoise(0.05))
+    nsim = Simulator(noise_model=nm)
+
+    def timed_noisy(circuit):
+        t0 = time.perf_counter()
+        res = nsim.run(circuit, shots=64, seed=0)
+        assert sum(res.measurement_counts.values()) == 64
+        return time.perf_counter() - t0
+
+    out["noisy_cold_first_run_s"] = round(
+        timed_noisy(build(args.n, args.depth, 3)), 3)
+    out["noisy_warm_1gate_edit_s"] = round(
+        timed_noisy(build(args.n, args.depth, 3, edit=1)), 3)
+
     if not args.skip_fused:
         # What the editor used to pay: fused per-structure compile of
         # the SAME edited circuit.

@@ -162,6 +162,93 @@ class TestRouting:
         finally:
             CONFIG.interactive = old
 
+    def test_interactive_noisy_trajectory_matches_fused(self):
+        from quantum_simulator_tpu.noise import (
+            DepolarizingNoise,
+            NoiseModel,
+        )
+        from quantum_simulator_tpu.ops.unitary_traj import (
+            interactive_trajectory_fn,
+            unitary_insert_trajectory_body,
+        )
+
+        c = brickwork(9, 2, rz=True)
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.1))
+        p = prog.compile_circuit(c)
+        fn = interactive_trajectory_fn(p, nm)
+        assert fn is not None
+        params = jnp.asarray(p.initial_params)
+        for seed in (0, 3):
+            key = jax.random.PRNGKey(seed)
+            got = np.asarray(fn(params, key))
+            ref = np.asarray(unitary_insert_trajectory_body(
+                p, nm, params, key))
+            # the interactive executor skips the final exact
+            # normalization pass (f32 drift only)
+            np.testing.assert_allclose(got / np.linalg.norm(got), ref,
+                                       atol=2e-6)
+
+    def test_interactive_noisy_edit_reuses_executor(self):
+        from quantum_simulator_tpu.noise import (
+            DepolarizingNoise,
+            NoiseModel,
+        )
+        from quantum_simulator_tpu.ops.unitary_traj import (
+            interactive_trajectory_fn,
+        )
+
+        P._SKEL_CACHE.clear()
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.1))
+        pA = prog.compile_circuit(brickwork(9, 2, rz=True))
+        pB = prog.compile_circuit(brickwork(9, 2, rz=True,
+                                            extra_gate=True))
+        fA = interactive_trajectory_fn(pA, nm)
+        fA(jnp.asarray(pA.initial_params), jax.random.PRNGKey(0))
+        assert len(P._SKEL_CACHE) == 1
+        (fn,) = P._SKEL_CACHE.values()
+        n_before = fn._cache_size()
+        fB = interactive_trajectory_fn(pB, nm)
+        out = fB(jnp.asarray(pB.initial_params), jax.random.PRNGKey(1))
+        assert len(P._SKEL_CACHE) == 1
+        assert fn._cache_size() == n_before
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_interactive_batched_trajectories_match(self, monkeypatch):
+        from quantum_simulator_tpu.noise import (
+            DepolarizingNoise,
+            NoiseModel,
+        )
+        from quantum_simulator_tpu.ops.unitary_traj import (
+            unitary_insert_trajectory_body,
+        )
+
+        # The group path is TPU-gated; force it so the interactive
+        # batched loop executes under the CPU test mesh too.
+        monkeypatch.setattr(prog, "_use_group_path", lambda _p: True)
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.1))
+        p = prog.compile_circuit(brickwork(8, 2, rz=True))
+        params = jnp.asarray(p.initial_params)
+        keys = jax.random.split(jax.random.PRNGKey(2), 3)
+        cache_key = ("vtraj", p.compile_key, nm.spec_key(),
+                     str(CONFIG.dtype), False, True)
+        prog._CACHE.pop(cache_key, None)
+        old = CONFIG.interactive
+        CONFIG.interactive = True
+        try:
+            batched = prog.batched_trajectories_fn(p, nm)(params, keys)
+            assert cache_key not in prog._CACHE  # interactive loop
+        finally:
+            CONFIG.interactive = old
+        ref = np.stack([
+            np.asarray(unitary_insert_trajectory_body(p, nm, params, k))
+            for k in keys])
+        got = np.asarray(batched)
+        got = got / np.linalg.norm(got, axis=1, keepdims=True)
+        np.testing.assert_allclose(got, ref, atol=2e-6)
+
     def test_generic_step_returns_none(self):
         # A non-diagonal 3-axis gate needs GenericStep: no skeleton.
         rng = np.random.default_rng(0)
