@@ -184,11 +184,14 @@ def zne_expectation(evaluate, circuit: QuantumCircuit,
     """
     scales = list(scales)
     if noise_model is not None:
+        def _specs(name):
+            return tuple(ch.spec_key()
+                         for ch in noise_model.channels_for_gate(name))
+
         asymmetric = sorted({
             g.gate_name for g in circuit.gates
             if g.gate_name in _DAG_SWAP
-            and len(noise_model.channels_for_gate(g.gate_name))
-            != len(noise_model.channels_for_gate(_DAG_SWAP[g.gate_name]))})
+            and _specs(g.gate_name) != _specs(_DAG_SWAP[g.gate_name])})
         if asymmetric:
             import warnings
             warnings.warn(

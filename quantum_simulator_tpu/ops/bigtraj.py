@@ -290,15 +290,9 @@ def _classify(layout: GroupLayout, op) -> str:
     spanning 3 groups (or 2 groups with no lone-bit axis)."""
     if op.cphase_value is not None:
         return 'prod'
-    axes_bits: dict[int, int] = {}
-    for q in op.targets:
-        axes_bits[layout.axis_of(q)] = axes_bits.get(layout.axis_of(q),
-                                                     0) + 1
-    axes = sorted(axes_bits)
-    if len(axes) == 1:
-        return 'axis'
-    if len(axes) == 2 and min(axes_bits.values()) == 1:
-        return 'cross'
+    kind = _matrix_kind(layout, op.targets)
+    if kind != 'bits':
+        return kind
     from .plan import _diag_product_value
 
     if _diag_product_value(op) is not None:
@@ -710,10 +704,10 @@ def _evolve_body(program, noise_model):
     executor with trace-side rho algebra."""
     from .unitary_traj import (
         unitary_insert_evolve,
-        unitary_insert_supported,
+        unitary_insert_evolve_ok,
     )
 
-    if unitary_insert_supported(program, noise_model):
+    if unitary_insert_evolve_ok(program, noise_model):
         return lambda params, key, x, n_chunks=None: \
             unitary_insert_evolve(program, noise_model, params, key, x,
                                   n_chunks=n_chunks)

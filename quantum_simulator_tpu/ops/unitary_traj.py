@@ -49,8 +49,6 @@ from .plan import (
     get_group_plan,
 )
 
-_HI = jax.lax.Precision.HIGHEST
-
 # Classification-only dummies for spliced ops: the plan reads
 # static_matrix for realness/diagonality (plan._op_is_real /
 # _op_is_diagonal); operand values come from OperandOverrides. Must be
@@ -205,6 +203,25 @@ def unitary_insert_supported(program, noise_model) -> bool:
     return unitary_insert_spec(program, noise_model) is not None
 
 
+def unitary_insert_evolve_ok(program, noise_model) -> bool:
+    """Gate for the HUGE-path splice route (``unitary_insert_evolve``):
+    mixed-unitary noise AND a GenericStep-free aug plan. A GenericStep
+    would (a) flatten the whole state to complex inside the chunked
+    executor — the ~2x-state round trip the n >= 30 path exists to
+    avoid — and (b) force the plan planar (``all_real=False``) while
+    the caller built the state shape from ``trajectory_is_real``,
+    crashing the einsum lowering for all-real circuits. Those circuits
+    stay on the per-gate fold executor, whose 'bits' applier handles
+    3-group-spanning dense gates."""
+    spec = unitary_insert_spec(program, noise_model)
+    if spec is None:
+        return False
+    from .plan import GenericStep
+
+    plan = get_group_plan(spec.aug)
+    return not any(isinstance(s, GenericStep) for s in plan.steps)
+
+
 def _draw_overrides(spec: UnitaryInsertSpec, key) -> OperandOverrides:
     """One vectorized categorical per distinct stack; selections gather
     the (exactly unitary) branch operators into operand overrides."""
@@ -322,7 +339,13 @@ def unitary_insert_evolve(program, noise_model, params, key,
     No renormalization pass: every spliced operator is exactly unitary,
     so ||psi|| drifts only by f32 rounding (~1e-6 over typical depths),
     inside the sampling tolerance — and at n >= 30 one avoided pass is
-    ~20-30 ms."""
+    ~20-30 ms.
+
+    Computes in f32 planes / complex64 only; ``dtype`` is accepted for
+    signature symmetry with ``bigtraj.huge_trajectory_evolve`` and
+    canonicalized (same contract — a complex128 whole state would not
+    fit the huge path's memory budget anyway)."""
+    del dtype  # canonicalized: c64 compute only (see docstring)
     from .bigstate import auto_chunks, execute_group_plan_chunked
 
     spec = unitary_insert_spec(program, noise_model)

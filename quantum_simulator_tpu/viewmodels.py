@@ -628,13 +628,17 @@ class ResourceMonitorModel:
                 rss_bytes=self._proc.memory_info().rss,
                 system_memory_percent=self._psutil.virtual_memory().percent,
             )
-        else:
+        elif os.path.exists("/proc/self/statm"):
             s = ResourceSample(
                 timestamp=time.time(),
                 cpu_percent=self._proc_cpu_percent(),
                 rss_bytes=self._proc_rss_bytes(),
                 system_memory_percent=self._proc_meminfo_percent(),
             )
+        else:
+            # No psutil and no /proc (macOS/Windows): report
+            # unavailable rather than fabricated zeros.
+            return None
         self.samples.append(s)
         cutoff = s.timestamp - self._history_seconds
         self.samples = [x for x in self.samples if x.timestamp >= cutoff]

@@ -270,6 +270,22 @@ class TestViewModels:
         assert s2.cpu_percent > 0.0
         assert len(model.samples) == 2
 
+    def test_resource_monitor_no_proc_returns_none(self, monkeypatch):
+        """No psutil AND no /proc (macOS/Windows): report unavailable
+        (None) rather than fabricated zero readings."""
+        import os as _os
+
+        model = ResourceMonitorModel()
+        model._proc = None
+        model._psutil = None
+        real_exists = _os.path.exists
+        monkeypatch.setattr(
+            "quantum_simulator_tpu.viewmodels.os.path.exists",
+            lambda p: (False if p == "/proc/self/statm"
+                       else real_exists(p)))
+        assert model.sample() is None
+        assert model.samples == []
+
 
 def test_fidelity_sweep_purity_decreases_under_noise():
     """Regression: ensemble purity must be tr(rho^2) (cross-trajectory

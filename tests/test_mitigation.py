@@ -112,6 +112,32 @@ class TestZNE:
         assert res.value == pytest.approx(1.0)
         assert res.to_dict()["scales"] == [1, 3, 5]
 
+    def test_dagger_asymmetry_warns_on_different_channels(self):
+        # Equal channel COUNTS but different channels on S vs S_DAG
+        # still breaks the noise-scales-with-fold assumption: the
+        # warning must compare channel identities, not counts.
+        c = QuantumCircuit(num_qubits=1)
+        c.add("S", [0])
+        nm = NoiseModel()
+        nm.add_gate_noise("S", BitFlipNoise(0.1))
+        nm.add_gate_noise("S_DAG", DepolarizingNoise(0.3))
+        with pytest.warns(UserWarning, match="dagger"):
+            zne_expectation(lambda circ: 1.0, c, scales=(1, 3),
+                            noise_model=nm)
+
+    def test_dagger_symmetric_channels_do_not_warn(self):
+        import warnings
+
+        c = QuantumCircuit(num_qubits=1)
+        c.add("S", [0])
+        nm = NoiseModel()
+        nm.add_gate_noise("S", BitFlipNoise(0.1))
+        nm.add_gate_noise("S_DAG", BitFlipNoise(0.1))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            zne_expectation(lambda circ: 1.0, c, scales=(1, 3),
+                            noise_model=nm)
+
     def test_zne_beats_raw_on_exact_density_matrix(self):
         """Depolarizing noise on a Rabi-style circuit: the extrapolated
         <Z0> must land much closer to the ideal value than the raw

@@ -160,6 +160,34 @@ class TestEnsembleVsDensityMatrix:
 
 
 class TestRoutingAndSpec:
+    def test_generic_step_plan_stays_on_fold_path(self):
+        # A 3-group-spanning dense gate forces a GenericStep into the
+        # aug plan; the HUGE route must reject the splice (its caller
+        # builds the state shape from trajectory_is_real, and a
+        # GenericStep flattens the whole state to complex) and keep the
+        # per-gate fold executor, whose 'bits' applier handles it.
+        from quantum_simulator_tpu.ops.bigtraj import (
+            huge_trajectory_state_body,
+        )
+        from quantum_simulator_tpu.ops.unitary_traj import (
+            unitary_insert_evolve_ok,
+        )
+
+        c = QuantumCircuit(19)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        c.add_gate(GateInstance("Toffoli", [0, 7, 14], [], column=1))
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.05))
+        p = prog.compile_circuit(c)
+        assert unitary_insert_supported(p, nm)  # channels ARE mu
+        assert not unitary_insert_evolve_ok(p, nm)  # but plan is generic
+        x, planar = huge_trajectory_state_body(
+            p, nm, jnp.asarray(p.initial_params), jax.random.PRNGKey(0))
+        flat = np.asarray(x if not planar
+                          else x[0] + 1j * x[1]).reshape(-1)
+        np.testing.assert_allclose(np.vdot(flat, flat).real, 1.0,
+                                   atol=1e-4)
+
     def test_amplitude_damping_not_supported(self):
         nm = NoiseModel()
         nm.add_global_noise(AmplitudeDampingNoise(0.2))
