@@ -138,7 +138,6 @@ _EXPR_ENV = {
     "pi": math.pi, "sin": math.sin, "cos": math.cos, "tan": math.tan,
     "exp": math.exp, "ln": math.log, "sqrt": math.sqrt,
 }
-_EXPR_FUNCS = ("sin", "cos", "tan", "exp", "ln", "sqrt")
 # Numbers first so '1e-05' tokenizes as one literal, never as ident 'e'.
 _EXPR_TOKEN = re.compile(
     r"\s*(?:(?P<num>(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"

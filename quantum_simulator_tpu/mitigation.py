@@ -185,8 +185,13 @@ def zne_expectation(evaluate, circuit: QuantumCircuit,
     scales = list(scales)
     if noise_model is not None:
         def _specs(name):
-            return tuple(ch.spec_key()
-                         for ch in noise_model.channels_for_gate(name))
+            # Sorted: the warning targets *different channel sets*, not
+            # registration order (same channels added in another order on
+            # the dagger name still amplify symmetrically for the Pauli
+            # channels folding cares about).
+            return tuple(sorted(
+                ch.spec_key()
+                for ch in noise_model.channels_for_gate(name)))
 
         asymmetric = sorted({
             g.gate_name for g in circuit.gates
