@@ -65,6 +65,37 @@ class EngineConfig:
 CONFIG = EngineConfig()
 
 
+def _bootstrap_compilation_cache() -> str | None:
+    """Point jax at a persistent on-disk compilation cache so the
+    20-60 s remote TPU compiles are paid once per MACHINE, not once per
+    process (SURVEY §7 recompilation management — the measured cold
+    first run of a fresh GUI/CLI session was 74 s without this).
+
+    Env knobs: ``QSIM_COMPILE_CACHE=/path`` overrides the location,
+    ``QSIM_COMPILE_CACHE=0`` disables. Only compiles slower than 1 s
+    persist (keeps the cache to the expensive device programs; tiny CPU
+    helper jits stay memory-only)."""
+    loc = os.environ.get("QSIM_COMPILE_CACHE", "")
+    if loc in ("0", "off", "none"):
+        return None
+    if not loc:
+        loc = os.path.join(
+            os.path.expanduser("~"), ".cache", "quantum_simulator_tpu",
+            "xla_cache")
+    try:
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - read-only FS / old jax
+        return None
+    return loc
+
+
+COMPILE_CACHE_DIR = _bootstrap_compilation_cache()
+
+
 def default_backend() -> str:
     return jax.default_backend()
 

@@ -185,10 +185,11 @@ def zne_expectation(evaluate, circuit: QuantumCircuit,
     scales = list(scales)
     if noise_model is not None:
         def _specs(name):
-            # Sorted: the warning targets *different channel sets*, not
-            # registration order (same channels added in another order on
-            # the dagger name still amplify symmetrically for the Pauli
-            # channels folding cares about).
+            # Sorted: this heuristic intentionally targets MISSING or
+            # EXTRA channels only, so registration order is ignored.
+            # Ordering differences between non-commuting channels (e.g.
+            # AmplitudeDamping vs a Pauli channel) are out of scope —
+            # they amplify approximately, not exactly, under folding.
             return tuple(sorted(
                 ch.spec_key()
                 for ch in noise_model.channels_for_gate(name)))

@@ -700,8 +700,15 @@ def _evolve_body(program, noise_model):
     """Huge-path trajectory evolution selector: ``(params, key, x,
     n_chunks) -> x``. Mixed-unitary noise takes the splice path
     (``ops/unitary_traj.unitary_insert_evolve`` — plan composition
-    windows, ~per-column passes); anything else takes the per-gate fold
-    executor with trace-side rho algebra."""
+    windows, ~per-column passes); monomial channels (amplitude damping,
+    thermal relaxation, mixes) take the basis-sample splice path
+    (``ops/monomial_traj.monomial_insert_evolve`` — same plan windows
+    plus one |psi|^2 reduction per window); anything else takes the
+    per-gate fold executor with trace-side rho algebra."""
+    from .monomial_traj import (
+        monomial_insert_evolve,
+        monomial_insert_evolve_ok,
+    )
     from .unitary_traj import (
         unitary_insert_evolve,
         unitary_insert_evolve_ok,
@@ -711,6 +718,10 @@ def _evolve_body(program, noise_model):
         return lambda params, key, x, n_chunks=None: \
             unitary_insert_evolve(program, noise_model, params, key, x,
                                   n_chunks=n_chunks)
+    if monomial_insert_evolve_ok(program, noise_model):
+        return lambda params, key, x, n_chunks=None: \
+            monomial_insert_evolve(program, noise_model, params, key, x,
+                                   n_chunks=n_chunks)
     return lambda params, key, x, n_chunks=None: \
         huge_trajectory_evolve(program, noise_model, params, key, x,
                                None, n_chunks, from_basis=True)

@@ -455,13 +455,35 @@ def monitored_trajectories_fn(program: CircuitProgram, noise_model,
     """jitted ``f(params, keys[T]) -> (states[T, 2^n], outcomes[T, M])``
     — T monitored trajectories (mid-circuit collapse at the static
     ``(op_position, qubit)`` events, optional stochastic noise) in one
-    vmapped launch.  Einsum path only; wide circuits belong to the MPS
-    / Clifford monitored engines."""
+    vmapped launch.  Below the plan threshold this is the per-gate
+    einsum body; at n >= 19 on TPU the collapse runs as spliced
+    projectors through the group plan (``ops/monomial_traj``) whenever
+    the noise channels are monomial (always true for the reference
+    channel family and for noise-free monitored circuits)."""
     dtype = dtype or CONFIG.dtype
     channels_for = (noise_model.kraus_stacks_for_gate
                     if noise_model is not None
                     else _NoNoise.kraus_stacks_for_gate)
     spec = noise_model.spec_key() if noise_model is not None else ()
+    if _use_group_path(program):
+        from .monomial_traj import (
+            monomial_insert_supported,
+            monomial_monitored_body,
+        )
+
+        nm = noise_model if noise_model is not None else _NoNoise
+        if not monomial_insert_supported(program, nm, tuple(events)):
+            raise ValueError(
+                "monitored group path needs monomial Kraus channels "
+                "(the reference channel family); this noise model has "
+                "a non-monomial custom channel — use MPSSimulator / "
+                "Clifford monitored engines or n <= 18")
+        key = ("monitored-group", program.compile_key, spec, str(dtype),
+               tuple(events))
+        return _cache_get(key, lambda: jax.jit(jax.vmap(
+            lambda params, k: monomial_monitored_body(
+                program, nm, events, params, k, dtype),
+            in_axes=(None, 0))))
     key = ("monitored", program.compile_key, spec, str(dtype),
            tuple(events))
     return _cache_get(key, lambda: jax.jit(jax.vmap(
@@ -516,12 +538,20 @@ def _group_traj_body(program: CircuitProgram, noise_model, dtype,
     1. mixed-unitary channels -> ``ops/unitary_traj`` (draws splice as
        unitaries into the plan's composition windows: ~per-column state
        passes instead of per-gate);
-    2. otherwise the folded single-pass-per-gate executor
+    2. monomial channels (amplitude damping, thermal relaxation, any
+       mix with the mixed-unitary family) -> ``ops/monomial_traj``
+       (state-dependent draws become classical given one basis sample
+       per composition window — still ~per-column passes);
+    3. otherwise the folded single-pass-per-gate executor
        (``ops/bigtraj.fold_trajectory_body``) when every op has a fold
        applier;
-    3. otherwise the per-gate ``plan.group_trajectory_body`` (which
+    4. otherwise the per-gate ``plan.group_trajectory_body`` (which
        also serves snapshot recording and >3-target dense gates)."""
     from .bigtraj import fold_supported, fold_trajectory_body
+    from .monomial_traj import (
+        monomial_insert_supported,
+        monomial_trajectory_body,
+    )
     from .plan import group_trajectory_body
     from .unitary_traj import (
         unitary_insert_supported,
@@ -531,6 +561,10 @@ def _group_traj_body(program: CircuitProgram, noise_model, dtype,
     if not record_columns and unitary_insert_supported(program,
                                                        noise_model):
         return lambda params, k: unitary_insert_trajectory_body(
+            program, noise_model, params, k, dtype)
+    if not record_columns and monomial_insert_supported(program,
+                                                        noise_model):
+        return lambda params, k: monomial_trajectory_body(
             program, noise_model, params, k, dtype)
     if not record_columns and fold_supported(program):
         return lambda params, k: fold_trajectory_body(

@@ -459,9 +459,13 @@ class Simulator:
             sites [(column, qubit)] * M,
             states: list of T final ``StateVector``s).
 
-        Runs the per-gate einsum path: on TPU that stops compiling near
-        n=19 (CLAUDE.md), where the MPS/Clifford monitored engines take
-        over, so the group path is rejected rather than half-supported.
+        Below the plan threshold this runs the per-gate einsum path; at
+        19 <= n <= 29 on TPU the collapses run as spliced projectors
+        through the group plan (``ops/monomial_traj``: a projective
+        measurement is the monomial channel ``{|0><0|, |1><1|}``, whose
+        outcome given the window's basis sample is the sampled bit), so
+        generic monitored circuits keep the exact engine across the
+        whole single-chip dense envelope.
         """
         from .gates import GateType
         from .registry import GateRegistry
@@ -469,12 +473,6 @@ class Simulator:
         _check_amplitude_cap(circuit)
         self._reject_huge(circuit, "monitored_trajectories")
         program = prog.compile_circuit(circuit)
-        if prog._use_group_path(program):
-            raise ValueError(
-                "monitored_trajectories runs the per-gate einsum path "
-                f"(n <= {prog._PLAN_EXECUTOR_MIN_QUBITS - 1} on TPU); "
-                "use MPSSimulator.monitored_trajectories or the "
-                "Clifford engine for wide monitored circuits")
         registry = GateRegistry.instance()
         events: list[tuple[int, int]] = []
         sites: list[tuple[int, int]] = []
