@@ -629,3 +629,134 @@ class BenchmarkAnalysis:
             "log2_qv": best_m,
             "results_per_width": results_per_width,
         }
+
+    @staticmethod
+    def quantum_volume_at_scale(widths=(4, 8, 12, 16, 20),
+                                num_trials: int = 100,
+                                noise_model: object | None = None,
+                                seed: int | None = None,
+                                chunk: int = 10,
+                                trajectories_per_trial: int = 1) -> dict:
+        """Heavy-output quantum volume far beyond the reference's 8-qubit
+        cap (``/root/reference/quantum_sim/engine/analysis.py:538-622``
+        loops ``Simulator.run`` per trial): every width runs its trials
+        as VMAPPED lanes of one compiled program — on TPU the forward is
+        the group-matmul plan and the noisy lane is the unitary-splice
+        trajectory body, so a width-20 trial costs milliseconds, not a
+        per-trial re-simulation.
+
+        Model circuit per width m: m layers, each an Rz·Ry·Rz column
+        trio on every qubit followed by an alternating CNOT brick (the
+        entangling structure the reference's rotations-only protocol
+        lacks; required for Porter-Thomas heavy-output statistics at
+        scale). The circuit STRUCTURE is fixed per width — trials
+        randomize only the rotation angles, which is what makes the
+        whole sweep one compile + T vmapped lanes.
+
+        Per trial: ideal probabilities -> median -> heavy set; the
+        noisy heavy-output probability is the heavy-set mass of one (or
+        ``trajectories_per_trial``) stochastic trajectories — an
+        unbiased estimator of tr(rho P_heavy). A width passes when the
+        two-sided 2-sigma lower bound of the mean noisy heavy-output
+        probability clears 2/3 (the standard QV acceptance, with the
+        trial-set t-interval standing in for the shot binomial CI since
+        heavy masses here are exact per trajectory).
+        """
+        from .ops import program as prog
+
+        rng = np.random.default_rng(seed)
+        use_group = jax.default_backend() == "tpu"
+        noisy = noise_model is not None and noise_model.has_channels()
+        out_widths = []
+        best_m = 0
+
+        for m in widths:
+            from .circuit import GateInstance, QuantumCircuit
+
+            t_width = time.perf_counter()
+            circuit = QuantumCircuit(num_qubits=m)
+            col = 0
+            for layer in range(m):
+                for q in range(m):
+                    circuit.add_gate(GateInstance("Rz", [q], [0.0], col))
+                    circuit.add_gate(GateInstance("Ry", [q], [0.0], col + 1))
+                    circuit.add_gate(GateInstance("Rz", [q], [0.0], col + 2))
+                col += 3
+                for q in range(layer % 2, m - 1, 2):
+                    circuit.add_gate(GateInstance("CNOT", [q, q + 1], [],
+                                                  col))
+                col += 1
+            program = prog.compile_circuit(circuit)
+            n_params = len(program.initial_params)
+
+            def one_trial(p, key, _program=program):
+                if use_group:
+                    from .ops.plan import group_forward_body
+
+                    psi = group_forward_body(_program, p, jnp.complex64)
+                else:
+                    psi = prog._forward_body(_program, p, jnp.complex64)
+                probs = jnp.real(psi) ** 2 + jnp.imag(psi) ** 2
+                med = jnp.median(probs)
+                heavy = (probs > med).astype(jnp.float32)
+                h_ideal = jnp.sum(probs * heavy)
+                if not noisy:
+                    return h_ideal, h_ideal
+
+                def one_traj(k):
+                    if use_group:
+                        from .ops.unitary_traj import (
+                            unitary_insert_trajectory_body,
+                        )
+
+                        psi_n = unitary_insert_trajectory_body(
+                            _program, noise_model, p, k, jnp.complex64)
+                    else:
+                        psi_n = prog._trajectory_body(
+                            _program, noise_model.kraus_stacks_for_gate,
+                            p, k, jnp.complex64, False)
+                    pn = jnp.real(psi_n) ** 2 + jnp.imag(psi_n) ** 2
+                    return jnp.sum(pn * heavy)
+
+                tk = jax.random.split(key, trajectories_per_trial)
+                return h_ideal, jnp.mean(jax.vmap(one_traj)(tk))
+
+            fn = jax.jit(jax.vmap(one_trial))
+            pad = (-num_trials) % chunk
+            total = num_trials + pad
+            params_all = rng.uniform(0.0, 2 * np.pi,
+                                     size=(total, n_params)).astype(
+                                         np.float32)
+            keys_all = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(0, 2 ** 63))), total)
+            h_ideal_l, h_noisy_l = [], []
+            for i in range(0, total, chunk):
+                hi, hn = fn(jnp.asarray(params_all[i:i + chunk]),
+                            keys_all[i:i + chunk])
+                h_ideal_l.append(np.asarray(hi))
+                h_noisy_l.append(np.asarray(hn))
+            h_ideal = np.concatenate(h_ideal_l)[:num_trials]
+            h_noisy = np.concatenate(h_noisy_l)[:num_trials]
+
+            mean = float(np.mean(h_noisy))
+            stderr = float(np.std(h_noisy, ddof=1) / np.sqrt(num_trials))
+            passed = bool(mean - 2.0 * stderr > 2.0 / 3.0)
+            out_widths.append({
+                "width": int(m),
+                "heavy_output_mean": mean,
+                "heavy_output_stderr": stderr,
+                "heavy_output_ideal_mean": float(np.mean(h_ideal)),
+                "num_trials": int(num_trials),
+                "trajectories_per_trial": int(trajectories_per_trial),
+                "passed": passed,
+                "seconds": round(time.perf_counter() - t_width, 3),
+            })
+            if passed:
+                best_m = max(best_m, int(m))
+
+        return {
+            "quantum_volume": 2 ** best_m if best_m else 1,
+            "log2_qv": best_m,
+            "threshold": 2.0 / 3.0,
+            "results_per_width": out_widths,
+        }

@@ -562,9 +562,10 @@ class _GateMatrixPool:
     """
 
     def __init__(self, program: prog.CircuitProgram, params, dtype,
-                 overrides: OperandOverrides | None = None):
+                 overrides: OperandOverrides | None = None, xp=jnp):
         self.program = program
         self.dtype = dtype
+        self.xp = xp
         self._per_op: dict[int, jnp.ndarray] = {}
         self._lazy: dict[int, tuple] = {}
         self._overrides = overrides
@@ -591,7 +592,7 @@ class _GateMatrixPool:
                 key = op.static_matrix.tobytes()
                 mat = static_cache.get(key)
                 if mat is None:
-                    mat = jnp.asarray(op.static_matrix, dtype=dtype)
+                    mat = xp.asarray(op.static_matrix, dtype=dtype)
                     static_cache[key] = mat
                 self._per_op[oi] = mat
                 if len(op.targets) == 1 and key not in static_1q:
@@ -605,7 +606,7 @@ class _GateMatrixPool:
         static_rows = 1
         for key, (mat, k) in static_1q.items():
             pool_parts.append(mat.astype(np.complex64)[None])
-        pool_parts = [jnp.asarray(np.concatenate(pool_parts), dtype=dtype)]
+        pool_parts = [xp.asarray(np.concatenate(pool_parts), dtype=dtype)]
         base = 1 + len(static_1q)
         for oi, op in enumerate(program.ops):
             if oi in skip:
@@ -618,7 +619,22 @@ class _GateMatrixPool:
             ops = [program.ops[i] for i in indices]
             np_count = ops[0].num_params
             builder = ops[0].jnp_builder
-            if len(indices) == 1:
+            if xp is not jnp:
+                # Host (NumPy) build: per-op registry matrix_func — tiny
+                # complex128 builds, microseconds each; no vmap needed.
+                from ..registry import GateRegistry
+
+                reg = GateRegistry.instance()
+                mats = []
+                for op in ops:
+                    host_builder = reg.get(op.gate_name).matrix_func
+                    p = [float(params[op.param_offset + j])
+                         for j in range(np_count)]
+                    mats.append(np.asarray(host_builder(*p)).astype(dtype))
+                stack = np.stack(mats)
+                for row, oi in enumerate(indices):
+                    self._per_op[oi] = stack[row]
+            elif len(indices) == 1:
                 op = ops[0]
                 p = [params[op.param_offset + j] for j in range(np_count)]
                 stack = builder(*p).astype(dtype)[None]
@@ -641,23 +657,23 @@ class _GateMatrixPool:
                 base += len(indices)
 
         if overrides is not None and overrides.pool_map:
-            rows = jnp.asarray(overrides.pool_rows).astype(dtype)
+            rows = xp.asarray(overrides.pool_rows).astype(dtype)
             for oi, row in overrides.pool_map.items():
                 self._pool_index[oi] = base + row
             pool_parts.append(rows)
             base += rows.shape[0]
 
-        self.pool_1q = (jnp.concatenate(pool_parts)
+        self.pool_1q = (xp.concatenate(pool_parts)
                         if len(self._pool_index) else None)
 
     def matrix(self, oi: int) -> jnp.ndarray:
         if self._overrides is not None:
             m = self._overrides.per_op.get(oi)
             if m is not None:
-                return jnp.asarray(m).astype(self.dtype)
+                return self.xp.asarray(m).astype(self.dtype)
             r = self._overrides.pool_map.get(oi)
             if r is not None:
-                return jnp.asarray(
+                return self.xp.asarray(
                     self._overrides.pool_rows)[r].astype(self.dtype)
         cached = self._per_op.get(oi)
         if cached is None:
@@ -670,18 +686,18 @@ class _GateMatrixPool:
         return self._pool_index[oi]
 
 
-def _batched_1q_subcolumns(pool: _GateMatrixPool, tables: np.ndarray
-                           ) -> jnp.ndarray:
+def _batched_1q_subcolumns(pool: _GateMatrixPool, tables: np.ndarray,
+                           xp=jnp) -> jnp.ndarray:
     """(B, bits) pool-index tables -> (B, 2^bits, 2^bits) kron products
     (index 0 = identity) in bits-1 batched einsums."""
-    gathered = jnp.take(pool.pool_1q, jnp.asarray(tables), axis=0)
+    gathered = xp.take(pool.pool_1q, xp.asarray(tables), axis=0)
     bits = tables.shape[1]
     acc = gathered[:, 0]
     size = 2
     for b in range(1, bits):
         # out[(r i), (c j)] = acc[r, c] * g[i, j]  (bit b is LESS
         # significant than everything accumulated so far)
-        acc = jnp.einsum("brc,bij->bricj", acc, gathered[:, b]).reshape(
+        acc = xp.einsum("brc,bij->bricj", acc, gathered[:, b]).reshape(
             tables.shape[0], size * 2, size * 2)
         size *= 2
     return acc
@@ -689,7 +705,7 @@ def _batched_1q_subcolumns(pool: _GateMatrixPool, tables: np.ndarray
 
 def _subcolumn_operator(program: prog.CircuitProgram, pool,
                         op_indices: tuple[int, ...], layout: GroupLayout,
-                        axis: int, dtype) -> jnp.ndarray:
+                        axis: int, dtype, xp=jnp) -> jnp.ndarray:
     """(S, S) operator = interleaved kron of the sub-column's gates (all
     bits disjoint) and identity on untouched bits."""
     bits = layout.axis_bits[axis]
@@ -708,31 +724,32 @@ def _subcolumn_operator(program: prog.CircuitProgram, pool,
         if p in covered:
             if run:
                 items.append((run[0], tuple(run),
-                              jnp.eye(1 << len(run), dtype=dtype)))
+                              xp.eye(1 << len(run), dtype=dtype)))
                 run = []
         else:
             run.append(p)
     if run:
         items.append((run[0], tuple(run),
-                      jnp.eye(1 << len(run), dtype=dtype)))
+                      xp.eye(1 << len(run), dtype=dtype)))
     items.sort(key=lambda it: it[0])
 
     acc = None
     bit_order: list[int] = []
     for _, spos, u in items:
         bit_order.extend(spos)
-        acc = u if acc is None else jnp.kron(acc, u)
+        acc = u if acc is None else xp.kron(acc, u)
     if bit_order != sorted(bit_order):
         acc = _permute_matrix_bits(acc, bit_order)
     return acc
 
 
-def _blocked(re: jnp.ndarray, im: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+def _blocked(re: jnp.ndarray, im: jnp.ndarray, axis: int = 0,
+             xp=jnp) -> jnp.ndarray:
     """Realified complex-multiply block tensor: stack [[re, -im], [im, re]]
     as two new leading (c, d) axes at ``axis``."""
-    row0 = jnp.stack([re, -im], axis=axis)
-    row1 = jnp.stack([im, re], axis=axis)
-    return jnp.stack([row0, row1], axis=axis)
+    row0 = xp.stack([re, -im], axis=axis)
+    row1 = xp.stack([im, re], axis=axis)
+    return xp.stack([row0, row1], axis=axis)
 
 
 def reorder_gate_targets(u, targets, qubit_order):
@@ -747,19 +764,19 @@ def reorder_gate_targets(u, targets, qubit_order):
     return g.transpose(perm).reshape(1 << k, 1 << k)
 
 
-def cross_blocks(u4, pos, bits):
+def cross_blocks(u4, pos, bits, xp=jnp):
     """2x2 nested list of (S, S) axis-embedded blocks of a cross gate:
     ``u4`` is the (2, gl, 2, gl) matrix with the SLICED bit leading on
     both sides; entry [i][kk] acts on the op axis within sliced-bit
     sector (out=i, in=kk)."""
-    return [[_embed_in_axis(u4[i, :, kk, :], pos, bits)
+    return [[_embed_in_axis(u4[i, :, kk, :], pos, bits, xp=xp)
              for kk in (0, 1)] for i in (0, 1)]
 
 
-def cross_blocked_tensor(blocks):
+def cross_blocked_tensor(blocks, xp=jnp):
     """Stack cross blocks into the executor's complex (i, y, k, x) tensor
     (the single place that owns this axis convention)."""
-    C = jnp.stack([jnp.stack(row, axis=0) for row in blocks], axis=0)
+    C = xp.stack([xp.stack(row, axis=0) for row in blocks], axis=0)
     return C.transpose(0, 2, 1, 3)
 
 
@@ -779,13 +796,25 @@ def make_prodslice_fn(facs, cre, cim, rank, axes, planar, ax, fpos, lead):
 
 def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
                          params, dtype,
-                         overrides: OperandOverrides | None = None):
+                         overrides: OperandOverrides | None = None,
+                         xp=jnp):
     """Trace-time operator construction: per-axis blocked stacks
     (m, 2, 2, S, S) f32, blocked cross ops, blocked pair diagonals.
     ``overrides`` injects traced matrices for designated ops (the
-    mixed-unitary trajectory path)."""
+    mixed-unitary trajectory path).
+
+    ``xp=np`` builds the same pytree EAGERLY in NumPy (the interactive
+    edit-hot path: ~1500 tiny eager jnp dispatches cost seconds on the
+    CPU backend; the identical NumPy arithmetic costs milliseconds).
+    The np mode is only for host params/overrides — traced values
+    require xp=jnp."""
     layout = plan.layout
-    pool = _GateMatrixPool(program, params, dtype, overrides)
+    pool = _GateMatrixPool(program, params, dtype, overrides, xp=xp)
+    if xp is jnp:
+        def _mm(a, b):
+            return jnp.matmul(a, b, precision=_HI)
+    else:
+        _mm = np.matmul
 
     # Batch every all-1q sub-column of each axis-width class into one
     # gather + kron chain (the dominant sub-column shape in layered
@@ -804,7 +833,7 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
             class_ref[(si, bi)] = len(classes.setdefault(bits, []))
             classes[bits].append(table)
     batched: dict[int, jnp.ndarray] = {
-        bits: _batched_1q_subcolumns(pool, np.stack(tables))
+        bits: _batched_1q_subcolumns(pool, np.stack(tables), xp=xp)
         for bits, tables in classes.items()}
 
     axis_lists: list[list] = [[] for _ in layout.axis_sizes]
@@ -817,19 +846,19 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
                 sc = batched[bits][row]
             else:
                 sc = _subcolumn_operator(program, pool, sub, layout,
-                                         seg.axis, dtype)
-            combined = sc if combined is None else jnp.matmul(
-                sc, combined, precision=_HI)
+                                         seg.axis, dtype, xp=xp)
+            combined = sc if combined is None else _mm(sc, combined)
         axis_lists[seg.axis].append(combined)
 
     axis_stacks = []
     for ax, ops in enumerate(axis_lists):
         dim = layout.axis_sizes[ax]
         if not ops:
-            ops = [jnp.eye(dim, dtype=dtype)]
-        st = jnp.stack(ops)
-        axis_stacks.append(_blocked(jnp.real(st).astype(_F32),
-                                    jnp.imag(st).astype(_F32), axis=1))
+            ops = [xp.eye(dim, dtype=dtype)]
+        st = xp.stack(ops)
+        axis_stacks.append(_blocked(xp.real(st).astype(_F32),
+                                    xp.imag(st).astype(_F32), axis=1,
+                                    xp=xp))
 
     cross_ops = []
     for spec in plan.cross_specs:
@@ -845,14 +874,14 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
         u4 = u.reshape(2, gl, 2, gl)
         pos = tuple(layout.pos_in_axis(q) for q in op_qs)
         bits = layout.axis_bits[spec.op_axis]
-        blocks = cross_blocks(u4, pos, bits)
+        blocks = cross_blocks(u4, pos, bits, xp=xp)
         if spec.pre_slice_ops:
             # every folded slice op is a 1q gate on the sliced bit:
             # B'_ik = sum_j B_ij us_jk with us = product (in order)
             us = None
             for oi in spec.pre_slice_ops:
                 m = pool.matrix(oi)
-                us = m if us is None else jnp.matmul(m, us, precision=_HI)
+                us = m if us is None else _mm(m, us)
             blocks = [[blocks[i][0] * us[0, kk] + blocks[i][1] * us[1, kk]
                        for kk in (0, 1)] for i in (0, 1)]
         if spec.pre_op_subcolumns:
@@ -860,13 +889,13 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
             m = None
             for sub in spec.pre_op_subcolumns:
                 sc = _subcolumn_operator(program, pool, sub, layout,
-                                         spec.op_axis, dtype)
-                m = sc if m is None else jnp.matmul(sc, m, precision=_HI)
-            blocks = [[jnp.matmul(blocks[i][kk], m, precision=_HI)
+                                         spec.op_axis, dtype, xp=xp)
+                m = sc if m is None else _mm(sc, m)
+            blocks = [[_mm(blocks[i][kk], m)
                        for kk in (0, 1)] for i in (0, 1)]
-        C = cross_blocked_tensor(blocks)
-        cross_ops.append(_blocked(jnp.real(C).astype(_F32),
-                                  jnp.imag(C).astype(_F32), axis=0))
+        C = cross_blocked_tensor(blocks, xp=xp)
+        cross_ops.append(_blocked(xp.real(C).astype(_F32),
+                                  xp.imag(C).astype(_F32), axis=0, xp=xp))
 
     bitpair_ops = []
     for spec in plan.bitpair_specs:
@@ -880,14 +909,15 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
         u = reorder_gate_targets(pool.matrix(spec.op_index), op.targets,
                                  [slice_q, op_q])
         u4 = u.reshape(2, 2, 2, 2)  # (i, j, k, l): out/in slice, op bits
-        bitpair_ops.append(_blocked(jnp.real(u4).astype(_F32),
-                                    jnp.imag(u4).astype(_F32), axis=0))
+        bitpair_ops.append(_blocked(xp.real(u4).astype(_F32),
+                                    xp.imag(u4).astype(_F32), axis=0,
+                                    xp=xp))
 
     prod_ops = []
     for seg in plan.prod_segments:
         op = program.ops[seg.op_index]
         v = _diag_product_value(op)
-        facs = tuple(jnp.asarray(m)
+        facs = tuple(xp.asarray(m)
                      for _, m in _indicator_masks(op.targets, layout))
         prod_ops.append((facs, float(np.real(v - 1)),
                          float(np.imag(v - 1))))
@@ -896,7 +926,7 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
     for seg in plan.diag_segments:
         sa = layout.axis_sizes[seg.axis_a]
         sb = layout.axis_sizes[seg.axis_b]
-        D = jnp.ones((sa, sb), dtype=dtype)
+        D = xp.ones((sa, sb), dtype=dtype)
         for oi in seg.op_indices:
             op = program.ops[oi]
             k = len(op.targets)
@@ -906,9 +936,9 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
                 # where the dense matrix is not.
                 dv = np.ones(1 << k, np.complex128)
                 dv[-1] = op.cphase_value
-                d = jnp.asarray(dv, dtype=dtype)
+                d = xp.asarray(dv, dtype=dtype)
             else:
-                d = jnp.diagonal(pool.matrix(oi))
+                d = xp.diagonal(pool.matrix(oi))
             code_a = np.zeros(sa, dtype=np.int32)
             code_b = np.zeros(sb, dtype=np.int32)
             for j, q in enumerate(op.targets):
@@ -923,10 +953,10 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
                     bb = layout.axis_bits[seg.axis_b]
                     code_b |= (((np.arange(sb) >> (bb - 1 - p)) & 1)
                                << shift).astype(np.int32)
-            W = d[jnp.asarray(code_a)[:, None] + jnp.asarray(code_b)[None, :]]
+            W = d[xp.asarray(code_a)[:, None] + xp.asarray(code_b)[None, :]]
             D = D * W
-        diag_ops.append(_blocked(jnp.real(D).astype(_F32),
-                                 jnp.imag(D).astype(_F32), axis=0))
+        diag_ops.append(_blocked(xp.real(D).astype(_F32),
+                                 xp.imag(D).astype(_F32), axis=0, xp=xp))
 
     return axis_stacks, cross_ops, diag_ops, prod_ops, bitpair_ops
 
@@ -938,21 +968,22 @@ def build_group_operands(program: prog.CircuitProgram, plan: GroupPlan,
 _AXIS_LETTERS = "abefghjlmnopqrstuvwz"  # reserved: c d i k x y
 
 
-def _planar_basis_state(layout: GroupLayout, index: int) -> jnp.ndarray:
+def _planar_basis_state(layout: GroupLayout, index: int,
+                        xp=jnp) -> jnp.ndarray:
     """(2, *axis_sizes) one-hot basis state as an outer product of tiny
     per-axis one-hot constants. NEVER scatter into the big buffer: a
     ``zeros(2^n).at[i].set`` blows XLA compile time up ~25x at n=28
     (measured 530s -> 17s on the axon runtime with this form)."""
-    facs = [jnp.asarray(np.array([1.0, 0.0], np.float32))]
+    facs = [xp.asarray(np.array([1.0, 0.0], np.float32))]
     rem = index
     for bits, size in zip(layout.axis_bits[::-1], layout.axis_sizes[::-1]):
         v = np.zeros(size, np.float32)
         v[rem & (size - 1)] = 1.0
-        facs.insert(1, jnp.asarray(v))
+        facs.insert(1, xp.asarray(v))
         rem >>= bits
     letters = ("c" + _AXIS_LETTERS)[:len(layout.axis_sizes) + 1]
     spec = ",".join(letters) + "->" + letters
-    return jnp.einsum(spec, *facs)
+    return xp.einsum(spec, *facs)
 
 
 def _real_basis_state(layout: GroupLayout, index: int) -> jnp.ndarray:
@@ -1246,16 +1277,16 @@ def _embed_masks(positions: tuple[int, ...], axis_bits: int) -> np.ndarray:
 
 
 def _embed_in_axis(u: jnp.ndarray, positions: tuple[int, ...],
-                   axis_bits: int) -> jnp.ndarray:
+                   axis_bits: int, xp=jnp) -> jnp.ndarray:
     """Embed a 2^k operator acting on the given MSB-first bit positions of
     an ``axis_bits``-bit axis into a (2^axis_bits, 2^axis_bits) operator.
     A real operator embeds real (half the work; no complex round trip)."""
-    masks = jnp.asarray(_embed_masks(positions, axis_bits))
+    masks = xp.asarray(_embed_masks(positions, axis_bits))
     flat = u.reshape(-1)
-    re = jnp.tensordot(jnp.real(flat).astype(_F32), masks, axes=1)
-    if not jnp.iscomplexobj(u):
+    re = xp.tensordot(xp.real(flat).astype(_F32), masks, axes=1)
+    if not np.iscomplexobj(u):
         return re.astype(u.dtype)
-    im = jnp.tensordot(jnp.imag(flat).astype(_F32), masks, axes=1)
+    im = xp.tensordot(xp.imag(flat).astype(_F32), masks, axes=1)
     return (re + 1j * im).astype(u.dtype)
 
 
@@ -1648,10 +1679,12 @@ def _host_cpu_device():
 
 def interactive_forward_fn(program: prog.CircuitProgram, dtype=None):
     """``f(params) -> state`` through a skeleton-compiled executor:
-    operands build EAGERLY on the host CPU backend (small K<=128
-    matrices — milliseconds) and stream to the device as runtime f32
-    inputs (complex never crosses the wire — axon DMA rule). Falls back
-    to None when the plan needs a GenericStep or no CPU backend exists.
+    operands build EAGERLY in host NumPy (small K<=128 matrices —
+    milliseconds; the same arithmetic as eager jnp-on-CPU dispatches
+    cost ~2.5 s per fresh structure, measured) and stream to the device
+    as runtime f32 inputs (complex never crosses the wire — axon DMA
+    rule). Falls back to None when the plan needs a GenericStep or no
+    CPU backend exists.
 
     Not differentiable in ``params`` (they leave the trace); gradient
     users stay on ``group_forward_body``."""
@@ -1665,11 +1698,11 @@ def interactive_forward_fn(program: prog.CircuitProgram, dtype=None):
     dev = jax.devices()[0]
 
     def run(params):
-        with jax.default_device(cpu):
-            params_h = jnp.asarray(np.asarray(params))
-            operands = build_group_operands(program, plan, params_h,
-                                            dtype)
-            x0 = _planar_basis_state(plan.layout, program.initial_index)
+        params_h = np.asarray(params)
+        operands = build_group_operands(program, plan, params_h, dtype,
+                                        xp=np)
+        x0 = _planar_basis_state(plan.layout, program.initial_index,
+                                 xp=np)
         operands, x0 = jax.device_put((operands, x0), dev)
         return fn(operands, x0)
 

@@ -254,6 +254,58 @@ def _draw_overrides(spec: UnitaryInsertSpec, key) -> OperandOverrides:
         pool_map=pool_map, per_op=per_op)
 
 
+_CAT_BATCH = jax.jit(
+    lambda keys, logits: jax.vmap(
+        lambda k: jax.random.categorical(k, logits))(keys))
+
+
+def _draw_overrides_host(spec: UnitaryInsertSpec, key) -> OperandOverrides:
+    """NumPy twin of ``_draw_overrides`` for the interactive edit-hot
+    path. The categorical draws stay ``jax.random`` (draw-exact vs the
+    traced path) but run as ONE jitted CPU launch per stack with the
+    draw count padded to a 64 bucket — ``jax.random.split`` is
+    prefix-stable (split(key, n)[i] depends only on (key, i), verified
+    in tests), so padding never changes a draw, and a 1-gate edit that
+    crosses a bucket boundary at worst recompiles one tiny CPU draw
+    program. Unit gathers and pool assembly are host NumPy."""
+    from .plan import _host_cpu_device
+
+    cpu = _host_cpu_device()
+    pad = -(-max(1, spec.total_draws) // 64) * 64
+    sels: dict[int, np.ndarray] = {}
+    with jax.default_device(cpu):
+        keys = jax.random.split(jax.device_put(key, cpu), pad)
+        for sid, st in enumerate(spec.stacks):
+            if not any(d.stack_id == sid for d in spec.draws):
+                continue
+            logits = jnp.asarray(np.log(st.probs), jnp.float32)
+            sels[sid] = np.asarray(_CAT_BATCH(keys, logits))
+    pool_rows: list = []
+    pool_map: dict[int, int] = {}
+    per_op: dict[int, np.ndarray] = {}
+    for sid, st in enumerate(spec.stacks):
+        dlist = [d for d in spec.draws if d.stack_id == sid]
+        if not dlist:
+            continue
+        sel = sels[sid]
+        units = np.asarray(st.units_real if spec.real else st.units)
+        chosen = np.take(units, [int(sel[d.draw_index]) for d in dlist],
+                         axis=0)
+        if st.units.shape[1] == 2:
+            base_row = sum(r.shape[0] for r in pool_rows) \
+                if pool_rows else 0
+            pool_rows.append(chosen)
+            for r, d in enumerate(dlist):
+                pool_map[d.aug_index] = base_row + r
+        else:
+            for r, d in enumerate(dlist):
+                per_op[d.aug_index] = chosen[r]
+    return OperandOverrides(
+        pool_rows=(np.concatenate(pool_rows).astype(np.complex64)
+                   if pool_rows else None),
+        pool_map=pool_map, per_op=per_op)
+
+
 def unitary_insert_trajectory_body(program, noise_model, params, key,
                                    dtype=None) -> jnp.ndarray:
     """Traceable ``(params, key) -> flat complex state``: ONE stochastic
@@ -313,12 +365,11 @@ def interactive_trajectory_fn(program, noise_model, dtype=None):
     dev = jax.devices()[0]
 
     def run(params, key):
-        with jax.default_device(cpu):
-            params_h = jnp.asarray(np.asarray(params))
-            overrides = _draw_overrides(spec, jax.device_put(key, cpu))
-            operands = build_group_operands(aug, plan, params_h, dtype,
-                                            overrides=overrides)
-            x0 = _planar_basis_state(plan.layout, aug.initial_index)
+        params_h = np.asarray(params)
+        overrides = _draw_overrides_host(spec, key)
+        operands = build_group_operands(aug, plan, params_h, dtype,
+                                        overrides=overrides, xp=np)
+        x0 = _planar_basis_state(plan.layout, aug.initial_index, xp=np)
         operands, x0 = jax.device_put((operands, x0), dev)
         return fn(operands, x0)
 

@@ -1,4 +1,4 @@
-"""Interactive edit->run latency check (VERDICT r3 #6).
+"""Interactive edit->run latency check (VERDICT r3 #6 / r4 #3).
 
 Measures, on the current default backend (run on the real TPU chip):
 
@@ -8,12 +8,18 @@ Measures, on the current default backend (run on the real TPU chip):
    rerun — must reuse the compiled executor (target < 2 s);
 3. a second, different 1-gate edit (complex gate into a real window —
    the realness-flip case that used to force a recompile);
-4. for contrast, the fused per-structure path's compile cost for the
+4. noisy (depolarizing) cold + warm-edit runs through the
+   unitary-splice interactive path (target < 2 s for the edit);
+5. a SECOND-PROCESS cold first run (subprocess) — the persistent XLA
+   compilation cache (config.py) must make a fresh GUI/CLI session's
+   first run cheap (target <= 10 s);
+6. for contrast, the fused per-structure path's compile cost for the
    same edit (what the editor used to pay).
 
-Writes INTERACTIVE_r04.json at the repo root.
+Writes INTERACTIVE_r05.json at the repo root.
 
 Usage: python scripts/interactive_latency_check.py [--skip-fused]
+       [--skip-subprocess] [--child n16-cold]
 """
 
 from __future__ import annotations
@@ -50,13 +56,35 @@ def build(n, depth, seed, edit=0):
     return c
 
 
+def _child_cold_run(n: int, depth: int) -> int:
+    """Subprocess entry: one cold interactive run, prints the seconds."""
+    import time as _t
+
+    from quantum_simulator_tpu.config import CONFIG
+    from quantum_simulator_tpu.simulator import Simulator
+
+    CONFIG.interactive = True
+    sim = Simulator()
+    t0 = _t.perf_counter()
+    res = sim.run(build(n, depth, 3), shots=64, seed=0)
+    assert sum(res.measurement_counts.values()) == 64
+    print(json.dumps({"cold_s": round(_t.perf_counter() - t0, 3)}))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-fused", action="store_true",
                     help="skip the fused-path recompile contrast run")
+    ap.add_argument("--skip-subprocess", action="store_true",
+                    help="skip the second-process cold-run measurement")
+    ap.add_argument("--child", default=None, help=argparse.SUPPRESS)
     ap.add_argument("-n", type=int, default=16)
     ap.add_argument("--depth", type=int, default=8)
     args = ap.parse_args()
+
+    if args.child == "n16-cold":
+        return _child_cold_run(args.n, args.depth)
 
     import jax
 
@@ -103,6 +131,29 @@ def main():
         timed_noisy(build(args.n, args.depth, 3)), 3)
     out["noisy_warm_1gate_edit_s"] = round(
         timed_noisy(build(args.n, args.depth, 3, edit=1)), 3)
+    out["noisy_edit_under_2s"] = out["noisy_warm_1gate_edit_s"] < 2.0
+    out["edit_under_2s"] = (out["edit_under_2s"]
+                            and out["noisy_edit_under_2s"])
+
+    if not args.skip_subprocess:
+        # Second-process cold first run: a fresh interpreter (fresh jit
+        # caches) re-running the n=16 cold case — the persistent XLA
+        # compilation cache (config.py) should serve the big device
+        # compile, making a new GUI/CLI session's first run cheap.
+        import subprocess
+
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child", "n16-cold", "-n", str(args.n),
+                 "--depth", str(args.depth)],
+                capture_output=True, text=True, timeout=1200, check=True)
+            child = json.loads(proc.stdout.strip().splitlines()[-1])
+            out["second_process_cold_s"] = child["cold_s"]
+            out["second_process_cold_under_10s"] = child["cold_s"] <= 10.0
+        except Exception as e:  # pragma: no cover
+            out["second_process_cold_s"] = None
+            out["second_process_error"] = str(e)[:300]
 
     if not args.skip_fused:
         # What the editor used to pay: fused per-structure compile of
@@ -114,7 +165,7 @@ def main():
 
     print(json.dumps(out))
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "INTERACTIVE_r04.json")
+        os.path.abspath(__file__))), "INTERACTIVE_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}", file=sys.stderr)

@@ -65,11 +65,70 @@ class TestTrajectoryExecutor:
         _fidelity_vs_group(brickwork_circuit(10, 4, seed=3), nm, seed=7)
 
     def test_mixed_channels(self):
+        # BitFlip+AmplitudeDamping routes to the MONOMIAL splice path
+        # (r5): that path is joint-LAW-exact vs the per-gate executor
+        # (locked in tests/test_monomial_traj.py), not draw-exact, so
+        # the huge path is compared same-key against the unchunked
+        # monomial body instead of group_trajectory_body.
+        from quantum_simulator_tpu.ops.monomial_traj import (
+            monomial_insert_evolve_ok,
+            monomial_trajectory_body,
+        )
+
         nm = NoiseModel()
         nm.add_global_noise(BitFlipNoise(0.08))
         nm.add_global_noise(AmplitudeDampingNoise(0.15))
-        _fidelity_vs_group(brickwork_circuit(9, 4, seed=5), nm, seed=11,
-                           chunks_list=(1, 2))
+        c = brickwork_circuit(9, 4, seed=5)
+        p = prog.compile_circuit(c)
+        assert monomial_insert_evolve_ok(p, nm)
+        params = jnp.asarray(p.initial_params)
+        key = jax.random.PRNGKey(11)
+        ref = np.asarray(monomial_trajectory_body(p, nm, params, key,
+                                                  jnp.complex64))
+        for n_chunks in (1, 2):
+            x, planar = huge_trajectory_state_body(p, nm, params, key,
+                                                   jnp.complex64,
+                                                   n_chunks=n_chunks)
+            got = ((np.asarray(x[0]) + 1j * np.asarray(x[1])).reshape(-1)
+                   if planar else np.asarray(x).reshape(-1).astype(complex))
+            fid = abs(np.vdot(ref, got)) ** 2 / (
+                np.vdot(ref, ref).real * np.vdot(got, got).real)
+            assert fid > 1 - 1e-5, (n_chunks, fid)
+            np.testing.assert_allclose(np.vdot(got, got).real, 1.0,
+                                       atol=1e-4)
+
+    def test_mixed_channels_fold_path_draw_exact(self):
+        # The per-gate fold executor keeps its original draw-exact
+        # contract vs group_trajectory_body for the same mix — called
+        # directly, bypassing the monomial routing.
+        from quantum_simulator_tpu.ops.bigtraj import huge_trajectory_evolve
+        from quantum_simulator_tpu.ops.plan import (
+            GroupLayout,
+            _real_basis_state,
+        )
+        from quantum_simulator_tpu.ops.bigtraj import _planar_basis_state
+
+        nm = NoiseModel()
+        nm.add_global_noise(BitFlipNoise(0.08))
+        nm.add_global_noise(AmplitudeDampingNoise(0.15))
+        c = brickwork_circuit(9, 4, seed=5)
+        p = prog.compile_circuit(c)
+        params = jnp.asarray(p.initial_params)
+        key = jax.random.PRNGKey(11)
+        ref = np.asarray(group_trajectory_body(p, nm, params, key,
+                                               jnp.complex64))
+        layout = GroupLayout.for_qubits(p.num_qubits)
+        planar = not trajectory_is_real(p, nm)
+        for n_chunks in (1, 2):
+            x0 = (_planar_basis_state(layout, p.initial_index) if planar
+                  else _real_basis_state(layout, p.initial_index))
+            x = huge_trajectory_evolve(p, nm, params, key, x0, None,
+                                       n_chunks, from_basis=True)
+            got = ((np.asarray(x[0]) + 1j * np.asarray(x[1])).reshape(-1)
+                   if planar else np.asarray(x).reshape(-1).astype(complex))
+            fid = abs(np.vdot(ref, got)) ** 2 / (
+                np.vdot(ref, ref).real * np.vdot(got, got).real)
+            assert fid > 1 - 1e-5, (n_chunks, fid)
 
     def test_complex_planar_exact(self):
         # Rz makes the trajectory complex -> planar path, no phase

@@ -219,3 +219,65 @@ class TestRoutingAndSpec:
             np.asarray(unitary_insert_trajectory_body(p, nm, params, k))
             for k in keys])
         np.testing.assert_allclose(np.asarray(batched), single, atol=2e-6)
+
+
+class TestHostDrawOverrides:
+    """The interactive edit-hot path builds its overrides in host NumPy
+    (``_draw_overrides_host``): the draws must be BIT-identical to the
+    traced ``_draw_overrides`` (same categorical, prefix-stable key
+    split under the 64-bucket padding)."""
+
+    def test_split_prefix_stability(self):
+        # The padding in _draw_overrides_host relies on this jax
+        # property: split(key, n)[i] depends only on (key, i).
+        key = jax.random.PRNGKey(123)
+        big = jax.random.split(key, 256)
+        small = jax.random.split(key, 100)
+        np.testing.assert_array_equal(np.asarray(big[:100]),
+                                      np.asarray(small))
+
+    @pytest.mark.parametrize("seed", [0, 3, 11])
+    def test_host_overrides_match_traced(self, seed):
+        from quantum_simulator_tpu.ops.unitary_traj import (
+            _draw_overrides,
+            _draw_overrides_host,
+        )
+
+        nm = NoiseModel()
+        nm.add_global_noise(DepolarizingNoise(0.1))
+        nm.add_global_noise(BitFlipNoise(0.05))
+        p = prog.compile_circuit(brickwork(8, 3, rz=True))
+        spec = unitary_insert_spec(p, nm)
+        key = jax.random.PRNGKey(seed)
+        ov_t = _draw_overrides(spec, key)
+        ov_h = _draw_overrides_host(spec, key)
+        assert ov_t.pool_map == ov_h.pool_map
+        assert set(ov_t.per_op) == set(ov_h.per_op)
+        if ov_h.pool_rows is not None:
+            np.testing.assert_array_equal(np.asarray(ov_t.pool_rows),
+                                          ov_h.pool_rows)
+        for oi in ov_h.per_op:
+            np.testing.assert_array_equal(np.asarray(ov_t.per_op[oi]),
+                                          ov_h.per_op[oi])
+
+    def test_numpy_operand_build_matches_traced(self):
+        from quantum_simulator_tpu.ops.plan import (
+            build_group_operands,
+            get_group_plan,
+        )
+        import jax.tree_util as jtu
+
+        p = prog.compile_circuit(brickwork(9, 3, rz=True))
+        plan = get_group_plan(p)
+        o_j = build_group_operands(p, plan, jnp.asarray(p.initial_params),
+                                   jnp.complex64)
+        o_n = build_group_operands(p, plan, np.asarray(p.initial_params),
+                                   jnp.complex64, xp=np)
+        lj, tj = jtu.tree_flatten(o_j)
+        ln, tn = jtu.tree_flatten(o_n)
+        assert tj == tn
+        for a, b in zip(lj, ln):
+            a = np.asarray(a)
+            b = np.asarray(b)
+            assert a.shape == b.shape and a.dtype == b.dtype
+            np.testing.assert_allclose(a, b, atol=5e-7)
