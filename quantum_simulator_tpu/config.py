@@ -66,17 +66,36 @@ CONFIG = EngineConfig()
 
 
 def _bootstrap_compilation_cache() -> str | None:
-    """Point jax at a persistent on-disk compilation cache so the
-    20-60 s remote TPU compiles are paid once per MACHINE, not once per
-    process (SURVEY §7 recompilation management — the measured cold
-    first run of a fresh GUI/CLI session was 74 s without this).
+    """Point jax at a persistent on-disk compilation cache so expensive
+    TPU compiles are paid once per MACHINE, not once per process
+    (SURVEY §7 recompilation management).
 
-    Env knobs: ``QSIM_COMPILE_CACHE=/path`` overrides the location,
-    ``QSIM_COMPILE_CACHE=0`` disables. Only compiles slower than 1 s
-    persist (keeps the cache to the expensive device programs; tiny CPU
-    helper jits stay memory-only)."""
+    Env knobs: ``QSIM_COMPILE_CACHE=/path`` overrides the location (and
+    force-enables on any platform), ``QSIM_COMPILE_CACHE=0`` disables.
+    Only compiles slower than 1 s persist (keeps the cache to the
+    expensive device programs; tiny CPU helper jits stay memory-only).
+
+    Platform gating (both cases MEASURED, round 5):
+
+    * the experimental ``axon`` tunnel plugin does not truly serialize
+      executables — a persistent-cache HIT on the n=16 skeleton
+      executor still paid the full server-side compile (child cold
+      96-178 s vs parent cold 85 s; key hit confirmed in jax debug
+      logs), so the cache is default-OFF there (a hit costs slightly
+      MORE than a miss: the blob round-trips first);
+    * pure-CPU processes (tests, the virtual mesh) also skip it:
+      XLA:CPU AOT entries pin compile-machine features
+      ("+prefer-no-gather") that the loader then rejects on the SAME
+      host — every lookup logs a cpu_aot_loader error and recompiles
+      anyway.
+
+    On standard PJRT TPU runtimes (real deployments, where executable
+    serialization works) the cache stays ON."""
     loc = os.environ.get("QSIM_COMPILE_CACHE", "")
     if loc in ("0", "off", "none"):
+        return None
+    platforms = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if platforms in ("cpu", "axon") and not loc:
         return None
     if not loc:
         loc = os.path.join(
