@@ -636,7 +636,8 @@ class BenchmarkAnalysis:
                                 noise_model: object | None = None,
                                 seed: int | None = None,
                                 chunk: int = 10,
-                                trajectories_per_trial: int = 1) -> dict:
+                                trajectories_per_trial: int = 1,
+                                on_width: Callable | None = None) -> dict:
         """Heavy-output quantum volume far beyond the reference's 8-qubit
         cap (``/root/reference/quantum_sim/engine/analysis.py:538-622``
         loops ``Simulator.run`` per trial): every width runs its trials
@@ -753,6 +754,11 @@ class BenchmarkAnalysis:
             })
             if passed:
                 best_m = max(best_m, int(m))
+            if on_width is not None:
+                # Incremental artifact hook: remote-compile latency per
+                # width can be minutes — callers persist partials so a
+                # timeout never loses completed widths.
+                on_width(out_widths[-1])
 
         return {
             "quantum_volume": 2 ** best_m if best_m else 1,

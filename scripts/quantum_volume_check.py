@@ -58,29 +58,39 @@ def main() -> int:
         nm = NoiseModel()
         nm.add_global_noise(DepolarizingNoise(args.noise_p))
 
+    out = args.out or os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "QV_r05.json")
+
+    partial: list[dict] = []
+
+    def _flush_width(row: dict) -> None:
+        # Persist after every width: remote compiles can take minutes
+        # per width and a timeout must not lose completed widths.
+        partial.append(row)
+        print(f"[qv] width {row['width']:>2}: heavy-output "
+              f"{row['heavy_output_mean']:.4f} +- "
+              f"{row['heavy_output_stderr']:.4f} "
+              f"(ideal {row['heavy_output_ideal_mean']:.4f}) "
+              f"{'PASS' if row['passed'] else 'fail'} "
+              f"[{row['seconds']:.1f} s]", file=sys.stderr, flush=True)
+        with open(out, "w") as f:
+            json.dump({"partial": True, "results_per_width": partial},
+                      f, indent=1)
+
     t0 = time.perf_counter()
     res = BenchmarkAnalysis.quantum_volume_at_scale(
         widths=widths, num_trials=args.trials, noise_model=nm,
         seed=args.seed, chunk=args.chunk,
-        trajectories_per_trial=args.trajectories)
+        trajectories_per_trial=args.trajectories, on_width=_flush_width)
     res["platform"] = jax.devices()[0].platform
     res["on_device"] = bool(on_device)
     res["noise"] = ({"channel": "depolarizing", "p": args.noise_p}
                     if nm else None)
     res["total_seconds"] = round(time.perf_counter() - t0, 1)
 
-    for row in res["results_per_width"]:
-        print(f"[qv] width {row['width']:>2}: heavy-output "
-              f"{row['heavy_output_mean']:.4f} +- "
-              f"{row['heavy_output_stderr']:.4f} "
-              f"(ideal {row['heavy_output_ideal_mean']:.4f}) "
-              f"{'PASS' if row['passed'] else 'fail'} "
-              f"[{row['seconds']:.1f} s]", file=sys.stderr)
     print(f"[qv] quantum volume 2^{res['log2_qv']} = "
           f"{res['quantum_volume']}", file=sys.stderr)
 
-    out = args.out or os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "QV_r05.json")
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps({"quantum_volume": res["quantum_volume"],
