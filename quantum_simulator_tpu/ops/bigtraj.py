@@ -1124,6 +1124,59 @@ def huge_trajectory_sample_fn(program, noise_model, shots: int,
     return run, planar
 
 
+def huge_monitored_sample_fn(program, noise_model, events: tuple,
+                             shots: int, n_chunks: int | None = None
+                             ) -> tuple[Callable, bool]:
+    """``(run, planar)`` for n >= 30 MONITORED trajectories:
+    ``run(params, traj_key, sample_key) -> (outcomes[M] i32, idx[shots]
+    i32)`` (or just outcomes when ``shots == 0``). Mid-circuit
+    projective collapse and Z-basis final sampling are FUSED into one
+    jitted program — the whole-state buffer never crosses a jit
+    boundary, so none of the donation/layout plumbing of the noise
+    chain applies (only two tiny int32 vectors leave the device).
+    Noise (if any) must be monomial — the reference channel family."""
+    from .bigstate import auto_chunks, sample_state_indices
+    from .monomial_traj import monomial_monitored_evolve, monomial_spec
+
+    spec = monomial_spec(program, noise_model, tuple(events))
+    if spec is None:
+        raise ValueError(
+            "huge monitored trajectories need monomial noise channels "
+            "(the reference family) or a noise-free circuit")
+    planar = not spec.real
+    layout = GroupLayout.for_qubits(program.num_qubits)
+    amps = 1 << program.num_qubits
+    state_bytes = 4 * (2 if planar else 1) * amps
+    probs_dtype = (jnp.bfloat16
+                   if state_bytes + 8 * amps > 13 * (1 << 30)
+                   else jnp.float32)
+
+    if shots > 0:
+        def body(params, traj_key, sample_key):
+            x = (_planar_basis_state(layout, program.initial_index)
+                 if planar else
+                 _real_basis_state(layout, program.initial_index))
+            x, outs = monomial_monitored_evolve(
+                program, noise_model, events, params, traj_key, x,
+                n_chunks)
+            idx = sample_state_indices(x, sample_key, shots,
+                                       planar=planar,
+                                       probs_dtype=probs_dtype)
+            return outs, idx
+    else:
+        def body(params, traj_key, sample_key):
+            del sample_key
+            x = (_planar_basis_state(layout, program.initial_index)
+                 if planar else
+                 _real_basis_state(layout, program.initial_index))
+            _, outs = monomial_monitored_evolve(
+                program, noise_model, events, params, traj_key, x,
+                n_chunks)
+            return outs
+
+    return jax.jit(body), planar
+
+
 def huge_trajectory_gram_fn(program, noise_model, dtype=None
                             ) -> tuple[Callable, bool]:
     """``(run, planar)`` where ``run(params, traj_key)`` executes one

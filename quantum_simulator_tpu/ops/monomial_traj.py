@@ -485,29 +485,18 @@ def monomial_insert_evolve_ok(program, noise_model) -> bool:
         for s in get_group_plan(seg).steps)
 
 
-def monomial_insert_evolve(program, noise_model, params, key,
-                           x: jnp.ndarray, dtype=None,
-                           n_chunks: int | None = None) -> jnp.ndarray:
-    """Chunked monomial-splice evolution of a PROVIDED grouped state —
-    the huge (n >= 30) counterpart of ``monomial_trajectory_body``, with
-    the ``bigtraj.huge_trajectory_evolve`` signature so the huge-path
-    donation/layout chain swaps it in for monomial (but not
-    mixed-unitary) noise. Segments run the chunked plan executor; each
-    window boundary costs one fused |psi|^2 reduction (the axis-0
-    marginal) plus geometrically shrinking conditional slices, and the
-    classical draws are scalar ops — vs one whole-state pass PER GATE
-    on the fold executor this replaces. One chunked exact
-    normalization at the end restores ||psi|| = 1 (spliced Kraus
-    operators are not norm-preserving; per-window rsqrt(nsq) scaling
-    keeps the running norm in f32 range)."""
-    del dtype  # canonicalized: f32 planes / complex64 compute only
+def _chunked_windows_evolve(spec: MonomialSpec, program, params, key,
+                            x: jnp.ndarray,
+                            n_chunks: int | None) -> tuple:
+    """Shared chunked window loop for the huge (n >= 30) splice paths:
+    segments run the chunked plan executor, each window boundary costs
+    one fused |psi|^2 reduction plus geometrically shrinking
+    conditional slices, and one chunked exact normalization at the end
+    restores ||psi|| = 1. Returns ``(x, outcomes)`` — outcomes non-empty
+    only when the spec carries measurement events."""
     from .bigstate import auto_chunks, execute_group_plan_chunked
     from .bigtraj import _apply_pass, _norm_sq_chunked
 
-    spec = monomial_spec(program, noise_model)
-    if spec is None:
-        raise ValueError("noise model has non-monomial channels; use "
-                         "bigtraj.huge_trajectory_evolve")
     layout = GroupLayout.for_qubits(program.num_qubits)
     planar = not spec.real
     lead = 1 if planar else 0
@@ -515,6 +504,7 @@ def monomial_insert_evolve(program, noise_model, params, key,
         n_chunks = auto_chunks(program.num_qubits, planar=planar)
     n_windows = len(spec.windows)
     keys = jax.random.split(key, max(1, spec.n_site_keys + n_windows))
+    outcomes: list = [jnp.int32(0)] * spec.n_events
     overrides = None
     for w in range(n_windows + 1):
         seg = spec.segments[w]
@@ -532,13 +522,71 @@ def monomial_insert_evolve(program, noise_model, params, key,
             break
         idxs, nsq = _sample_axes(x, planar, layout,
                                  keys[spec.n_site_keys + w])
-        overrides, _ = _window_draws(spec, spec.windows[w], idxs, nsq,
-                                     keys, layout, {})
+        overrides, updates = _window_draws(spec, spec.windows[w], idxs,
+                                           nsq, keys, layout, {})
+        for ev, bv in updates:
+            outcomes[ev] = bv.astype(jnp.int32)
     nsq = _norm_sq_chunked(x, lead, n_chunks)
     inv = jax.lax.rsqrt(jnp.maximum(nsq, 1e-30))
     x, _ = _apply_pass(x, lead, n_chunks, set(), lambda blk: blk * inv,
                        planar=planar)
+    return x, outcomes
+
+
+def monomial_insert_evolve(program, noise_model, params, key,
+                           x: jnp.ndarray, dtype=None,
+                           n_chunks: int | None = None) -> jnp.ndarray:
+    """Chunked monomial-splice evolution of a PROVIDED grouped state —
+    the huge (n >= 30) counterpart of ``monomial_trajectory_body``, with
+    the ``bigtraj.huge_trajectory_evolve`` signature so the huge-path
+    donation/layout chain swaps it in for monomial (but not
+    mixed-unitary) noise. Per-window cost: one fused |psi|^2 reduction
+    plus scalar classical draws — vs one whole-state pass PER GATE on
+    the fold executor this replaces."""
+    del dtype  # canonicalized: f32 planes / complex64 compute only
+    spec = monomial_spec(program, noise_model)
+    if spec is None:
+        raise ValueError("noise model has non-monomial channels; use "
+                         "bigtraj.huge_trajectory_evolve")
+    x, _ = _chunked_windows_evolve(spec, program, params, key, x, n_chunks)
     return x
+
+
+def monomial_monitored_evolve_ok(program, noise_model,
+                                 events: tuple) -> bool:
+    """Gate for the huge (n >= 30) MONITORED splice route: monomial (or
+    absent) noise channels AND GenericStep-free segment plans."""
+    spec = monomial_spec(program, noise_model, tuple(events))
+    if spec is None:
+        return False
+    from .plan import GenericStep
+
+    return not any(
+        isinstance(s, GenericStep)
+        for seg in spec.segments
+        for s in get_group_plan(seg).steps)
+
+
+def monomial_monitored_evolve(program, noise_model, events, params, key,
+                              x: jnp.ndarray,
+                              n_chunks: int | None = None):
+    """Chunked monitored evolution of a PROVIDED grouped state — the
+    huge (n >= 30) counterpart of ``monomial_monitored_body``: projective
+    collapse at the static ``(op_position, qubit)`` events splices as
+    ``{|0><0|, |1><1|}`` projectors through the chunked plan executor.
+    Returns ``(x, outcomes[M] int32)``. The reference cannot represent
+    this regime at all (n <= 16 and MEASUREMENT skipped during
+    evolution, ``/root/reference/quantum_sim/engine/simulator.py:61-65``)."""
+    spec = monomial_spec(program, noise_model, tuple(events))
+    if spec is None:
+        raise ValueError("noise model has non-monomial channels; the "
+                         "huge monitored path needs the reference "
+                         "channel family (or no noise)")
+    x, outcomes = _chunked_windows_evolve(spec, program, params, key, x,
+                                          n_chunks)
+    outs = (jnp.stack(outcomes) if outcomes
+            else jnp.zeros((0,), jnp.int32))
+    return x, outs
 
 
 def monomial_monitored_body(program, noise_model, events, params, key,

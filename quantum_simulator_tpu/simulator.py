@@ -353,6 +353,43 @@ class Simulator:
             seed=seed,
         )
 
+    def _monitored_huge(self, circuit: QuantumCircuit, program, noise,
+                        events: tuple, sites, n_trajectories: int,
+                        seed: int | None, final_shots: int):
+        """n >= 30 monitored trajectories: one fused chunked program per
+        trajectory (collapse projectors spliced through the plan windows
+        + streaming Z sampler); only int32 outcome/sample vectors leave
+        the device. Third return element: per-trajectory counts dicts
+        (``final_shots`` each) — whole states cannot be retained here."""
+        from .ops.bigtraj import huge_monitored_sample_fn
+        from .ops.monomial_traj import monomial_monitored_evolve_ok
+        from .ops.program import _NoNoise
+
+        nm = noise if noise is not None else _NoNoise
+        if not monomial_monitored_evolve_ok(program, nm, events):
+            raise ValueError(
+                "huge (n >= 30) monitored trajectories need monomial "
+                "noise channels (the reference family) or no noise; "
+                "use MPSSimulator / CliffordSimulator monitored engines "
+                "for other channels")
+        fn, _ = huge_monitored_sample_fn(program, nm, events,
+                                         final_shots)
+        rng = np.random.default_rng(seed)
+        params = jnp.asarray(program.initial_params)
+        outs_rows: list = []
+        counts_list: list = []
+        for _ in range(n_trajectories):
+            traj_key = _key_from_rng(rng)
+            sample_key = _key_from_rng(rng)
+            if final_shots > 0:
+                outs, idx = fn(params, traj_key, sample_key)
+                counts_list.append(
+                    self._indices_to_counts(idx, circuit.num_qubits))
+            else:
+                outs = fn(params, traj_key, sample_key)
+            outs_rows.append(np.asarray(outs))
+        return np.stack(outs_rows), sites, counts_list
+
     @staticmethod
     def _indices_to_counts(idx, num_qubits: int) -> dict[str, int]:
         """Only ``shots`` int32 indices cross to host."""
@@ -446,7 +483,8 @@ class Simulator:
 
     def monitored_trajectories(self, circuit: QuantumCircuit,
                                n_trajectories: int = 16,
-                               seed: int | None = None):
+                               seed: int | None = None,
+                               final_shots: int | None = None):
         """T independent monitored trajectories on the exact engine:
         Measure gates collapse mid-circuit (projective draw + renorm)
         instead of being skipped, optionally interleaved with this
@@ -466,12 +504,26 @@ class Simulator:
         outcome given the window's basis sample is the sampled bit), so
         generic monitored circuits keep the exact engine across the
         whole single-chip dense envelope.
+
+        At n >= 30 (single-chip huge regime) T whole-state results
+        cannot exist, so the third element becomes a list of T Z-basis
+        measurement-count dicts (``final_shots`` each; ``[]`` when
+        ``final_shots`` is None/0) — collapse, evolution, and sampling
+        fuse into one chunked device program per trajectory
+        (``ops/bigtraj.huge_monitored_sample_fn``); noise must be
+        monomial (the reference channel family). ``final_shots`` is
+        meaningful only there and rejected below n = 30 (the returned
+        ``StateVector``s already carry full amplitudes).
         """
         from .gates import GateType
         from .registry import GateRegistry
 
         _check_amplitude_cap(circuit)
-        self._reject_huge(circuit, "monitored_trajectories")
+        if final_shots is not None and not _is_huge(circuit):
+            raise ValueError(
+                "final_shots is the n >= 30 replacement for returned "
+                "states; below the huge threshold sample the returned "
+                "StateVectors instead")
         program = prog.compile_circuit(circuit)
         registry = GateRegistry.instance()
         events: list[tuple[int, int]] = []
@@ -488,6 +540,11 @@ class Simulator:
         noise = (self._noise_model
                  if self._noise_model is not None
                  and self._noise_model.has_channels() else None)
+        if _is_huge(circuit):
+            return self._monitored_huge(circuit, program, noise,
+                                        tuple(events), sites,
+                                        n_trajectories, seed,
+                                        final_shots or 0)
         fn = prog.monitored_trajectories_fn(program, noise, events)
         rng = np.random.default_rng(seed)
         keys = jax.random.split(_key_from_rng(rng), n_trajectories)

@@ -412,3 +412,101 @@ class TestMonitoredGroupVsEinsumDirect:
             monomial_monitored_body(p, nm, ((0, 0),),
                                     jnp.asarray(p.initial_params),
                                     jax.random.PRNGKey(0))
+
+
+class TestHugeMonitored:
+    """n >= 30 monitored path (``bigtraj.huge_monitored_sample_fn``),
+    validated at small n with chunking forced — same discipline as the
+    other huge-path twins."""
+
+    def _events_after(self, circuit, qubits):
+        p = prog.compile_circuit(circuit)
+        return tuple((len(p.ops), q) for q in qubits)
+
+    def test_matches_monitored_body_same_key(self):
+        from quantum_simulator_tpu.ops.bigtraj import (
+            huge_monitored_sample_fn,
+        )
+
+        c = brickwork(9, 3)
+        nm = NoiseModel()
+        nm.add_global_noise(AmplitudeDampingNoise(0.1))
+        p = prog.compile_circuit(c)
+        events = ((10, 0), (len(p.ops), 4))
+        params = jnp.asarray(p.initial_params)
+        key = jax.random.PRNGKey(3)
+        ref_state, ref_outs = monomial_monitored_body(
+            p, nm, events, params, key, jnp.complex64)
+        for n_chunks in (1, 2):
+            fn, planar = huge_monitored_sample_fn(p, nm, events, 0,
+                                                  n_chunks=n_chunks)
+            outs = np.asarray(fn(params, key, jax.random.PRNGKey(9)))
+            np.testing.assert_array_equal(outs, np.asarray(ref_outs))
+
+    def test_shots_and_counts_ghz(self):
+        from quantum_simulator_tpu.ops.bigtraj import (
+            huge_monitored_sample_fn,
+        )
+        from quantum_simulator_tpu.ops.program import _NoNoise
+
+        n = 8
+        c = QuantumCircuit(n)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        for i in range(n - 1):
+            c.add_gate(GateInstance("CNOT", [i, i + 1], [], column=i + 1))
+        p = prog.compile_circuit(c)
+        # measure q0 and q1 mid-circuit... after full entangling chain
+        events = ((len(p.ops), 0), (len(p.ops), 1))
+        fn, _ = huge_monitored_sample_fn(p, _NoNoise, events, 64,
+                                         n_chunks=2)
+        params = jnp.asarray(p.initial_params)
+        ones = zeros = 0
+        for s in range(12):
+            outs, idx = fn(params, jax.random.PRNGKey(2 * s),
+                           jax.random.PRNGKey(2 * s + 1))
+            outs = np.asarray(outs)
+            assert outs[0] == outs[1]  # GHZ: perfectly correlated
+            idx = np.asarray(idx)
+            # post-collapse state is |b>^n: every sample equals it
+            want = 0 if outs[0] == 0 else (1 << n) - 1
+            assert (idx == want).all()
+            ones += int(outs[0] == 1)
+            zeros += int(outs[0] == 0)
+        assert ones > 0 and zeros > 0  # both branches occur in 12 draws
+
+    def test_simulator_monitored_huge_helper(self):
+        # _monitored_huge drives the loop + counts conversion (CPU:
+        # _is_huge is TPU-gated, so call the helper directly).
+        from quantum_simulator_tpu.simulator import Simulator
+
+        n = 6
+        c = QuantumCircuit(n)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        c.add_gate(GateInstance("CNOT", [0, 1], [], column=1))
+        c.add_gate(GateInstance("Measure", [0], [], column=2))
+        c.add_gate(GateInstance("Measure", [1], [], column=2))
+        p = prog.compile_circuit(c)
+        sites = [(2, 0), (2, 1)]
+        events = ((2, 0), (2, 1))
+        sim = Simulator()
+        outs, got_sites, counts = sim._monitored_huge(
+            c, p, None, events, sites, 10, 7, 32)
+        assert outs.shape == (10, 2)
+        assert (outs[:, 0] == outs[:, 1]).all()
+        assert got_sites == sites
+        assert len(counts) == 10
+        for t, cnt in enumerate(counts):
+            b = int(outs[t, 0])
+            want = format(b * ((1 << 2) - 1) << (n - 2), f"0{n}b")
+            # post-collapse q0=q1=b, rest |0>: all 32 shots identical
+            assert cnt == {want: 32}, (t, cnt)
+
+    def test_final_shots_rejected_below_huge(self):
+        from quantum_simulator_tpu.simulator import Simulator
+
+        c = QuantumCircuit(3)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        c.add_gate(GateInstance("Measure", [0], [], column=1))
+        with pytest.raises(ValueError, match="final_shots"):
+            Simulator().monitored_trajectories(c, n_trajectories=2,
+                                               seed=0, final_shots=16)
