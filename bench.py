@@ -541,6 +541,7 @@ def main():
               "diagnostics (host-RAM bound)", file=sys.stderr)
     else:
         bench_secondary()
+        bench_mitigation_shadows()
     bench_bit_engines()
 
     line = {
