@@ -126,7 +126,12 @@ class ShadowData:
 # ---------------------------------------------------------------------------
 
 def _statevector_snapshot_fn(n: int):
-    rots = jnp.asarray(_ROTATIONS)
+    # NUMPY constant, not an eager jnp array: a concrete complex DEVICE
+    # array closed over by a jit gets materialized to host when the
+    # trace embeds it as a constant — a complex device->host DMA, which
+    # is unimplemented on the axon TPU runtime. A numpy constant embeds
+    # directly at trace time.
+    rots = np.asarray(_ROTATIONS, dtype=np.complex64)
 
     def one(state, onehot, key):
         x = state
@@ -142,7 +147,7 @@ def _statevector_snapshot_fn(n: int):
 
 
 def _mps_snapshot_fn():
-    rots = jnp.asarray(_ROTATIONS)
+    rots = np.asarray(_ROTATIONS, dtype=np.complex64)  # numpy: see above
 
     def one(stack, onehot, key):
         cm = stack.shape[-1]
@@ -217,12 +222,15 @@ def collect_shadows(circuit: QuantumCircuit | StateVector,
 
     if engine == "statevector":
         if isinstance(circuit, StateVector):
-            psi = jnp.asarray(circuit.data.astype(np.complex64))
+            sv = circuit
         else:
             from .simulator import Simulator
 
-            res = Simulator().run(circuit, shots=0)
-            psi = jnp.asarray(res.final_state.data.astype(np.complex64))
+            sv = Simulator().run(circuit, shots=0).final_state
+        # Stay on device: pulling .data and re-uploading would push a
+        # COMPLEX host array through DMA — unimplemented both ways on
+        # the axon TPU runtime (utils/xfer.py rule).
+        psi = sv.device_data.astype(jnp.complex64)
         fn = _SV_FNS.get(n)
         if fn is None:
             fn = _statevector_snapshot_fn(n)
