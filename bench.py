@@ -536,14 +536,6 @@ def main():
     else:
         vs_baseline = float("nan")
 
-    if os.environ.get("BENCH_CPU_FALLBACK"):
-        print("[bench] CPU fallback: skipping large-n/trajectory "
-              "diagnostics (host-RAM bound)", file=sys.stderr)
-    else:
-        bench_secondary()
-        bench_mitigation_shadows()
-    bench_bit_engines()
-
     line = {
         "metric": f"gate-layers/sec, n={N_QUBITS} depth-{DEPTH} "
                   f"random brickwork",
@@ -553,8 +545,8 @@ def main():
         else None,
         # Both engines report best-of-k wall clock, but the reference
         # side runs on this host's (shared, 1-core) CPU: vs_baseline
-        # still moves with host load across rounds (measured 83-188x
-        # r2-r4). Treat it as an order-of-magnitude, not a
+        # still moves with host load across rounds (measured 83-198x
+        # r2-r5). Treat it as an order-of-magnitude, not a
         # run-to-run-stable scalar.
         "vs_baseline_method": "best-of-3 (TPU) vs best-of-5 (reference "
                               "NumPy subprocess); load-sensitive on the "
@@ -562,7 +554,19 @@ def main():
     }
     if os.environ.get("BENCH_CPU_FALLBACK"):
         line["platform"] = "cpu-fallback (TPU tunnel unreachable)"
-    print(json.dumps(line))
+    # The headline JSON prints BEFORE the diagnostic sections: remote
+    # compiles in the diagnostics can take tens of minutes on a loaded
+    # compile service, and a harness timeout must never cost the
+    # headline (diagnostics go to stderr only).
+    print(json.dumps(line), flush=True)
+
+    if os.environ.get("BENCH_CPU_FALLBACK"):
+        print("[bench] CPU fallback: skipping large-n/trajectory "
+              "diagnostics (host-RAM bound)", file=sys.stderr)
+    else:
+        bench_secondary()
+        bench_mitigation_shadows()
+    bench_bit_engines()
 
 
 if __name__ == "__main__":
