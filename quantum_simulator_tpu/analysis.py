@@ -706,12 +706,30 @@ class BenchmarkAnalysis:
 
                 def one_traj(k):
                     if use_group:
+                        # Same routing ladder as program._group_traj_body:
+                        # mixed-unitary -> splice, monomial (amplitude
+                        # damping / thermal) -> basis-sample splice.
+                        from .ops.monomial_traj import (
+                            monomial_insert_supported,
+                            monomial_trajectory_body,
+                        )
                         from .ops.unitary_traj import (
+                            unitary_insert_supported,
                             unitary_insert_trajectory_body,
                         )
 
-                        psi_n = unitary_insert_trajectory_body(
-                            _program, noise_model, p, k, jnp.complex64)
+                        if unitary_insert_supported(_program, noise_model):
+                            psi_n = unitary_insert_trajectory_body(
+                                _program, noise_model, p, k, jnp.complex64)
+                        elif monomial_insert_supported(_program,
+                                                       noise_model):
+                            psi_n = monomial_trajectory_body(
+                                _program, noise_model, p, k, jnp.complex64)
+                        else:
+                            psi_n = prog._trajectory_body(
+                                _program,
+                                noise_model.kraus_stacks_for_gate,
+                                p, k, jnp.complex64, False)
                     else:
                         psi_n = prog._trajectory_body(
                             _program, noise_model.kraus_stacks_for_gate,

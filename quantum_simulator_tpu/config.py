@@ -90,12 +90,16 @@ def _bootstrap_compilation_cache() -> str | None:
       anyway.
 
     On standard PJRT TPU runtimes (real deployments, where executable
-    serialization works) the cache stays ON."""
+    serialization works) the cache stays ON — enabled when
+    JAX_PLATFORMS explicitly names such a platform (e.g. ``tpu``).
+    An UNSET env var also stays off: plugin auto-discovery could still
+    resolve to the axon tunnel, and sniffing the resolved backend here
+    would force jax initialization at import time."""
     loc = os.environ.get("QSIM_COMPILE_CACHE", "")
     if loc in ("0", "off", "none"):
         return None
     platforms = os.environ.get("JAX_PLATFORMS", "").strip().lower()
-    if platforms in ("cpu", "axon") and not loc:
+    if platforms in ("", "cpu", "axon") and not loc:
         return None
     if not loc:
         loc = os.path.join(

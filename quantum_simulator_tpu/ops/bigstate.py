@@ -62,6 +62,20 @@ _WHOLE_STATE_PEAK_BUDGET = 10 * (1 << 30)
 _DEFAULT_CHUNKS = 8
 
 
+def sampling_probs_dtype(num_qubits: int, planar: bool):
+    """Within-tile probs-buffer dtype for the streaming samplers: bf16
+    when state + an f32 probs build would overflow the ~13 GiB of HBM
+    left after the runtime reservation (measured: a planar n=30 f32
+    build hit 8 GiB args + 8 GiB arena = 258 MB over; bf16 halves the
+    arena — block SELECTION stays f32-exact either way). Triggers for
+    planar n >= 30 and real n = 31 only. ONE definition — the threshold
+    is chip-headroom-derived and must not fork across samplers."""
+    amps = 1 << num_qubits
+    state_bytes = 4 * (2 if planar else 1) * amps
+    return (jnp.bfloat16 if state_bytes + 8 * amps > 13 * (1 << 30)
+            else jnp.float32)
+
+
 def auto_chunks(num_qubits: int, planar: bool = True) -> int:
     """1 (whole-state executor) below the memory cliff, 8 above it.
     ``planar=False`` halves the state-byte estimate for all-real
@@ -672,15 +686,9 @@ def _huge_stats_fn(program, shots: int, dtype) -> Callable:
         # bf16 probs tier: when the state + an f32 probs buffer cannot
         # coexist in HBM, quantize only the within-tile sampling buffer
         # (see sample_state_indices). The threshold accounts for the
-        # probs build's fori_loop carry double-buffering (measured: the
-        # arena wants 2x the probs buffer — a planar n=30 f32 build hit
-        # 8 GiB args + 8 GiB arena = 258 MB over; bf16 halves the
-        # arena). Triggers for planar n >= 30 and real n = 31 only.
-        amps = 1 << program.num_qubits
-        state_bytes = 4 * (2 if planar else 1) * amps
-        probs_dtype = (jnp.bfloat16
-                       if state_bytes + 8 * amps > 13 * (1 << 30)
-                       else jnp.float32)
+        # probs build's fori_loop carry double-buffering — see
+        # sampling_probs_dtype for the measured headroom rule.
+        probs_dtype = sampling_probs_dtype(program.num_qubits, planar)
         if shots > 0:
             def body(x, key):
                 marg = state_axis_marginals(x, planar)

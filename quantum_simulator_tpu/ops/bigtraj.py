@@ -1024,12 +1024,10 @@ def _traj_stats_fn(program, noise_model, shots: int, dtype,
     cached = _TRAJ_CACHE.get(key_t)
     if cached is not None:
         return cached, threads_state
-    amps = 1 << program.num_qubits
+    from .bigstate import sampling_probs_dtype
+
     sample_planar = planar or basis == 'Y'
-    state_bytes = 4 * (2 if sample_planar else 1) * amps
-    probs_dtype = (jnp.bfloat16
-                   if state_bytes + 8 * amps > 13 * (1 << 30)
-                   else jnp.float32)
+    probs_dtype = sampling_probs_dtype(program.num_qubits, sample_planar)
     layout = GroupLayout.for_qubits(program.num_qubits)
 
     def body(x, key=None):
@@ -1135,7 +1133,7 @@ def huge_monitored_sample_fn(program, noise_model, events: tuple,
     boundary, so none of the donation/layout plumbing of the noise
     chain applies (only two tiny int32 vectors leave the device).
     Noise (if any) must be monomial — the reference channel family."""
-    from .bigstate import auto_chunks, sample_state_indices
+    from .bigstate import sample_state_indices, sampling_probs_dtype
     from .monomial_traj import monomial_monitored_evolve, monomial_spec
 
     spec = monomial_spec(program, noise_model, tuple(events))
@@ -1144,12 +1142,13 @@ def huge_monitored_sample_fn(program, noise_model, events: tuple,
             "huge monitored trajectories need monomial noise channels "
             "(the reference family) or a noise-free circuit")
     planar = not spec.real
+    key_t = ("monitored-huge", program.compile_key,
+             noise_model.spec_key(), tuple(events), shots, n_chunks)
+    cached = _TRAJ_CACHE.get(key_t)
+    if cached is not None:
+        return cached, planar
     layout = GroupLayout.for_qubits(program.num_qubits)
-    amps = 1 << program.num_qubits
-    state_bytes = 4 * (2 if planar else 1) * amps
-    probs_dtype = (jnp.bfloat16
-                   if state_bytes + 8 * amps > 13 * (1 << 30)
-                   else jnp.float32)
+    probs_dtype = sampling_probs_dtype(program.num_qubits, planar)
 
     if shots > 0:
         def body(params, traj_key, sample_key):
@@ -1174,7 +1173,7 @@ def huge_monitored_sample_fn(program, noise_model, events: tuple,
                 n_chunks)
             return outs
 
-    return jax.jit(body), planar
+    return _traj_cache_put(key_t, jax.jit(body)), planar
 
 
 def huge_trajectory_gram_fn(program, noise_model, dtype=None

@@ -622,15 +622,36 @@ class _GateMatrixPool:
             if xp is not jnp:
                 # Host (NumPy) build: per-op registry matrix_func — tiny
                 # complex128 builds, microseconds each; no vmap needed.
+                # Ops can carry a builder that is NOT the registry's for
+                # their gate_name (density.superop_program emits
+                # conjugated column-side twins under the original name —
+                # see the grouping-key comment above): those must be
+                # evaluated through their ACTUAL builder, eagerly on the
+                # host CPU backend (a jnp array on the CPU backend
+                # converts to numpy fine; only the axon TPU device lacks
+                # complex DMA).
                 from ..registry import GateRegistry
 
                 reg = GateRegistry.instance()
+                gd = reg.get(ops[0].gate_name)
+                use_registry = gd.jnp_matrix_func is builder
+                cpu = None if use_registry else _host_cpu_device()
                 mats = []
                 for op in ops:
-                    host_builder = reg.get(op.gate_name).matrix_func
                     p = [float(params[op.param_offset + j])
                          for j in range(np_count)]
-                    mats.append(np.asarray(host_builder(*p)).astype(dtype))
+                    if use_registry:
+                        mats.append(np.asarray(gd.matrix_func(*p))
+                                    .astype(dtype))
+                    elif cpu is not None:
+                        with jax.default_device(cpu):
+                            mats.append(np.asarray(builder(*p))
+                                        .astype(dtype))
+                    else:  # pragma: no cover - no CPU backend
+                        raise RuntimeError(
+                            "NumPy operand build needs a host CPU "
+                            "backend to evaluate a non-registry gate "
+                            "builder")
                 stack = np.stack(mats)
                 for row, oi in enumerate(indices):
                     self._per_op[oi] = stack[row]

@@ -281,3 +281,31 @@ class TestHostDrawOverrides:
             b = np.asarray(b)
             assert a.shape == b.shape and a.dtype == b.dtype
             np.testing.assert_allclose(a, b, atol=5e-7)
+
+    def test_numpy_build_honors_non_registry_builders(self):
+        # density.superop_program emits conjugated column-side twins
+        # UNDER THE ORIGINAL gate_name: the NumPy host build must
+        # evaluate each op's ACTUAL builder, not the registry's
+        # matrix_func for that name (caught in the r5 review — the
+        # registry shortcut silently un-conjugated every column twin).
+        from quantum_simulator_tpu.density import superop_program
+        from quantum_simulator_tpu.ops.plan import (
+            build_group_operands,
+            get_group_plan,
+        )
+        import jax.tree_util as jtu
+
+        c = QuantumCircuit(3)
+        c.add_gate(GateInstance("H", [0], [], column=0))
+        c.add_gate(GateInstance("Rz", [0], [0.7], column=1))
+        c.add_gate(GateInstance("CNOT", [0, 1], [], column=2))
+        c.add_gate(GateInstance("Rx", [2], [0.4], column=3))
+        p2 = superop_program(prog.compile_circuit(c))
+        plan = get_group_plan(p2)
+        o_j = build_group_operands(p2, plan, jnp.asarray(p2.initial_params),
+                                   jnp.complex64)
+        o_n = build_group_operands(p2, plan, np.asarray(p2.initial_params),
+                                   jnp.complex64, xp=np)
+        for a, b in zip(*(jtu.tree_flatten(t)[0] for t in (o_j, o_n))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-7)
