@@ -564,8 +564,27 @@ def main():
         print("[bench] CPU fallback: skipping large-n/trajectory "
               "diagnostics (host-RAM bound)", file=sys.stderr)
     else:
-        bench_secondary()
-        bench_mitigation_shadows()
+        # Diagnostic sections are compile-heavy and the remote compile
+        # service's speed varies ~10x day to day (measured: the same
+        # program in 85 s and 761 s). Bound the total wall clock so a
+        # slow service never runs the harness into a timeout; sections
+        # report what was skipped (no silent truncation).
+        deadline = time.monotonic() + float(
+            os.environ.get("BENCH_BUDGET_S", "3600"))
+
+        def _within(section: str) -> bool:
+            if time.monotonic() < deadline:
+                return True
+            print(f"[bench] SKIPPED {section}: wall-clock budget "
+                  f"exhausted (BENCH_BUDGET_S, slow remote-compile "
+                  f"service) — rerun with a larger budget for these "
+                  f"lines", file=sys.stderr)
+            return False
+
+        if _within("secondary (trajectories + large-n forwards)"):
+            bench_secondary()
+        if _within("mitigation + shadows"):
+            bench_mitigation_shadows()
     bench_bit_engines()
 
 
