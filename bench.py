@@ -512,6 +512,7 @@ def bench_bit_engines():
 def main():
     from quantum_simulator_tpu.utils.preflight import require_device_or_cpu
 
+    t_start = time.monotonic()
     if not require_device_or_cpu():
         # Honestly-labeled CPU-vs-CPU comparison rather than hanging or
         # emitting nothing: both engines on this host's CPU, same
@@ -569,7 +570,7 @@ def main():
         # program in 85 s and 761 s). Bound the total wall clock so a
         # slow service never runs the harness into a timeout; sections
         # report what was skipped (no silent truncation).
-        deadline = time.monotonic() + float(
+        deadline = t_start + float(
             os.environ.get("BENCH_BUDGET_S", "3600"))
 
         def _within(section: str) -> bool:
